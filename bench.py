@@ -1,0 +1,73 @@
+"""Benchmark runner — one JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from doin_fine_ance__spark.queries import load_registry
+from doin_fine_ance__spark.session import get_spark
+
+HEADLINE = [
+    "a1_monthly_spend_by_category",
+    "a2_monthly_net_change",
+    "a12_cumulative_monthly_net",
+    "w1_latest_import_dedup",
+    "w4_w5_reconnection_dedup",
+    "j1_mapping_join_disjunctive",
+    "j3_override_coalesce_overlay",
+    "p3_uncategorized_anti_join",
+    "f_feature_engineering",
+    "d_exact_dedup",
+    "s_cosine_topk_bruteforce",
+    "st_session_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    queries, _ = load_registry()
+    spark = get_spark("doin-fine-ance-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup
+    queries["a6_count_total"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""Sorted pagination (LIMIT/OFFSET) and exact counts.
+
+The reference serves two paginated list endpoints with allow-listed
+sort columns and COUNT(*)+page queries (SURVEY.md §2.6,
+transaction_service.py:196-213, validated_transactions.py:107-128).
+Spark DataFrames have ``limit`` but no offset, so offset pagination is
+``row_number`` over the *total* sort order (caller must make it total —
+include a unique key as final tiebreak) filtered to
+``(offset, offset+limit]``.
+
+Scale note: the window is un-partitioned, which serializes on one
+reducer — correct but only sane because pages are capped (reference
+caps at 1k/10k rows). For deep pagination at 100 TB, keyset pagination
+(WHERE sort_key > last_seen ORDER BY .. LIMIT n) is the right call and
+is what `paginate(.., keyset_after=..)` provides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def paginate(
+    df: DataFrame,
+    order: Sequence[Column],
+    limit: int,
+    offset: int = 0,
+    keyset_after: Column | None = None,
+) -> DataFrame:
+    """Return one page of `df` under a total `order`."""
+    if keyset_after is not None:
+        return df.filter(keyset_after).orderBy(*order).limit(limit)
+    if offset == 0:
+        return df.orderBy(*order).limit(limit)
+    w = Window.orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+        .drop("__rn")
+    )
+
+
+def count_and_page(
+    df: DataFrame, order: Sequence[Column], limit: int, offset: int = 0
+) -> tuple[int, DataFrame]:
+    """The reference's two-query pattern: total COUNT(*) plus one page."""
+    return df.count(), paginate(df, order, limit, offset)

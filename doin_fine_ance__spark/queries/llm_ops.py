@@ -1,0 +1,309 @@
+"""Beyond-reference LLM-data-pipeline operators (north star).
+
+Dedup, similarity search, and text analysis over the ``documents`` and
+``embeddings`` tables — the operators a 100 TB training-data pipeline
+needs. SQL-expressible ones carry DuckDB oracles; the LSH/sketch
+variants are registered rows-only where the oracle SQL would have to
+re-implement the sketch.
+
+Scale design notes:
+- exact dedup = hash groupBy on the content key (one shuffle).
+- near-dup (MinHash/SimHash) = per-doc signature (map-only, JVM or
+  Arrow-vectorized) → band/bucket groupBy → pair join within buckets —
+  never an O(n²) cross join.
+- ANN = brute-force cosine for correctness baseline; bucketed-LSH
+  variant keeps the candidate set per query bounded at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from ..sources.testdata import load_table
+from . import query
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_token_count",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_measured,
+           CAST(length(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INT)
+             AS n_tokens
+    FROM documents
+    """,
+)
+def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting over documents (map-only, codegen)."""
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    tokens = F.filter(F.split(col("text"), r"\s+"), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        F.size(tokens).cast("int").alias("n_tokens"),
+    )
+
+
+@query(
+    "t_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS punct_ratio,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS digit_ratio,
+           CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+             / greatest(length(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')), 1)
+             AS stopword_ratio,
+           CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS length_ok
+    FROM documents
+    """,
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: punctuation/digit/stopword ratios + length gate.
+
+    The classic pre-training quality heuristics (C4/Gopher-style),
+    all as JVM built-ins — ratios are single IEEE divisions of integer
+    counts so they hash-match the oracle exactly.
+    """
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    n = F.greatest(F.length("text"), lit(1))
+    tokens = F.filter(F.split(col("text"), r"\s+"), lambda x: x != "")
+    stop = F.array([lit(w) for w in ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]])
+    lower_tokens = F.filter(F.split(F.lower(col("text")), r"\s+"), lambda x: x != "")
+    n_stop = F.size(F.filter(lower_tokens, lambda x: F.array_contains(stop, x)))
+    return d.select(
+        "doc_id",
+        (F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("double") / n).alias("punct_ratio"),
+        (F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double") / n).alias("digit_ratio"),
+        (n_stop.cast("double") / F.greatest(F.size(tokens), lit(1))).alias("stopword_ratio"),
+        F.when(F.length("text").between(20, 100000), 1).otherwise(0).alias("length_ok"),
+    )
+
+
+@query(
+    "t_lang_id_heuristic",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             length(list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> list_contains(['the','and','of','to','is'], x))) AS en_hits,
+             length(list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> list_contains(['le','la','et','de','est'], x))) AS fr_hits,
+             length(list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> list_contains(['der','die','und','das','ist'], x))) AS de_hits
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+                WHEN de_hits > 0 THEN 'de'
+                ELSE 'unknown' END AS detected_lang
+    FROM scored
+    """,
+)
+def t_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (deterministic n-gram-free heuristic)."""
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+    lower_tokens = F.filter(F.split(F.lower(col("text")), r"\s+"), lambda x: x != "")
+
+    def hits(words: list[str]) -> F.Column:
+        arr = F.array([lit(w) for w in words])
+        return F.size(F.filter(lower_tokens, lambda x: F.array_contains(arr, x)))
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        hits(["the", "and", "of", "to", "is"]).alias("en_hits"),
+        hits(["le", "la", "et", "de", "est"]).alias("fr_hits"),
+        hits(["der", "die", "und", "das", "ist"]).alias("de_hits"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.when(
+            (col("en_hits") >= col("fr_hits"))
+            & (col("en_hits") >= col("de_hits"))
+            & (col("en_hits") > 0),
+            "en",
+        )
+        .when((col("fr_hits") >= col("de_hits")) & (col("fr_hits") > 0), "fr")
+        .when(col("de_hits") > 0, "de")
+        .otherwise("unknown")
+        .alias("detected_lang"),
+    )
+
+
+@query(
+    "t_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def t_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (lower + whitespace-collapse + md5)."""
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    normalized = F.regexp_replace(F.trim(F.lower(col("text"))), r"\s+", " ")
+    return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d_exact_dedup",
+    oracle="""
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_key,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content, keep min doc_id.
+
+    One shuffle on the content hash; the 100 TB path is identical
+    (content hash is uniformly distributed → no skew).
+    """
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    key = F.md5(F.regexp_replace(F.trim(F.lower(col("text"))), r"\s+", " "))
+    return (
+        d.select(key.alias("content_key"), "doc_id")
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("dup_count"))
+    )
+
+
+@query(
+    "d_ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tokens,
+             lower(text)[1:16] AS block_key
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(length(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+             / (length(a.tokens) + length(b.tokens) - length(list_intersect(a.tokens, b.tokens)))
+             AS jaccard
+    FROM toks a JOIN toks b
+      ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+    WHERE CAST(length(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+             / (length(a.tokens) + length(b.tokens) - length(list_intersect(a.tokens, b.tokens))) >= 0.5
+    """,
+)
+def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs: token-set Jaccard within prefix blocks.
+
+    Blocking on a 16-char prefix keeps the pair join linear-ish (the
+    scale analog of LSH banding: only same-bucket docs are compared);
+    Jaccard = |∩| / |∪| via array_intersect sizes, all JVM built-ins.
+    """
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.lower(col("text")), r"\s+"), lambda x: x != "")
+        ).alias("tokens"),
+        F.substring(F.lower(col("text")), 1, 16).alias("block_key"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.size(F.array_intersect(col("a.tokens"), col("b.tokens")))
+    union = F.size(col("a.tokens")) + F.size(col("b.tokens")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (col("a.block_key") == col("b.block_key")) & (col("a.doc_id") < col("b.doc_id")),
+        )
+        .select(
+            col("a.doc_id").alias("doc_a"),
+            col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(col("jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+
+def _quantize(vec) -> F.Column:
+    """float32 array → integer-valued doubles (×1000, round away-from-zero).
+
+    Integer-valued doubles make dot products *exact* (every partial sum
+    is an integer far below 2^53), so cosine scores are bit-identical
+    across engines and accumulation orders — the float-parity trick the
+    oracle comparison needs, and also a stability win on a real cluster
+    where partition order is nondeterministic.
+    """
+    return F.transform(vec, lambda x: F.round(x.cast("double") * 1000, 0))
+
+
+@query(
+    "s_cosine_topk_bruteforce",
+    oracle="""
+    WITH quant AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS q
+      FROM embeddings
+    ), qv AS (
+      SELECT q AS qvec FROM quant WHERE vec_id = 0
+    ), scored AS (
+      SELECT e.vec_id, e.label,
+             list_dot_product(e.q, qv.qvec)
+               / (sqrt(list_dot_product(e.q, e.q))
+                  * sqrt(list_dot_product(qv.qvec, qv.qvec))) AS cosine
+      FROM quant e CROSS JOIN qv
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, cosine
+    FROM scored
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def s_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs a query vector (correctness baseline).
+
+    Dot products via ``zip_with`` + ``aggregate`` stay in the JVM; the
+    query vector is a broadcast single row. Scale path: the LSH-bucketed
+    variant bounds the candidate set instead of scanning all vectors.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    quant = e.select("vec_id", "label", _quantize(col("embedding")).alias("q"))
+    qv = quant.filter(col("vec_id") == 0).select(col("q").alias("qvec"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b), lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        quant.filter(col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            (
+                dot(col("q"), col("qvec"))
+                / (F.sqrt(dot(col("q"), col("q"))) * F.sqrt(dot(col("qvec"), col("qvec"))))
+            ).alias("cosine"),
+        )
+        .orderBy(col("cosine").desc(), col("vec_id").asc())
+        .limit(10)
+    )

@@ -1,0 +1,58 @@
+"""SparkSession factory with engine defaults.
+
+The engine runs under two session regimes:
+
+1. Sessions we create (tests, bench, pipeline jobs) — built here with
+   UTC timestamps, AQE, and right-sized shuffle partitions.
+2. Sessions handed to us (the driver's verify harness) — we cannot
+   rebuild those, so every entry point calls
+   :func:`doin_fine_ance__spark.compat.ensure_compat` which applies the
+   same semantics via runtime-settable confs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .compat import ensure_compat
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "doin-fine-ance-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Local mode uses ``local[cpus]``; shuffle partitions default to the
+    core count (the 200 default over-parallelizes local runs and
+    under-parallelizes large clusters — on a real cluster AQE coalesces
+    upward from this anyway).
+    """
+    cpus = cpus or default_parallelism()
+    shuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ensure_compat(spark)
+    return spark
