@@ -81,16 +81,17 @@ def amount_bucket(amount: Column | str) -> Column:
     )
 
 
-# The nine keyword-flag alternation patterns of int_trxns_features.sql:66-109.
+# The nine keyword-flag alternation patterns of int_trxns_features.sql:66-109
+# (verbatim — alternation-only POSIX patterns, identical under Java regex).
 KEYWORD_PATTERNS: dict[str, str] = {
     "has_hotel_keyword": "hotel|airbnb|inn|resort|motel|hipcamp|booking",
-    "has_gas_keyword": "gas|shell|exxon|chevron|mobil|bp|marathon|sunoco|fuel",
-    "has_grocery_keyword": "grocery|market|whole foods|safeway|kroger|trader joe|wegmans|aldi",
-    "has_restaurant_keyword": "restaurant|cafe|coffee|pizza|grill|diner|bistro|starbucks|chipotle|mcdonald",
-    "has_transport_keyword": "uber|lyft|taxi|transit|metro|parking|toll",
-    "has_shop_keyword": "amazon|target|walmart|costco|shop|store|retail",
-    "has_flight_keyword": "airline|airways|delta|united|southwest|jetblue|flight|alaska air",
-    "has_credit_fee_keyword": "annual fee|late fee|interest charge|finance charge",
+    "has_gas_keyword": "shell|chevron|exxon|bp|mobil|gas|fuel|76|arco",
+    "has_grocery_keyword": "safeway|costco|trader|whole foods|kroger|grocery|market|albertsons|bowlberkeley",
+    "has_restaurant_keyword": "restaurant|cafe|coffee|starbucks|mcdonald|burger|pizza|chipotle|dining",
+    "has_transport_keyword": "uber|lyft|taxi|bart|metro|transit|parking|toll",
+    "has_shop_keyword": "amazon|target|walmart|ebay|etsy|shop|store",
+    "has_flight_keyword": "airline|united|delta|american|southwest|jetblue|alaska|spirit|frontier|airlines|flight",
+    "has_credit_fee_keyword": "annual|membership|fee",
     "has_interest_keyword": "interest",
 }
 

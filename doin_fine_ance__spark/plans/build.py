@@ -1,0 +1,152 @@
+"""Topological materializer for the model DAG (replaces dbt build).
+
+``build(warehouse, full_refresh=...)`` walks the model graph in
+dependency order and materializes every model as a parquet table under
+``<root>/<schema>/<table>`` (the Postgres two-schema namespacing kept
+as a path convention: ``public`` for raw/user state, ``analytics`` for
+models). The reference materializes all models as views and re-runs
+the chain per read (TODO.md:12 flags that as debt); we materialize
+eagerly — the only sane default at 100 TB — and marts are
+date-partitioned by month(transacted_date).
+
+``fct_validated_trxns`` keeps its dbt incremental contract
+(fct_validated_trxns.sql:1-19): full refresh overwrites from the
+bootstrap union; incremental runs append only new transaction_ids
+(insert-only — never updates).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.upsert import atomic_overwrite, insert_only_append
+from . import models as M
+
+
+class Warehouse:
+    """Path-convention catalog over a warehouse root directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, schema: str, table: str) -> str:
+        return os.path.join(self.root, schema, table)
+
+    def exists(self, schema: str, table: str) -> bool:
+        return os.path.exists(self.path(schema, table))
+
+    def read(self, schema: str, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(schema, table))
+
+    def write(
+        self, df: DataFrame, schema: str, table: str, partition_by: str | None = None
+    ) -> None:
+        os.makedirs(os.path.join(self.root, schema), exist_ok=True)
+        if partition_by:
+            # partitioned overwrite: plain write (no swap needed at build
+            # cadence, and partition dirs keep pruning cheap for readers)
+            df.write.mode("overwrite").partitionBy(partition_by).parquet(
+                self.path(schema, table)
+            )
+        else:
+            atomic_overwrite(df, self.path(schema, table))
+
+
+def _month_col(df: DataFrame) -> DataFrame:
+    """Marts carry a month(transacted_date) partition column at scale."""
+    return df.withColumn(
+        "_month", F.date_format(F.col("transacted_date"), "yyyy-MM")
+    )
+
+
+def build(wh: Warehouse, full_refresh: bool = False) -> dict[str, int]:
+    """Materialize the DAG topologically; returns row counts per model.
+
+    Inputs expected under ``public``: ``simplefin``,
+    ``historic_transactions``, ``seed_account_mapping_simplefin``,
+    ``seed_account_mapping_historic``, ``seed_transaction_exclusions``,
+    ``user_categories``; plus ``analytics.predicted_transactions``
+    (created empty-less: skipped if absent).
+    """
+    spark = wh.spark
+    counts: dict[str, int] = {}
+
+    stg_simplefin = M.stg_simplefin(
+        wh.read("public", "simplefin"),
+        wh.read("public", "seed_account_mapping_simplefin"),
+        wh.read("public", "seed_transaction_exclusions"),
+    )
+    wh.write(stg_simplefin, "analytics", "stg_simplefin")
+
+    stg_historic = M.stg_historic_trxns(
+        wh.read("public", "historic_transactions"),
+        wh.read("public", "seed_account_mapping_historic"),
+    )
+    wh.write(stg_historic, "analytics", "stg_historic_trxns")
+
+    int_trxns = M.int_trxns(
+        wh.read("analytics", "stg_simplefin"), wh.read("analytics", "stg_historic_trxns")
+    )
+    wh.write(int_trxns, "analytics", "int_trxns")
+
+    features = M.int_trxns_features(wh.read("analytics", "int_trxns"))
+    wh.write(features, "analytics", "int_trxns_features")
+    features = wh.read("analytics", "int_trxns_features")
+
+    categorized = M.fct_trxns_categorized(features)
+    wh.write(categorized, "analytics", "fct_trxns_categorized")
+
+    user_validated = M.stg_user_validated_categories(
+        wh.read("public", "user_categories"), features
+    )
+    wh.write(user_validated, "analytics", "stg_user_validated_categories")
+    user_validated = wh.read("analytics", "stg_user_validated_categories")
+
+    # Incremental model: overwrite on full refresh / first build,
+    # insert-only append otherwise (fct_validated_trxns.sql:1-19).
+    validated_path = wh.path("analytics", "fct_validated_trxns")
+    if full_refresh or not wh.exists("analytics", "fct_validated_trxns"):
+        bootstrap = M.fct_validated_trxns_bootstrap(
+            wh.read("analytics", "fct_trxns_categorized"), user_validated
+        )
+        atomic_overwrite(bootstrap, validated_path)
+    else:
+        increment = M.fct_validated_trxns_increment(
+            wh.read("analytics", "fct_validated_trxns"), user_validated
+        )
+        insert_only_append(spark, validated_path, increment, "transaction_id")
+
+    uncategorized = M.fct_trxns_uncategorized(
+        features, wh.read("analytics", "fct_validated_trxns")
+    )
+    wh.write(uncategorized, "analytics", "fct_trxns_uncategorized")
+
+    if wh.exists("analytics", "predicted_transactions"):
+        preds = M.stg_predictions(wh.read("analytics", "predicted_transactions"))
+        wh.write(preds, "analytics", "stg_predictions")
+        with_preds = M.fct_trxns_with_predictions(
+            wh.read("analytics", "fct_trxns_uncategorized"),
+            wh.read("analytics", "stg_predictions"),
+        )
+        wh.write(with_preds, "analytics", "fct_trxns_with_predictions")
+
+    for t in [
+        "stg_simplefin",
+        "stg_historic_trxns",
+        "int_trxns",
+        "int_trxns_features",
+        "fct_trxns_categorized",
+        "stg_user_validated_categories",
+        "fct_validated_trxns",
+        "fct_trxns_uncategorized",
+    ]:
+        counts[t] = wh.read("analytics", t).count()
+    if wh.exists("analytics", "fct_trxns_with_predictions"):
+        counts["fct_trxns_with_predictions"] = wh.read(
+            "analytics", "fct_trxns_with_predictions"
+        ).count()
+    return counts

@@ -1,0 +1,202 @@
+"""Fixture-driven invariants for the finance model DAG.
+
+These encode the reference's documented guarantees
+(FIXTURES.md "Fixture-driven invariants", stg_simplefin.sql:59-78
+comment block) as tests — the dedup/mapping/feature semantics that the
+TPC-H-shaped oracle queries can't express directly.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+
+from doin_fine_ance__spark.plans import models as M
+from doin_fine_ance__spark.plans.build import Warehouse, build
+from doin_fine_ance__spark.sources import fixtures as FX
+
+
+@pytest.fixture(scope="module")
+def staged(spark):
+    return M.stg_simplefin(
+        FX.raw_simplefin(spark),
+        FX.seed_account_mapping_simplefin(spark),
+        FX.seed_transaction_exclusions(spark),
+    ).cache()
+
+
+def test_latest_import_dedup(staged):
+    # TRN-001 appears in two import batches; exactly the later survives.
+    rows = staged.filter("transaction_id = 'TRN-001'").collect()
+    assert len(rows) == 1
+    assert rows[0].import_timestamp == dt.datetime(2024, 2, 3, 6, 0, 0)
+
+
+def test_same_account_duplicates_survive(staged):
+    # Identical same-day rows within ONE account_id both survive.
+    ids = {r.transaction_id for r in staged.filter("description = 'MUNI METRO FARE'").collect()}
+    assert ids == {"TRN-002", "TRN-003"}
+
+
+def test_reconnection_duplicates_collapse(staged):
+    # Same logical txn under ACT-B (old) and ACT-B2 (new) → newest wins,
+    # despite the " (1234)" mask suffix on the new account name.
+    rows = staged.filter("description = 'ANNUAL MEMBERSHIP FEE'").collect()
+    assert len(rows) == 1
+    assert rows[0].account_id == "ACT-B2"
+
+
+def test_exclusion_patterns_case_insensitive(staged):
+    # '%Transfer%' kills 'Online Transfer to Savings'; '%AUTOPAY PAYMENT%'
+    # kills the autopay row (ILIKE semantics).
+    descs = {r.description for r in staged.collect()}
+    assert "Online Transfer to Savings" not in descs
+    assert "AUTOPAY PAYMENT - THANK YOU" not in descs
+
+
+def test_disjunctive_mapping(staged):
+    # ACT-E matches the (Checking, ACT-E) specific mapping...
+    by_id = {r.transaction_id: r for r in staged.collect()}
+    assert by_id["TRN-050"].mapped_account_name == "Student Checking"
+    # ...while plain Checking rows may match either mapping arm — the
+    # reference's join fans out here only if both arms match; generic arm
+    # (NULL account_id) matches every Checking row, so TRN-030 gets 2 rows
+    # pre-dedup collapsed to 1 by transaction_id dedup (latest-import ties
+    # → either mapping; assert it mapped to *a* Checking mapping).
+    assert by_id["TRN-030"].mapped_account_name in {"Junior Checking", "Student Checking"}
+
+
+def test_amount_is_decimal(staged):
+    row = staged.filter("transaction_id = 'TRN-001'").collect()[0]
+    assert isinstance(row.amount, Decimal)
+    assert row.amount == Decimal("-12.50")
+
+
+@pytest.fixture(scope="module")
+def historic(spark):
+    return M.stg_historic_trxns(
+        FX.raw_historic(spark), FX.seed_account_mapping_historic(spark)
+    ).cache()
+
+
+def test_historic_surrogate_ids_unique_and_stable(spark, historic):
+    ids = [r.transaction_id for r in historic.collect()]
+    assert len(ids) == len(set(ids)) == 7
+    assert all(i.startswith("HIST_TRN_") for i in ids)
+    # stable across recomputation
+    again = [
+        r.transaction_id
+        for r in M.stg_historic_trxns(
+            FX.raw_historic(spark), FX.seed_account_mapping_historic(spark)
+        ).collect()
+    ]
+    assert sorted(ids) == sorted(again)
+
+
+def test_historic_mapping_disambiguated_by_detail(historic):
+    rows = {r.description: r for r in historic.collect()}
+    assert rows["PAYCHECK"].account_name == "Joint Checking"
+    assert rows["PAYCHECK"].owner_name == "Sam"
+    assert rows["RENT PAYMENT"].account_name == "Joint Savings"
+    assert rows["RENT PAYMENT"].owner_name == "Alex"
+    # unmapped account falls back to its own name (coalesce second arm)
+    assert rows["MYSTERY SHOP"].account_name == "Unknown Account"
+
+
+def test_historic_date_guards(historic):
+    rows = {r.description: r for r in historic.collect()}
+    assert rows["MYSTERY SHOP"].import_date is None  # '' guard
+    assert rows["UNDATED ROW"].transacted_date is None
+    assert rows["WHOLE FOODS MARKET"].import_date == dt.date(2023, 1, 15)
+
+
+def test_features_contract(spark, staged, historic):
+    feats = M.int_trxns_features(M.int_trxns(staged, historic))
+    by_desc = {r.description: r for r in feats.collect()}
+    grocery = by_desc["SAFEWAY STORE 1234"]
+    assert grocery.has_grocery_keyword == 1 and grocery.has_shop_keyword == 1
+    assert grocery.is_negative == 1
+    assert grocery.amount_bucket == 2  # |−85.20| ≤ 100
+    assert grocery.day_of_week == 0  # 2024-02-12 is a Monday (pandas dow)
+    flight = by_desc["UNITED AIRLINES TICKET"]
+    assert flight.has_flight_keyword == 1
+    assert flight.amount_bucket == 4
+    null_amt = by_desc["DIVIDEND REINVEST"]
+    assert null_amt.amount_bucket == 5  # NULL → bucket 5
+    assert null_amt.is_negative == 0
+    assert by_desc["INTEREST PAYMENT"].has_interest_keyword == 1
+    # combined_text = desc + mapped account name + institution
+    assert grocery.combined_text.startswith("SAFEWAY STORE 1234 ")
+
+
+def test_uncategorized_disjoint_from_validated(spark, tmp_path):
+    FX.write_warehouse_inputs(spark, str(tmp_path))
+    wh = Warehouse(spark, str(tmp_path))
+    counts = build(wh, full_refresh=True)
+    unc = wh.read("analytics", "fct_trxns_uncategorized")
+    val = wh.read("analytics", "fct_validated_trxns")
+    overlap = unc.select("transaction_id").intersect(val.select("transaction_id"))
+    assert overlap.count() == 0
+    assert counts["fct_trxns_uncategorized"] > 0
+    # validated mart carries user overrides: TRN-030 with Groceries
+    v = {r.transaction_id: r for r in val.collect()}
+    assert v["TRN-030"].master_category == "Groceries"
+    assert "TRN-032" not in v  # validated=false row does not flow
+
+
+def test_incremental_insert_only(spark, tmp_path):
+    FX.write_warehouse_inputs(spark, str(tmp_path))
+    wh = Warehouse(spark, str(tmp_path))
+    build(wh, full_refresh=True)
+    before = {
+        r.transaction_id: r.master_category
+        for r in wh.read("analytics", "fct_validated_trxns").collect()
+    }
+
+    # user edits an EXISTING id and validates a NEW one
+    import doin_fine_ance__spark.schemas as schemas
+
+    ts = dt.datetime(2024, 3, 5, 9, 0, 0)
+    edits = spark.createDataFrame(
+        [
+            ("TRN-030", "Dining out", None, "edited!", True, False, "sam", ts),
+            ("TRN-050", "Shopping", None, None, True, False, "sam", ts),
+        ],
+        schema=schemas.USER_CATEGORIES,
+    )
+    edits.write.mode("overwrite").parquet(str(tmp_path / "public" / "user_categories"))
+    build(wh, full_refresh=False)
+
+    after = {
+        r.transaction_id: r.master_category
+        for r in wh.read("analytics", "fct_validated_trxns").collect()
+    }
+    # insert-only: existing TRN-030 keeps its OLD category (the reference
+    # quirk — edits only land via full refresh)...
+    assert after["TRN-030"] == before["TRN-030"] == "Groceries"
+    # ...new id is appended
+    assert after["TRN-050"] == "Shopping"
+    # full refresh applies the edit
+    build(wh, full_refresh=True)
+    final = {
+        r.transaction_id: r.master_category
+        for r in wh.read("analytics", "fct_validated_trxns").collect()
+    }
+    assert final["TRN-030"] == "Dining out"
+
+
+def test_predictions_latest_wins_and_join(spark, tmp_path):
+    FX.write_warehouse_inputs(spark, str(tmp_path))
+    wh = Warehouse(spark, str(tmp_path))
+    build(wh, full_refresh=True)
+    preds = wh.read("analytics", "stg_predictions")
+    p2 = preds.filter("transaction_id = 'TRN-002'").collect()
+    assert len(p2) == 1 and p2[0].prediction_confidence == Decimal("0.910000")
+    wp = wh.read("analytics", "fct_trxns_with_predictions")
+    rows = {r.transaction_id: r for r in wp.collect()}
+    # TRN-002 is uncategorized and carries its latest prediction
+    assert rows["TRN-002"].predicted_master_category == "Transportation"
+    # TRN-003's latest prediction is UNCERTAIN
+    assert rows["TRN-003"].predicted_master_category == "UNCERTAIN"
