@@ -1,0 +1,162 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only (SURVEY §2.10); the north star adds
+event-time streaming. These are the ``readStream`` twins of the batch
+queries in :mod:`doin_fine_ance__spark.queries.streaming_batch` —
+same grouping logic, plus watermarks for state eviction and late-data
+policy.
+
+Design for scale: watermark bounds state (without it, window state
+grows forever at 100 TB/day); `session_window` is the native stateful
+sessionizer; `foreachBatch` + keyed merge gives exactly-once-ish
+upserts into the parquet warehouse without Delta.
+
+The events parquet stores TIMESTAMP(NANOS); the stream reader declares
+``ts`` as LongType and converts to a proper timestamp column (same
+ns→µs truncation as the batch reader). Streaming watermarks need
+TIMESTAMP_LTZ — under the UTC session pin it equals the NTZ wall
+clock.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..compat import ensure_compat
+
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos (parquet TIMESTAMP(NANOS))
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet (smoke path; in
+    production the same plan reads Kafka)."""
+    ensure_compat(spark)
+    # events.parquet is a single file; the file stream source requires a
+    # directory, so stream the parent dir with a glob filter.
+    src = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling event-time window per event_type with late-data bound."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(col("ts"), window).alias("w"), col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+        )
+        .select(
+            col("w.start").alias("window_start"),
+            col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "15 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(col("ts"), window, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_aggregates(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Native stateful sessionization (session_window) per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(col("ts"), gap).alias("w"), col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+        )
+        .select(
+            col("w.start").alias("session_start"),
+            col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory_sink(
+    agg: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming aggregate to completion synchronously (tests).
+
+    File sources are finite, so processAllAvailable() drains every
+    window and the memory table holds the final state.
+    """
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_upsert_sink(agg: DataFrame, path: str, key_cols: list[str]):
+    """foreachBatch keyed-merge sink: each micro-batch upserts its rows
+    into the parquet table (exactly-once per key under retries because
+    the merge is idempotent)."""
+    from ..operators.upsert import merge_keyed
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merged_key = "_merge_key"
+        keyed = batch_df.withColumn(merged_key, F.concat_ws("§", *key_cols))
+        merge_keyed(batch_df.sparkSession, path, keyed, merged_key)
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .start()
+    )

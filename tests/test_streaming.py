@@ -1,0 +1,107 @@
+"""Structured Streaming windows: the streaming results must equal the
+batch expressions of the same windows (the oracle-checked queries)."""
+
+from __future__ import annotations
+
+from doin_fine_ance__spark.queries import load_registry
+from doin_fine_ance__spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory_sink,
+    session_aggregates,
+    tumbling_counts,
+)
+
+QUERIES, _ = load_registry()
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark):
+    stream = read_events_stream(spark, SF)
+    result = run_to_memory_sink(tumbling_counts(stream), "tumbling_out")
+    batch = QUERIES["st_tumbling_window"](spark, SF)
+    got = _rows(
+        result.withColumnRenamed("window_start", "ws"),
+        ["ws", "event_type", "n", "total_value"],
+    )
+    # batch query emits TIMESTAMP_NTZ; stream emits LTZ — compare wall-clock
+    want = _rows(
+        batch.withColumnRenamed("window_start", "ws"),
+        ["ws", "event_type", "n", "total_value"],
+    )
+    assert [(str(a), b, c, d) for a, b, c, d in got] == [
+        (str(a), b, c, d) for a, b, c, d in want
+    ]
+
+
+def test_session_stream_counts(spark):
+    stream = read_events_stream(spark, SF)
+    result = run_to_memory_sink(session_aggregates(stream), "session_out")
+    # session totals must cover every event exactly once
+    total_events = result.groupBy().sum("n_events").collect()[0][0]
+    assert total_events == 1000
+    batch = QUERIES["st_session_window"](spark, SF)
+    assert result.count() == batch.count()  # same session boundaries
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """A row arriving behind the advanced watermark is dropped (update mode)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+
+    def drop_batch(rows, name):
+        # stage the write, then move the bare part file into the watched
+        # dir root (the file source does not recurse into subdirectories)
+        staged = tmp_path / f"_stage_{name}"
+        (
+            spark.createDataFrame(rows, ["event_id", "ts_str"])
+            .withColumn("ts", F.col("ts_str").cast("timestamp"))
+            .select("event_id", "ts")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(staged))
+        )
+        part = next(p for p in staged.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(str(part), str(src_dir / f"{name}.parquet"))
+
+    # batch1 establishes event time up to 11:00 → watermark 10:50
+    drop_batch([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00")], "b1")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, ts timestamp")
+        .load(str(src_dir))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes"))
+        .count()
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch2: event an hour BEHIND the watermark → silently dropped
+        drop_batch([(3, "2024-01-01 09:00:00")], "b2")
+        q.processAllAvailable()
+        # batch3: on-time event → processed
+        drop_batch([(4, "2024-01-01 11:05:00")], "b3")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM late_out").collect()
+    hours = {r["window"].start.hour for r in rows}
+    assert 9 not in hours  # late event never produced a window
+    assert 11 in hours  # on-time event did
