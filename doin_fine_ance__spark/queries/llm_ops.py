@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+from ..llm.ann import ann_topk_lsh
+from ..llm.dedup import minhash_near_dups, simhash64, simhash_near_dups
 from ..sources.testdata import load_table
 from . import query
 
@@ -243,6 +245,52 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 # ---------------------------------------------------------------------------
+
+
+# --- sketch-based near-dup & ANN (rows-only: the minhash permutations,
+# --- simhash bit math, and hyperplane signs are not reasonably
+# --- SQL-expressible; pytest cross-checks them against exact baselines)
+
+
+@query("d_minhash_lsh_neardups")
+def d_minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dup pairs, exact-Jaccard verified.
+
+    shingle→minhash→band→bucket-join→verify; no O(n²) stage (see
+    doin_fine_ance__spark.llm.dedup). Rows-only check: recall vs the
+    exact-Jaccard baseline is asserted in tests/test_llm_ops.py.
+    """
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return minhash_near_dups(d, threshold=0.7)
+
+
+@query("d_simhash_neardups")
+def d_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming ≤ 3) via 16-bit chunk buckets."""
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dups(d, max_hamming=3)
+
+
+@query("t_simhash_fingerprints")
+def t_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit SimHash fingerprint (Arrow-vectorized pandas UDF)."""
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return simhash64(d)
+
+
+@query("s_cosine_topk_lsh")
+def s_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (scale path of s_cosine_topk_bruteforce).
+
+    Probes the query's hyperplane bucket + 2 single-bit flips instead of
+    scanning the corpus. Recall vs brute force asserted in pytest.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    qrow = e.filter(col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow[0]]
+    return ann_topk_lsh(
+        e.filter(col("vec_id") != 0), qvec, k=10, n_planes=4, multiprobe=2
+    ).select("vec_id", "bucket", F.round("cosine", 6).alias("cosine_r"))
 
 
 def _quantize(vec) -> F.Column:

@@ -1,0 +1,139 @@
+"""LLM-pipeline operators: sketch recall vs exact baselines, multimodal
+plumbing batch shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from doin_fine_ance__spark.llm.ann import ann_topk_lsh, hyperplane_buckets
+from doin_fine_ance__spark.llm.dedup import (
+    minhash_near_dups,
+    minhash_signatures,
+    simhash64,
+    simhash_near_dups,
+)
+from doin_fine_ance__spark.llm.multimodal import MEDIA_SCHEMA, extract_media_features
+from doin_fine_ance__spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_with_dups(spark):
+    """Testdata documents + engineered near-duplicates."""
+    base = load_table(spark, SF, "documents", ["doc_id", "text"]).limit(50)
+    dups = base.limit(10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        # near-identical: append two tokens
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+    exact = base.limit(5).select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    return base.unionByName(dups).unionByName(exact)
+
+
+def test_minhash_signature_deterministic(spark):
+    d = load_table(spark, SF, "documents", ["doc_id", "text"]).limit(10)
+    s1 = {r.doc_id: r.signature for r in minhash_signatures(d).collect()}
+    s2 = {r.doc_id: r.signature for r in minhash_signatures(d).collect()}
+    assert s1 == s2
+    assert all(len(sig) == 64 for sig in s1.values())
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    docs = _docs_with_dups(spark)
+    pairs = minhash_near_dups(docs, threshold=0.7).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # exact copies must always collide (identical signatures)
+    for i in [r.doc_id for r in docs.filter("doc_id >= 200000").collect()]:
+        assert (i - 200000, i) in found, f"exact dup {i} missed"
+    # near-identical docs should mostly be found
+    near_found = sum(1 for (a, b) in found if b >= 100000 and b < 200000 and a == b - 100000)
+    assert near_found >= 8  # ≥80% recall on Jaccard≈0.9+ pairs
+    # verification stage: every reported pair really has Jaccard ≥ 0.7
+    assert all(r.jaccard >= 0.7 for r in pairs)
+
+
+def test_minhash_no_false_positives_vs_exact(spark):
+    docs = _docs_with_dups(spark)
+    pairs = minhash_near_dups(docs, threshold=0.7)
+    # recompute exact jaccard independently for each reported pair
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("t"),
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    bad = joined.filter((inter.cast("double") / union) < 0.7).count()
+    assert bad == 0
+
+
+def test_simhash_hamming_properties(spark):
+    docs = _docs_with_dups(spark)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dups(docs, max_hamming=3).collect()}
+    # the planted exact copies (orig, orig+200000) have identical simhash
+    exact_origs = [r.doc_id for r in docs.filter("doc_id >= 200000").collect()]
+    for copy_id in exact_origs:
+        assert pairs.get((copy_id - 200000, copy_id)) == 0, f"exact pair {copy_id} missed"
+    sigs = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    # deterministic
+    sigs2 = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert sigs == sigs2
+
+
+def test_ann_lsh_recall_on_near_neighbors(spark):
+    """LSH's contract: HIGH-similarity neighbors collide w.h.p.
+
+    Random testdata embeddings are weakly similar (cosine ≈ 0.3), where
+    hyperplane LSH legitimately has low recall — so plant near-duplicate
+    vectors (cosine ≈ 0.999) and require those to be found.
+    """
+    e = load_table(spark, SF, "embeddings")
+    qvec = [float(x) for x in e.filter("vec_id = 0").select("embedding").first()[0]]
+    dim = len(qvec)
+    planted = spark.createDataFrame(
+        [
+            (900000 + i, [v * (1.0 + 0.001 * ((i + j) % 3)) for j, v in enumerate(qvec)], 99)
+            for i in range(5)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus = e.filter("vec_id != 0").unionByName(planted)
+    approx = [
+        r.vec_id
+        for r in ann_topk_lsh(corpus, qvec, k=10, n_planes=6, multiprobe=3).collect()
+    ]
+    found_planted = sum(1 for v in approx if v >= 900000)
+    assert found_planted >= 4  # ≥80% of true near-neighbors retrieved
+    # and the index actually partitions the corpus (no degenerate bucket)
+    buckets = hyperplane_buckets(corpus, dim=dim, n_planes=6)
+    biggest = buckets.groupBy("bucket").count().agg(F.max("count")).first()[0]
+    assert biggest < corpus.count() / 2
+
+
+def test_multimodal_plumbing_batch_shape(spark):
+    rows = [
+        (1, "image", "image/png", 64, 64, None, b"\x89PNG fake bytes 1"),
+        (2, "image", "image/png", 32, 32, None, b"\x89PNG fake bytes 2"),
+        (3, "audio", "audio/wav", None, None, 4000, b"RIFF fake audio"),
+        (4, "video", "video/mp4", 640, 480, 120000, b"\x00\x00ftyp fake video"),
+        (5, "image", "image/png", 8, 8, None, None),  # NULL payload
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = extract_media_features(media)
+    out = {r.media_id: r for r in feats.collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].content_sha != out[2].content_sha
+    assert out[5].n_bytes == 0  # NULL payload handled
+    # deterministic features (pure function of content)
+    again = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert all(out[i].feat_0 == again[i].feat_0 for i in out)
+    # stubbed stages declare themselves loudly
+    from doin_fine_ance__spark.llm.multimodal import resize_images
+
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 32, 32)
