@@ -18,6 +18,9 @@ from doin_fine_ance__spark.queries import load_registry
 from doin_fine_ance__spark.session import get_spark
 
 HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_region_revenue_rollup",
     "a1_monthly_spend_by_category",
     "a2_monthly_net_change",
     "a12_cumulative_monthly_net",
@@ -27,7 +30,9 @@ HEADLINE = [
     "j3_override_coalesce_overlay",
     "p3_uncategorized_anti_join",
     "f_feature_engineering",
+    "f15_json_extraction",
     "d_exact_dedup",
+    "t_simhash_fingerprints",
     "s_cosine_topk_bruteforce",
     "st_session_window",
 ]

@@ -31,6 +31,7 @@ def query(name: str, oracle: str | None = None):
 
 def load_registry() -> tuple[dict, dict]:
     """Import every query module so the registry is populated."""
+    from . import analytics  # noqa: F401
     from . import inventory  # noqa: F401
     from . import llm_ops  # noqa: F401
     from . import streaming_batch  # noqa: F401

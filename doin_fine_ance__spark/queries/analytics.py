@@ -1,0 +1,172 @@
+"""Join-heavy analytical queries + JSON surface.
+
+These go beyond single-operator probes: multi-way joins with
+broadcast-able dimensions and wide aggregations — the plans that
+actually stress a 1000-executor cluster, and the bench headliners.
+Plan discipline (checked via .explain in tests/test_plans.py):
+
+- dims (region/nation/customer/supplier/part) are broadcast — the
+  fact tables (orders/lineitem) never shuffle for them;
+- the orders⨝lineitem join shuffles both sides on the order key once;
+- aggregates are partial (map-side combine) before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from ..sources.testdata import load_table
+from . import query
+
+DEC = "decimal(18,2)"
+
+
+def _dec(c) -> F.Column:
+    return (col(c) if isinstance(c, str) else c).cast(DEC)
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(28,6)) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide aggregate over the fact table.
+
+    One scan (pruned to 7 columns, shipdate filter pushed), partial agg,
+    one tiny exchange on (returnflag, linestatus). Exact-decimal sums;
+    averages via exact-sum→double÷count.
+    """
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    ).filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+    qty, price, disc, tax = (_dec("l_quantity"), _dec("l_extendedprice"), _dec("l_discount"), _dec("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast(DEC).alias("sum_qty"),
+        F.sum(price).cast(DEC).alias("sum_base_price"),
+        F.sum(price * (lit(1) - disc)).cast("decimal(28,4)").alias("sum_disc_price"),
+        F.sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("decimal(28,6)").alias("sum_charge"),
+        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "q3_top_unshipped_orders",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → top-k revenue.
+
+    customer (filtered on segment) broadcasts into orders; the
+    orders⨝lineitem join shuffles on the order key once; top-k is a
+    TakeOrdered, no global sort.
+    """
+    c = load_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]).filter(
+        col("o_orderdate") < lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]).filter(
+        col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz")
+    )
+    revenue = F.sum(_dec("l_extendedprice") * (lit(1) - _dec("l_discount"))).cast("decimal(28,4)")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(col("revenue").desc(), col("o_orderdate").asc(), col("l_orderkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q5_region_revenue_rollup",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+           COUNT(*) AS n_orders
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q5_region_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake dims chained onto the fact table.
+
+    region→nation→customer collapse into one broadcast lookup side;
+    orders only ever shuffles for its own aggregation.
+    """
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    o = load_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", col("r_name").alias("region"), col("n_name").alias("nation"))
+    )
+    return (
+        o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("region", "nation")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast(DEC).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "f15_json_extraction",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def f15_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 (JSONB metrics column): parse a JSON string column and
+    aggregate an extracted field — the engine's from_json/get_json path."""
+    ev = load_table(spark, sf_dir, "events", ["event_type", "props"])
+    k = F.get_json_object(col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .filter(col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )

@@ -1,0 +1,95 @@
+"""Physical-plan discipline: these assertions keep the 100 TB story
+honest — broadcasts stay broadcasts, filters reach the scan, and the
+hot path never drops into row-at-a-time Python."""
+
+from __future__ import annotations
+
+import pytest
+
+from doin_fine_ance__spark.queries import load_registry
+
+QUERIES, ORACLES = load_registry()
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str, executed: bool = False) -> str:
+    import contextlib
+    import io
+
+    df = QUERIES[name](spark, SF)
+    if executed:
+        # AQE only shows the final plan (incl. codegen spans) post-run
+        df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["j1_mapping_join_disjunctive", "q3_top_unshipped_orders", "q5_region_revenue_rollup",
+     "p4_exclusion_patterns_anti"],
+)
+def test_dimension_joins_broadcast(spark, name):
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    # fact side must not sort-merge against a tiny dim
+    if name in ("q5_region_revenue_rollup", "j1_mapping_join_disjunctive"):
+        assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_q1_filter_and_pruning_reach_scan(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan, plan[:3000]
+    # column pruning: the scan must not read l_partkey/l_suppkey etc.
+    scan_section = plan.split("ReadSchema")[1][:400]
+    assert "l_partkey" not in scan_section
+    assert "l_quantity" in scan_section
+
+
+def test_q1_partial_aggregation(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # map-side combine before the exchange
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["a1_monthly_spend_by_category", "w1_latest_import_dedup", "f_feature_engineering",
+     "q1_pricing_summary", "d_exact_dedup", "t_quality_score"],
+)
+def test_hot_path_stays_jvm(spark, name):
+    """No row-at-a-time Python in any oracle-checked query plan."""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name} fell into row-Python:\n{plan[:2000]}"
+
+
+def test_whole_stage_codegen_active(spark):
+    plan = plan_of(spark, "q1_pricing_summary", executed=True)
+    # formatted mode marks codegen stages as "[codegen id : N]"
+    assert "codegen id" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "q3_top_unshipped_orders")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_csv_seed_load(spark, tmp_path):
+    """S4: dbt seed CSVs load with explicit schemas (no inferSchema job)."""
+    from doin_fine_ance__spark import schemas
+
+    p = tmp_path / "seed_account_mapping_simplefin.csv"
+    p.write_text(
+        "account_name,account_id,mapped_account_name\n"
+        "Checking,,Junior Checking\n"
+        'Savings (9999),ACT-9,"Rainy, Day"\n'
+    )
+    df = spark.read.csv(
+        str(p), header=True, schema=schemas.SEED_ACCOUNT_MAPPING_SIMPLEFIN
+    )
+    rows = {r.account_name: r for r in df.collect()}
+    assert rows["Checking"].mapped_account_name == "Junior Checking"
+    assert rows["Savings (9999)"].mapped_account_name == "Rainy, Day"  # quoted comma
+    assert df.schema == schemas.SEED_ACCOUNT_MAPPING_SIMPLEFIN
