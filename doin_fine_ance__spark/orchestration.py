@@ -1,0 +1,200 @@
+"""Asset DAG orchestration (replaces dagster/repo.py:88-170).
+
+The reference's Dagster asset graph:
+
+    simplefin_financial_data → load_to_postgres → dbt_models
+                                                   ├→ train_classifier
+                                                   └→ predict_categories
+
+Here each asset body is a Spark job over the parquet warehouse; the
+graph is expressed as plain-Python assets with explicit deps so it
+runs standalone, and ``as_dagster_definitions()`` adapts the same
+graph to Dagster when that package is available (the north star keeps
+Dagster as the orchestrator — "Spark batch jobs within Dagster
+orchestration").
+
+The debounced retrain trigger (dagster_trigger.py:181-205, I4): user
+category edits coalesce for RETRAIN_DEBOUNCE_SECONDS before firing
+one full_refresh+train+predict run — provided here as a pure
+scheduling policy (``RetrainDebouncer``) the host process drives.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from .ml.pipeline import predict_categories, train_classifier
+from .ml.registry import active_model, load_config, record_model
+from .operators.upsert import merge_keyed
+from .plans.build import Warehouse, build
+from .sources.simplefin import append_to_landing, extract_simplefin
+
+RETRAIN_DEBOUNCE_SECONDS = 45  # ui/backend/constants.py:208
+
+
+@dataclass
+class PipelineRun:
+    """One end-to-end run of the asset DAG (the `2_ingest_and_predict`
+    job of repo.py:101-107)."""
+
+    spark: SparkSession
+    warehouse_root: str
+    fetch_window: Callable | None = None
+    model_dir: str = "models"
+    full_refresh: bool = False
+    now: dt.datetime | None = None
+    results: dict = field(default_factory=dict)
+
+    def _wh(self) -> Warehouse:
+        return Warehouse(self.spark, self.warehouse_root)
+
+    # -- asset: simplefin_financial_data + load (S1 + S3) ------------------
+    def ingest(self) -> None:
+        if self.fetch_window is None:
+            self.results["ingest"] = "skipped (no fetch provided)"
+            return
+        df = extract_simplefin(self.spark, self.fetch_window, now=self.now)
+        append_to_landing(df, os.path.join(self.warehouse_root, "public", "simplefin"))
+        self.results["ingest"] = df.count()
+
+    # -- asset: dbt_models (the model DAG) ----------------------------------
+    def transform(self) -> None:
+        self.results["build"] = build(self._wh(), full_refresh=self.full_refresh)
+
+    # -- asset: train_classifier (M1-M10) ------------------------------------
+    def train(self) -> None:
+        wh = self._wh()
+        now = self.now or dt.datetime.utcnow()
+        result = train_classifier(
+            self.spark, wh.read("analytics", "fct_validated_trxns"), now=now
+        )
+        model_path = None
+        if result.model is not None:
+            model_path = os.path.join(self.model_dir, result.model_version)
+            result.model.write().overwrite().save(model_path)
+            # "latest" pointer (classifier_train.py:340-347)
+            latest = os.path.join(self.model_dir, "latest")
+            result.model.write().overwrite().save(latest)
+        record_model(
+            self.spark,
+            wh.path("analytics", "model_registry"),
+            result.model_version,
+            result.status,
+            now,
+            file_path=model_path,
+            metrics=result.metrics,
+            n_train_samples=result.n_train,
+            n_test_samples=result.n_test,
+            n_classes=result.metrics.get("n_classes"),
+            reason=result.metrics.get("reason"),
+            message=result.metrics.get("message"),
+        )
+        self.results["train"] = result.status
+
+    # -- asset: predict_categories (M11-M12 + S6) ----------------------------
+    def predict(self) -> None:
+        from pyspark.ml import PipelineModel
+
+        wh = self._wh()
+        reg = active_model(self.spark, wh.path("analytics", "model_registry"))
+        if reg is None or reg.file_path is None:
+            self.results["predict"] = "skipped (no active model)"
+            return
+        model = PipelineModel.load(reg.file_path)
+        threshold = load_config()["model"]["confidence_threshold"]
+        preds = predict_categories(
+            model,
+            wh.read("analytics", "fct_trxns_uncategorized"),
+            reg.model_version,
+            threshold,
+            now=self.now,
+        )
+        sink_cols = [
+            "transaction_id",
+            "predicted_master_category",
+            "prediction_confidence",
+            "model_version",
+            "prediction_timestamp",
+        ]
+        merge_keyed(
+            self.spark,
+            wh.path("analytics", "predicted_transactions"),
+            preds.select(*sink_cols),
+            "transaction_id",
+        )
+        self.results["predict"] = preds.count()
+
+    def run(self) -> dict:
+        """Topological execution: ingest → transform → train → predict."""
+        self.ingest()
+        self.transform()
+        self.train()
+        # predictions join fct_trxns_uncategorized freshness
+        # (classifier_predict.py:18-24 dep)
+        self.predict()
+        # predictions feed fct_trxns_with_predictions: refresh marts
+        self.transform()
+        return self.results
+
+
+@dataclass
+class RetrainDebouncer:
+    """Debounced retrain policy (dagster_trigger.py:181-205).
+
+    Category edits call ``notify_edit(now)``; ``due(now)`` flips true
+    once edits have been quiet for the debounce window — the host loop
+    then fires one full-refresh run covering every coalesced edit.
+    """
+
+    debounce_seconds: int = RETRAIN_DEBOUNCE_SECONDS
+    _last_edit: dt.datetime | None = None
+    _pending: bool = False
+
+    def notify_edit(self, now: dt.datetime) -> None:
+        self._last_edit = now
+        self._pending = True
+
+    def due(self, now: dt.datetime) -> bool:
+        if not self._pending or self._last_edit is None:
+            return False
+        return (now - self._last_edit).total_seconds() >= self.debounce_seconds
+
+    def fired(self) -> None:
+        self._pending = False
+
+
+def as_dagster_definitions(warehouse_root: str, model_dir: str = "models"):
+    """Adapt the asset graph to Dagster when available (import-gated —
+    dagster is not in this environment's image)."""
+    try:
+        import dagster  # type: ignore
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError(
+            "dagster is not installed; run PipelineRun directly or install "
+            "dagster to use this adapter"
+        ) from exc
+
+    @dagster.asset(name="dbt_models")
+    def dbt_models():  # pragma: no cover - requires dagster
+        from .session import get_spark
+
+        build(Warehouse(get_spark(), warehouse_root), full_refresh=False)
+
+    @dagster.asset(name="train_classifier", deps=[dbt_models])
+    def train_asset():  # pragma: no cover
+        from .session import get_spark
+
+        PipelineRun(get_spark(), warehouse_root, model_dir=model_dir).train()
+
+    @dagster.asset(name="predict_categories", deps=[train_asset])
+    def predict_asset():  # pragma: no cover
+        from .session import get_spark
+
+        PipelineRun(get_spark(), warehouse_root, model_dir=model_dir).predict()
+
+    return dagster.Definitions(assets=[dbt_models, train_asset, predict_asset])

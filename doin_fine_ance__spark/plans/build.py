@@ -63,6 +63,24 @@ def _month_col(df: DataFrame) -> DataFrame:
     )
 
 
+class SchemaTestError(AssertionError):
+    """A dbt-style schema test failed during build."""
+
+
+def _assert_unique(df: DataFrame, column: str, model: str) -> None:
+    """dbt `unique` test (dbt/models/staging/_staging.yml:48-54): the
+    historic surrogate key must be unique. One cheap agg, fails the
+    build loudly like `dbt build` does."""
+    dupes = (
+        df.groupBy(column).count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dupes:
+        raise SchemaTestError(
+            f"{model}.{column} is not unique (e.g. {dupes[0][column]!r} "
+            f"appears {dupes[0]['count']} times)"
+        )
+
+
 def build(wh: Warehouse, full_refresh: bool = False) -> dict[str, int]:
     """Materialize the DAG topologically; returns row counts per model.
 
@@ -87,6 +105,9 @@ def build(wh: Warehouse, full_refresh: bool = False) -> dict[str, int]:
         wh.read("public", "seed_account_mapping_historic"),
     )
     wh.write(stg_historic, "analytics", "stg_historic_trxns")
+    _assert_unique(
+        wh.read("analytics", "stg_historic_trxns"), "transaction_id", "stg_historic_trxns"
+    )
 
     int_trxns = M.int_trxns(
         wh.read("analytics", "stg_simplefin"), wh.read("analytics", "stg_historic_trxns")
