@@ -149,6 +149,67 @@ def q5_region_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a_count_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (the expand+two-phase agg plan;
+    at 100 TB prefer approx_count_distinct unless exactness is owed)."""
+    ev = load_table(spark, sf_dir, "events", ["event_type", "user_id"])
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "a_rollup_region_nation",
+    oracle="""
+    SELECT COALESCE(r.r_name, 'ALL') AS region,
+           CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS nation,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def a_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP subtotals (beyond-reference: the reference has
+    no grouping sets — SURVEY §2.4 note). Spark's rollup == SQL ROLLUP;
+    NULL grouping slots are labeled 'ALL' so the oracle comparison is
+    unambiguous about grouping-null vs data-null."""
+    c = load_table(spark, sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast(DEC).alias("total_balance"),
+            # grouping() is only legal inside the rollup's own agg
+            F.grouping("n_name").alias("_g_nation"),
+        )
+        .select(
+            F.coalesce(col("r_name"), lit("ALL")).alias("region"),
+            F.when(col("_g_nation") == 1, lit("ALL")).otherwise(col("n_name")).alias("nation"),
+            "n_customers",
+            "total_balance",
+        )
+    )
+
+
+@query(
     "f15_json_extraction",
     oracle="""
     SELECT event_type,

@@ -132,6 +132,56 @@ def get_transaction_by_id(overlay: DataFrame, transaction_id: str) -> DataFrame:
     return overlay.filter(col("transaction_id") == transaction_id)
 
 
+def bulk_categorize(
+    spark: SparkSession,
+    user_categories_path: str,
+    assignments: list[dict],
+    updated_by: str = "system",
+    now: dt.datetime | None = None,
+) -> int:
+    """Bulk override writes (transaction_service.py:301-341's loop).
+
+    The reference loops single-row ORM upserts; here all assignments
+    land in ONE keyed merge — same semantics, one table rewrite instead
+    of N.
+    """
+    from ..operators.upsert import merge_keyed
+
+    if not assignments:
+        return 0
+    now = now or dt.datetime.utcnow()
+    rows = [
+        (
+            a["transaction_id"],
+            a["master_category"],
+            a.get("source_category"),
+            a.get("notes"),
+            a.get("validated", False),
+            a.get("exclude_from_forecast", False),
+            updated_by,
+            now,
+        )
+        for a in assignments
+    ]
+    update = spark.createDataFrame(rows, schema=USER_CATEGORIES)
+    merge_keyed(spark, user_categories_path, update, "transaction_id")
+    return len(rows)
+
+
+def distinct_predicted_categories(overlay: DataFrame) -> DataFrame:
+    """DISTINCT predicted categories excluding the reserved UNCERTAIN
+    (category_service.py:25-31 / validated_transactions.py:179-188)."""
+    return (
+        overlay.filter(
+            col("predicted_master_category").isNotNull()
+            & (col("predicted_master_category") != "UNCERTAIN")
+        )
+        .select("predicted_master_category")
+        .distinct()
+        .orderBy(col("predicted_master_category").asc_nulls_last())
+    )
+
+
 def categorize_transaction(
     spark: SparkSession,
     user_categories_path: str,

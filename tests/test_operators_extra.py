@@ -1,0 +1,163 @@
+"""Salted joins, streaming upsert sink, bulk categorize, by-id read,
+and property-style dedup invariants."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from doin_fine_ance__spark.operators.dedup import latest_wins, reconnection_dedup
+from doin_fine_ance__spark.operators.skew import salted_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed big side: key 'hot' owns 80% of rows
+    big = spark.createDataFrame(
+        [("hot" if i % 5 != 0 else f"k{i}", i) for i in range(1000)], ["k", "v"]
+    )
+    small = spark.createDataFrame(
+        [("hot", "H"), ("k0", "A"), ("k5", "B"), ("missing", "Z")], ["k", "tag"]
+    )
+    plain = {(r.k, r.v, r.tag) for r in big.join(small, "k").collect()}
+    salted = {(r.k, r.v, r.tag) for r in salted_join(big, small, "k").collect()}
+    assert salted == plain
+    left = {
+        (r.k, r.v, r.tag)
+        for r in salted_join(big, small, "k", how="left").collect()
+    }
+    assert len(left) == 1000  # every big row survives a left join
+
+
+def test_streaming_upsert_sink(spark, tmp_path):
+    from doin_fine_ance__spark.streaming.windows import (
+        stream_upsert_sink,
+        tumbling_counts,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    out_path = str(tmp_path / "agg_table")
+
+    def drop(rows, name):
+        staged = tmp_path / f"_s_{name}"
+        (
+            spark.createDataFrame(rows, ["event_id", "ts_str", "event_type", "value"])
+            .select(
+                "event_id",
+                F.col("ts_str").cast("timestamp").alias("ts"),
+                "event_type",
+                "value",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(staged))
+        )
+        import shutil
+
+        part = next(p for p in staged.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(str(part), str(src_dir / f"{name}.parquet"))
+
+    drop([(1, "2024-01-01 10:00:10", "a", 1.0), (2, "2024-01-01 10:01:00", "a", 2.0)], "b1")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, ts timestamp, event_type string, value double")
+        .load(str(src_dir))
+    )
+    q = stream_upsert_sink(
+        tumbling_counts(stream, window="5 minutes", watermark="10 minutes"),
+        out_path,
+        ["window_start", "event_type"],
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (str(r.window_start), r.event_type): r.n
+            for r in spark.read.parquet(out_path).collect()
+        }
+        assert list(first.values()) == [2]
+        # a second batch UPDATES the same window's row (merge, not append)
+        drop([(3, "2024-01-01 10:02:00", "a", 3.0)], "b2")
+        q.processAllAvailable()
+        final = spark.read.parquet(out_path).collect()
+        assert len(final) == 1 and final[0].n == 3
+    finally:
+        q.stop()
+
+
+def test_bulk_categorize_and_by_id(spark, tmp_path):
+    from doin_fine_ance__spark.serving.transactions import bulk_categorize
+
+    path = str(tmp_path / "user_categories")
+    n = bulk_categorize(
+        spark,
+        path,
+        [
+            {"transaction_id": "T1", "master_category": "Gas", "validated": True},
+            {"transaction_id": "T2", "master_category": "Groceries"},
+        ],
+        now=dt.datetime(2024, 3, 1),
+    )
+    assert n == 2
+    # second bulk call updates T1, inserts T3 — still one row per id
+    bulk_categorize(
+        spark,
+        path,
+        [
+            {"transaction_id": "T1", "master_category": "Transportation"},
+            {"transaction_id": "T3", "master_category": "Rent", "notes": "march"},
+        ],
+        now=dt.datetime(2024, 3, 2),
+    )
+    rows = {r.transaction_id: r for r in spark.read.parquet(path).collect()}
+    assert len(rows) == 3
+    assert rows["T1"].master_category == "Transportation"
+    assert rows["T3"].notes == "march"
+    assert bulk_categorize(spark, path, []) == 0
+
+
+def test_dedup_invariants_hold(spark):
+    """Property-style checks over a generated frame: latest_wins keeps
+    exactly the max-recency row per key; reconnection_dedup never drops
+    same-group rows and keeps exactly one group per logical key."""
+    rows = [
+        (f"k{i % 7}", i % 3, dt.datetime(2024, 1, 1 + (i % 9)), i)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["key", "grp", "rec", "uid"])
+
+    lw = latest_wins(df, ["key"], [F.col("rec").desc(), F.col("uid").desc()])
+    got = {r.key: (r.rec, r.uid) for r in lw.collect()}
+    assert len(got) == 7
+    import collections
+
+    best = collections.defaultdict(lambda: (dt.datetime.min, -1))
+    for k, g, rec, uid in rows:
+        if (rec, uid) > best[k]:
+            best[k] = (rec, uid)
+    assert got == dict(best)
+
+    rd = reconnection_dedup(df, ["key"], "grp", "rec")
+    surviving = rd.collect()
+    # exactly one group id per key survives, and ALL of that group's rows do
+    per_key_groups = collections.defaultdict(set)
+    for r in surviving:
+        per_key_groups[r.key].add(r.grp)
+    assert all(len(gs) == 1 for gs in per_key_groups.values())
+    by_key_grp = collections.Counter((r.key, r.grp) for r in surviving)
+    orig = collections.Counter((k, g) for k, g, _, _ in rows)
+    for (k, g), n in by_key_grp.items():
+        assert n == orig[(k, g)]  # no partial drops within the winning group
+
+
+def test_distinct_predicted_excludes_uncertain(spark):
+    from doin_fine_ance__spark.serving.transactions import (
+        distinct_predicted_categories,
+    )
+
+    overlay = spark.createDataFrame(
+        [("T1", "Gas"), ("T2", "UNCERTAIN"), ("T3", None), ("T4", "Gas"), ("T5", "Rent")],
+        ["transaction_id", "predicted_master_category"],
+    )
+    cats = [r.predicted_master_category for r in distinct_predicted_categories(overlay).collect()]
+    assert cats == ["Gas", "Rent"]
