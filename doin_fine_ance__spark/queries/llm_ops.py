@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
-from ..llm.ann import ann_topk_lsh
+from ..llm.ann import ann_topk_ivf, ann_topk_lsh
 from ..llm.dedup import minhash_near_dups, simhash64, simhash_near_dups
 from ..sources.testdata import load_table
 from . import query
@@ -291,6 +291,86 @@ def s_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(
         e.filter(col("vec_id") != 0), qvec, k=10, n_planes=4, multiprobe=2
     ).select("vec_id", "bucket", F.round("cosine", 6).alias("cosine_r"))
+
+
+@query("s_cosine_topk_ivf")
+def s_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-k (data-adaptive scale path, see llm/ann.py).
+
+    Assign→probe: the corpus is bucketed into 16 centroid cells once
+    (at 100 TB, written partitionBy(list_id)); a query scores only its
+    4 nearest cells. Recall vs brute force asserted in pytest.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    qrow = e.filter(col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow[0]]
+    return ann_topk_ivf(
+        e.filter(col("vec_id") != 0), qvec, k=10, n_centroids=16, nprobe=4
+    ).select("vec_id", "list_id", F.round("cosine", 6).alias("cosine_r"))
+
+
+@query(
+    "d_embedding_cosine_neardups",
+    oracle="""
+    WITH quant AS (
+      SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS q
+      FROM embeddings
+    ), blocked AS (
+      SELECT vec_id, q,
+             CAST(CASE WHEN q[1] >= 0 THEN 8 ELSE 0 END
+                + CASE WHEN q[2] >= 0 THEN 4 ELSE 0 END
+                + CASE WHEN q[3] >= 0 THEN 2 ELSE 0 END
+                + CASE WHEN q[4] >= 0 THEN 1 ELSE 0 END AS INT) AS block_key
+      FROM quant
+    ), pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.q, b.q)
+               / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)))
+               AS cosine
+      FROM blocked a JOIN blocked b
+        ON a.block_key = b.block_key AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
+    """,
+)
+def d_embedding_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by sign-bit buckets.
+
+    The dedup analog of hyperplane LSH with axis-aligned planes: only
+    vectors agreeing on the signs of the first 4 components are
+    compared, so the pair join is per-bucket (≈n²/16 worst case here;
+    more planes at scale) instead of a full cross join. Quantized
+    integer dot products keep cosine bit-identical to the oracle.
+    Threshold 0.35 reflects this synthetic corpus (gaussian vectors
+    have no planted near-identical pairs); production near-dup would
+    use ≥0.95 with the same plan shape.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    quant = e.select("vec_id", _quantize(col("embedding")).alias("q"))
+    bit = lambda i, w: F.when(F.element_at(col("q"), i) >= 0, w).otherwise(0)  # noqa: E731
+    blocked = quant.withColumn(
+        "block_key", (bit(1, 8) + bit(2, 4) + bit(3, 2) + bit(4, 1)).cast("int")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q_: p * q_), lit(0.0), lambda acc, v: acc + v
+    )
+    cosine = dot(col("a.q"), col("b.q")) / (
+        F.sqrt(dot(col("a.q"), col("a.q"))) * F.sqrt(dot(col("b.q"), col("b.q")))
+    )
+    return (
+        a.join(
+            b,
+            (col("a.block_key") == col("b.block_key"))
+            & (col("a.vec_id") < col("b.vec_id")),
+        )
+        .select(
+            col("a.vec_id").alias("vec_a"),
+            col("b.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(col("cosine") >= 0.35)
+    )
 
 
 def _quantize(vec) -> F.Column:

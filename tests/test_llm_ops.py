@@ -115,6 +115,42 @@ def test_ann_lsh_recall_on_near_neighbors(spark):
     assert biggest < corpus.count() / 2
 
 
+def test_ann_ivf_recall_on_near_neighbors(spark):
+    """IVF's contract: near-identical vectors land in the query's probed
+    cells (they're near the query, so they share its nearest centroid).
+    """
+    from doin_fine_ance__spark.llm.ann import ann_topk_ivf, ivf_assign
+
+    e = load_table(spark, SF, "embeddings")
+    qvec = [float(x) for x in e.filter("vec_id = 0").select("embedding").first()[0]]
+    planted = spark.createDataFrame(
+        [
+            (900000 + i, [v * (1.0 + 0.001 * ((i + j) % 3)) for j, v in enumerate(qvec)], 99)
+            for i in range(5)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus = e.filter("vec_id != 0").unionByName(planted)
+    approx = [
+        r.vec_id
+        for r in ann_topk_ivf(corpus, qvec, k=10, n_centroids=8, nprobe=3).collect()
+    ]
+    found_planted = sum(1 for v in approx if v >= 900000)
+    assert found_planted >= 4
+    # the inverted lists actually partition the corpus
+    centroids = [
+        [float(x) for x in r.embedding]
+        for r in corpus.orderBy("vec_id").limit(8).collect()
+    ]
+    assigned = ivf_assign(corpus, centroids)
+    biggest = assigned.groupBy("list_id").count().agg(F.max("count")).first()[0]
+    assert biggest < corpus.count()  # more than one non-empty cell
+    # assignment is deterministic
+    a1 = {r.vec_id: r.list_id for r in assigned.collect()}
+    a2 = {r.vec_id: r.list_id for r in ivf_assign(corpus, centroids).collect()}
+    assert a1 == a2
+
+
 def test_multimodal_plumbing_batch_shape(spark):
     rows = [
         (1, "image", "image/png", 64, 64, None, b"\x89PNG fake bytes 1"),
