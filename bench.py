@@ -20,7 +20,10 @@ from doin_fine_ance__spark.session import get_spark
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
+    "q4_priority_semi_join",
     "q5_region_revenue_rollup",
+    "q6_forecast_revenue",
+    "q14_promo_revenue_ratio",
     "a1_monthly_spend_by_category",
     "a2_monthly_net_change",
     "a12_cumulative_monthly_net",
@@ -32,6 +35,8 @@ HEADLINE = [
     "f_feature_engineering",
     "f15_json_extraction",
     "d_exact_dedup",
+    "d_embedding_cosine_neardups",
+    "mm_media_features",
     "t_simhash_fingerprints",
     "s_cosine_topk_bruteforce",
     "st_session_window",
@@ -45,9 +50,16 @@ def main() -> None:
     spark = get_spark("doin-fine-ance-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session startup
+    # warm the JVM + parquet footers + Python/Arrow worker pool once so
+    # per-query numbers measure the query, not session startup (the first
+    # pandas-UDF stage otherwise pays ~5s of worker fork + Arrow init)
     queries["a6_count_total"](spark, sf_dir).collect()
+    queries["t_simhash_fingerprints"](spark, sf_dir).limit(1).collect()
+    from doin_fine_ance__spark.sources.testdata import load_table
+
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

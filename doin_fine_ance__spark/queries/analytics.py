@@ -231,3 +231,130 @@ def f15_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
     )
+
+
+@query(
+    "q4_priority_semi_join",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join (the inventory's only
+    semi-join probe; anti-joins are covered by P3/J7/J8).
+
+    The semi side is pre-filtered and pre-projected to one column, so
+    the shuffle moves only qualifying order keys; the count-by-priority
+    exchange afterwards is tiny. At 100 TB both sides hash-shuffle on
+    the order key — AQE merges the post-semi partitions.
+    """
+    o = load_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).filter(
+        (col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz"))
+        & (col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+        .filter(col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.03 AND 0.07
+      AND CAST(l_quantity AS DECIMAL(18,2)) < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter→agg, the pushdown showcase.
+
+    All three predicates reach the parquet scan (PushedFilters on
+    shipdate; discount/quantity evaluated pre-shuffle in the same
+    codegen stage); the result is a single global agg — at 100 TB this
+    plan is scan-bound, exactly as it should be.
+    """
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    ).filter(
+        (col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz"))
+        & (col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        & _dec("l_discount").between(0.03, 0.07)
+        & (_dec("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("decimal(28,4)")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q14_promo_revenue_ratio",
+    oracle="""
+    SELECT
+      CAST(CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+           * 100.0
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS DOUBLE) AS promo_revenue_pct,
+      COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dim join + conditional-aggregate ratio.
+
+    part broadcasts into the date-pruned lineitem scan (no fact
+    shuffle); both sums are exact decimals, the ratio is computed as
+    one double multiply+divide at the end so it hash-matches DuckDB.
+    """
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).filter(
+        (col("l_shipdate") >= lit("1996-03-01").cast("timestamp_ntz"))
+        & (col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part", ["p_partkey", "p_type"])
+    rev = _dec("l_extendedprice") * (lit(1) - _dec("l_discount"))
+    promo = F.when(col("p_type").like("PROMO%"), rev).otherwise(
+        lit(0).cast("decimal(28,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.sum(promo).cast("double")
+                * lit(100.0)
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -508,7 +508,7 @@ def p4_exclusion_patterns_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang", "source"])
     patterns = spark.createDataFrame(
-        [("%lorem%",), ("%IPSUM DOLOR%",), ("%consectetur%",)], ["pattern"]
+        [("%lorem%",), ("%IPSUM DOLOR%",), ("%consectetur%",)], "pattern string"
     )
     joined = d.join(
         F.broadcast(patterns), ilike(d.text, col("pattern")), "left_anti"
@@ -564,7 +564,7 @@ def j1_mapping_join_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("AUTOMOBILE", "", "Cars"),
             ("MACHINERY", "7", "Industrial"),
         ],
-        ["segment", "nation_id", "mapped_name"],
+        "segment string, nation_id string, mapped_name string",
     )
     cond = (c.c_mktsegment == mapping.segment) & (
         mapping.nation_id.isNull()
@@ -952,4 +952,29 @@ def m7_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(col("event_type") == "purchase", 1).otherwise(0)).cast("double")
             / F.count("*")
         ).alias("frac_purchase"),
+    )
+
+
+@query(
+    "a9_data_range_check",
+    oracle="""
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS oldest,
+           CAST(MAX(ts) AS TIMESTAMP) AS newest,
+           COUNT(*) AS n_events,
+           date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS span_days
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def a9_data_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (3_TEST_COMMANDS.md:68-84): per-account data-range audit —
+    MIN/MAX timestamps, row count, and day-span via date arithmetic
+    (F14). One partial-agg exchange on user_id."""
+    ev = load_table(spark, sf_dir, "events", ["user_id", "ts"])
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("oldest"),
+        F.max("ts").alias("newest"),
+        F.count("*").alias("n_events"),
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).alias("span_days"),
     )

@@ -17,6 +17,7 @@ Scale design notes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
@@ -348,28 +349,87 @@ def d_embedding_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     quant = e.select("vec_id", _quantize(col("embedding")).alias("q"))
     bit = lambda i, w: F.when(F.element_at(col("q"), i) >= 0, w).otherwise(0)  # noqa: E731
-    blocked = quant.withColumn(
-        "block_key", (bit(1, 8) + bit(2, 4) + bit(3, 2) + bit(4, 1)).cast("int")
+    blocked = quant.select(
+        "vec_id",
+        "q",
+        (bit(1, 8) + bit(2, 4) + bit(3, 2) + bit(4, 1)).cast("int").alias("block_key"),
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda p, q_: p * q_), lit(0.0), lambda acc, v: acc + v
-    )
-    cosine = dot(col("a.q"), col("b.q")) / (
-        F.sqrt(dot(col("a.q"), col("a.q"))) * F.sqrt(dot(col("b.q"), col("b.q")))
-    )
-    return (
-        a.join(
-            b,
-            (col("a.block_key") == col("b.block_key"))
-            & (col("a.vec_id") < col("b.vec_id")),
+
+    # Pair scoring runs INSIDE each block group (applyInPandas): the
+    # shuffle moves each vector once (O(n)), never materializing the
+    # O(n²/blocks) pair rows through an exchange — a self-join variant
+    # ships both 64-dim arrays per candidate pair and is ~5x slower at
+    # sf0.1. numpy's Gram matrix does the multiply-adds vectorized;
+    # products and partial sums of the quantized integer-valued doubles
+    # are integers < 2^53, so every summation order gives the same
+    # double and cosine stays bit-identical to the oracle.
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        A = np.stack(pdf["q"].to_numpy()[order])
+        G = A @ A.T
+        norms = np.sqrt(np.diag(G))
+        C = G / np.outer(norms, norms)
+        iu = np.triu_indices(len(ids), k=1)
+        cos = C[iu]
+        mask = cos >= 0.35
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[0]][mask],
+                "vec_b": ids[iu[1]][mask],
+                "cosine": cos[mask],
+            }
         )
-        .select(
-            col("a.vec_id").alias("vec_a"),
-            col("b.vec_id").alias("vec_b"),
-            cosine.alias("cosine"),
-        )
-        .filter(col("cosine") >= 0.35)
+
+    return blocked.groupBy("block_key").applyInPandas(
+        block_pairs, "vec_a long, vec_b long, cosine double"
+    )
+
+
+@query(
+    "mm_media_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'text' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha,
+           CAST(CAST(('0x' || substr(sha256(text),  1, 16)) AS UBIGINT) % 2147483648 AS BIGINT) AS feat_0,
+           CAST(CAST(('0x' || substr(sha256(text), 17, 16)) AS UBIGINT) % 2147483648 AS BIGINT) AS feat_1,
+           CAST(CAST(('0x' || substr(sha256(text), 33, 16)) AS UBIGINT) % 2147483648 AS BIGINT) AS feat_2,
+           CAST(CAST(('0x' || substr(sha256(text), 49, 16)) AS UBIGINT) % 2147483648 AS BIGINT) AS feat_3
+    FROM documents
+    """,
+)
+def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature pipeline, oracle-checked end-to-end.
+
+    Documents' UTF-8 bytes stand in for media payloads (the container
+    has no codecs — llm/multimodal.py stubs the decode kernel with a
+    deterministic sha256-derived feature vector). What the oracle
+    proves: binary content survives the Arrow mapInPandas round-trip
+    bit-exact (content_sha), and the batch kernel's features are the
+    pure function of the bytes it claims to be. Swap the stub for a
+    real decoder and the plumbing — schema, repartition, batch shape —
+    is unchanged.
+    """
+    from ..llm.multimodal import extract_media_features
+
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    media = d.select(
+        col("doc_id").alias("media_id"),
+        lit("text").alias("media_type"),
+        lit("text/plain").alias("mime"),
+        lit(None).cast("int").alias("width"),
+        lit(None).cast("int").alias("height"),
+        lit(None).cast("bigint").alias("duration_ms"),
+        F.encode(col("text"), "UTF-8").alias("content"),
+    )
+    return extract_media_features(media).select(
+        "media_id", "media_type", "n_bytes", "content_sha",
+        "feat_0", "feat_1", "feat_2", "feat_3",
     )
 
 

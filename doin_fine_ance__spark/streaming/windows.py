@@ -142,6 +142,90 @@ def run_to_memory_sink(
     return agg.sparkSession.sql(f"SELECT * FROM {name}")
 
 
+def stateful_first_seen(
+    events: DataFrame,
+    key_col: str = "event_id",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator: emit only the FIRST occurrence of each
+    key across the whole stream (cross-micro-batch dedup).
+
+    This is the streaming twin of ``dropDuplicates`` — but native
+    ``dropDuplicates`` on a stream keeps state forever unless paired
+    with the watermark column in the key. Here
+    ``applyInPandasWithState`` holds one boolean per key; with
+    ``state_ttl_ms`` set it also arms a processing-time timeout so
+    state is evicted after the TTL (the at-scale requirement: unbounded
+    keys must age out). TTL is opt-in because timeout-armed state makes
+    the engine schedule continuous no-data micro-batches to fire
+    expirations — correct for a 24/7 job, livelock for a finite
+    file-source test driven by ``processAllAvailable``. Grouping
+    shuffles by key once; each group's rows arrive as Arrow batches.
+
+    Output = the first-seen rows, schema ``key, first_ts, n_dups_seen``
+    (n_dups_seen counts extra occurrences *within the discovering
+    micro-batch*; later-batch repeats are suppressed entirely).
+    """
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("first_ts", LongType()),
+            StructField("n_dups_seen", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("seen", LongType())])
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n = 0
+        first_ts = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            batch_min = int(pdf["ts_long"].min())
+            first_ts = batch_min if first_ts is None else min(first_ts, batch_min)
+        if n == 0:
+            return
+        if state.exists:
+            if state_ttl_ms is not None:
+                # refresh TTL on re-sighting so hot keys stay deduped
+                state.setTimeoutDuration(state_ttl_ms)
+            return
+        state.update((1,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            {"key": [key[0]], "first_ts": [first_ts], "n_dups_seen": [n - 1]}
+        )
+
+    keyed = events.withColumn("ts_long", col("ts").cast("long")).select(
+        col(key_col).alias("key"), "ts_long"
+    )
+    return (
+        keyed.groupBy("key")
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if state_ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def stream_upsert_sink(agg: DataFrame, path: str, key_cols: list[str]):
     """foreachBatch keyed-merge sink: each micro-batch upserts its rows
     into the parquet table (exactly-once per key under retries because

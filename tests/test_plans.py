@@ -93,3 +93,58 @@ def test_csv_seed_load(spark, tmp_path):
     assert rows["Checking"].mapped_account_name == "Junior Checking"
     assert rows["Savings (9999)"].mapped_account_name == "Rainy, Day"  # quoted comma
     assert df.schema == schemas.SEED_ACCOUNT_MAPPING_SIMPLEFIN
+
+
+def test_q6_predicates_reach_scan(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:300], plan[:3000]
+    scan_section = plan.split("ReadSchema")[1][:400]
+    assert "l_orderkey" not in scan_section  # pruned to the 4 needed cols
+    assert "BatchEvalPython" not in plan
+
+
+def test_q4_is_left_semi(spark):
+    plan = plan_of(spark, "q4_priority_semi_join")
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_q14_dim_broadcasts(spark):
+    plan = plan_of(spark, "q14_promo_revenue_ratio")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Same-bucketed tables join without an Exchange on either side —
+    the write-time-shuffle contract that makes repeated fact joins
+    viable at 100 TB."""
+    from doin_fine_ance__spark.operators.bucketing import colocated_join, write_bucketed
+    from doin_fine_ance__spark.sources.testdata import load_table
+
+    orders = load_table(spark, SF, "orders", ["o_orderkey", "o_totalprice"])
+    li = load_table(spark, SF, "lineitem", ["l_orderkey", "l_quantity"]).withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", 8)
+    write_bucketed(li, "b_lineitem", "o_orderkey", 8)
+    # sf0.001 tables fit the broadcast threshold, which would hide the
+    # bucketed plan; at real scale neither side broadcasts, so pin that.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        import contextlib, io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan[:3000]
+        assert "SortMergeJoin" in plan, plan[:3000]
+        assert "Bucketed: true" in plan, plan[:3000]
+        # row parity with the plain shuffle join
+        assert joined.count() == orders.join(li, "o_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

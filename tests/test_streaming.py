@@ -47,6 +47,72 @@ def test_session_stream_counts(spark):
     assert result.count() == batch.count()  # same session boundaries
 
 
+def test_stateful_first_seen_dedups_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState dedup: a key repeated in a LATER micro-batch
+    is suppressed; repeats within the discovering batch are counted."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from doin_fine_ance__spark.streaming.windows import stateful_first_seen
+
+    src_dir = tmp_path / "dedup_src"
+    src_dir.mkdir()
+
+    def drop_batch(rows, name):
+        staged = tmp_path / f"_stage_{name}"
+        (
+            spark.createDataFrame(rows, ["event_id", "ts_str"])
+            .withColumn("ts", F.col("ts_str").cast("timestamp"))
+            .select("event_id", "ts")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(staged))
+        )
+        part = next(p for p in staged.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(str(part), str(src_dir / f"{name}.parquet"))
+
+    # batch1: ids 1, 2, 2 (one in-batch dup)
+    drop_batch(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (2, "2024-01-01 10:01:00"),
+            (2, "2024-01-01 10:02:00"),
+        ],
+        "b1",
+    )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src_dir))
+    )
+    deduped = stateful_first_seen(stream, key_col="event_id")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("first_seen_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fs"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch2: id 2 again (cross-batch dup) + fresh id 3
+        drop_batch(
+            [(2, "2024-01-01 10:10:00"), (3, "2024-01-01 10:11:00")], "b2"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {r.key: r for r in spark.sql("SELECT * FROM first_seen_out").collect()}
+    assert set(out) == {1, 2, 3}  # each key exactly once
+    assert out[2].n_dups_seen == 1  # in-batch dup counted
+    assert out[3].n_dups_seen == 0
+    # first_ts is the earliest sighting of the key
+    assert out[1].first_ts < out[2].first_ts < out[3].first_ts
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """A row arriving behind the advanced watermark is dropped (update mode)."""
     import shutil
