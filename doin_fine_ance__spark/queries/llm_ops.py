@@ -160,6 +160,38 @@ def t_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
 
 
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+@query(
+    "t_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}')) AS INT)
+             AS n_bpe_tokens,
+           CAST(length(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INT)
+             AS n_ws_tokens
+    FROM documents
+    """,
+)
+def t_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (GPT-2-style pre-tokenizer regex).
+
+    Contractions / letter-runs / digit-runs / punctuation-runs /
+    whitespace, per the published GPT-2 pre-tokenizer pattern
+    (simplified to ASCII classes so Java regex and RE2 agree). The
+    ratio n_bpe/n_ws is the standard tokens-per-word budget estimate
+    for LLM corpus sizing. Map-only, whole-stage codegen.
+    """
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    ws = F.filter(F.split(col("text"), r"\s+"), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(col("text"), lit(_BPE_PAT), lit(0))).cast("int").alias("n_bpe_tokens"),
+        F.size(ws).cast("int").alias("n_ws_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------

@@ -37,6 +37,17 @@ def test_tumbling_stream_equals_batch(spark):
     ]
 
 
+def test_sliding_stream_equals_batch(spark):
+    from doin_fine_ance__spark.streaming.windows import sliding_counts
+
+    stream = read_events_stream(spark, SF)
+    result = run_to_memory_sink(sliding_counts(stream), "sliding_out")
+    batch = QUERIES["st_sliding_window"](spark, SF)
+    got = sorted((str(r["window_start"]), r["n"]) for r in result.collect())
+    want = sorted((str(r["window_start"]), r["n"]) for r in batch.collect())
+    assert got == want
+
+
 def test_session_stream_counts(spark):
     stream = read_events_stream(spark, SF)
     result = run_to_memory_sink(session_aggregates(stream), "session_out")
