@@ -1,0 +1,119 @@
+"""Property-based invariants (hypothesis) for the core operators.
+
+The reference ships no property tests (SURVEY §5); these pin the
+guarantees the engine's dedup/pagination machinery must hold for ANY
+input, not just the finance fixtures — the kind of invariants that
+keep a 100 TB run trustworthy when the data drifts.
+
+Strategy sizes are small (Spark job per example is expensive);
+`max_examples` is tuned so the whole module stays under ~2 min.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from doin_fine_ance__spark.operators.dedup import (
+    latest_wins,
+    reconnection_dedup,
+    rownum_disambiguate,
+)
+from doin_fine_ance__spark.operators.pagination import paginate
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, recency, payload) rows; keys/recency from tiny domains to force
+# collisions, payload to detect row mixups
+row = st.tuples(
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=6),
+    st.integers(min_value=0, max_value=99),
+)
+
+
+@given(rows=st.lists(row, min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_latest_wins_properties(spark, rows):
+    df = spark.createDataFrame(rows, "k long, rec long, payload long")
+    out = latest_wins(df, ["k"], [df.rec.desc(), df.payload.desc()]).collect()
+    got = {r.k: (r.rec, r.payload) for r in out}
+    # exactly one row per distinct key
+    assert len(out) == len({k for k, _, _ in rows})
+    # and it is the max (rec, payload) row for that key
+    for k in got:
+        assert got[k] == max((rec, p) for kk, rec, p in rows if kk == k)
+
+
+@given(rows=st.lists(row, min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_rownum_disambiguate_is_a_bijection(spark, rows):
+    df = spark.createDataFrame(rows, "k long, rec long, payload long")
+    out = rownum_disambiguate(df, ["k"], [df.rec, df.payload, df.k]).collect()
+    # ordinals within each key group are exactly 1..n
+    by_key: dict[int, list[int]] = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r.row_num)
+    for k, nums in by_key.items():
+        assert sorted(nums) == list(range(1, len(nums) + 1)), (k, nums)
+    # no rows created or dropped
+    assert len(out) == len(rows)
+
+
+# reconnection rows: (logical_id, account, imported, payload)
+recon_row = st.tuples(
+    st.integers(min_value=0, max_value=2),
+    st.sampled_from(["acct_a", "acct_b"]),
+    st.integers(min_value=0, max_value=5),
+    st.integers(min_value=0, max_value=99),
+)
+
+
+@given(rows=st.lists(recon_row, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_reconnection_dedup_guarantees(spark, rows):
+    """The stg_simplefin.sql:65-78 contract, for arbitrary inputs:
+    one surviving account per logical transaction (the most recently
+    imported; ties break by account name), and EVERY row of that
+    account survives (within-account duplicates are legitimate)."""
+    df = spark.createDataFrame(rows, "lid long, acct string, imported long, payload long")
+    out = reconnection_dedup(df, ["lid"], "acct", "imported").collect()
+
+    for lid in {r[0] for r in rows}:
+        group_last = {}
+        for l, a, imp, _ in rows:
+            if l == lid:
+                group_last[a] = max(group_last.get(a, -1), imp)
+        # expected winner: max(last_import), tiebreak smaller acct name
+        winner = min(
+            (a for a in group_last), key=lambda a: (-group_last[a], a)
+        )
+        surviving = [(r.acct, r.imported, r.payload) for r in out if r.lid == lid]
+        expected = [(a, i, p) for l, a, i, p in rows if l == lid and a == winner]
+        assert sorted(surviving) == sorted(expected), (lid, winner)
+
+
+@given(
+    rows=st.lists(row, min_size=0, max_size=30, unique_by=lambda r: (r[1], r[2])),
+    page_size=st.integers(min_value=1, max_value=7),
+)
+@settings(**SETTINGS)
+def test_pagination_partitions_the_order(spark, rows, page_size):
+    """Pages tile the totally-ordered result: no overlap, no gap, order
+    preserved across page boundaries."""
+    df = spark.createDataFrame(rows, "k long, rec long, payload long")
+    sort = [df.rec.asc(), df.payload.asc()]
+    expect = sorted((rec, p) for _, rec, p in rows)
+    got: list[tuple[int, int]] = []
+    offset = 0
+    while True:
+        page = paginate(df, sort, limit=page_size, offset=offset).collect()
+        got.extend((r.rec, r.payload) for r in page)
+        if len(page) < page_size:
+            break
+        offset += page_size
+    assert got == expect
