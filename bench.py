@@ -35,6 +35,8 @@ HEADLINE = [
     "f_feature_engineering",
     "f15_json_extraction",
     "d_exact_dedup",
+    "d_minhash_lsh_neardups",
+    "d_simhash_neardups",
     "d_embedding_cosine_neardups",
     "mm_media_features",
     "t_simhash_fingerprints",

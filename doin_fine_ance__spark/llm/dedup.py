@@ -34,8 +34,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit, pandas_udf
 from pyspark.sql.types import LongType
 
-# Mersenne prime 2^61-1: standard choice for minhash permutations.
-_P = (1 << 61) - 1
+# Mersenne prime 2^31-1: chosen so a·x+b (a,b < 2^31, x a 32-bit
+# shingle hash) stays under 2^63 — exact in numpy uint64 arithmetic.
+_P = (1 << 31) - 1
 _rng = random.Random(42)
 # (a, b) coefficients for k=64 hash permutations, fixed at import time.
 PERM_COEFFS: list[tuple[int, int]] = [
@@ -46,41 +47,55 @@ PERM_COEFFS: list[tuple[int, int]] = [
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 64, n: int = 5
 ) -> DataFrame:
-    """doc → k-wide minhash signature (array<string>), all JVM-side.
+    """doc → k-wide minhash signature (array<string>), Arrow-vectorized.
 
     Character n-gram shingles of the whitespace-normalized lowered text
-    are hashed to 52-bit ints via an md5 prefix (13 hex digits —
-    engine-stable, and small enough that a·x+b fits decimal(38)
-    arithmetic exactly); signature[i] = min over shingles of
-    (a_i·x + b_i) mod p.
-    """
-    norm = f"regexp_replace(lower({text_col}), '\\\\s+', ' ')"
-    with_sh = docs.select(
-        col(id_col),
-        F.expr(
-            f"array_distinct(transform(sequence(1, greatest(length({norm}) - {n - 1}, 1)),"
-            f" i -> conv(substring(md5(substring({norm}, i, {n})), 1, 13), 16, 10)))"
-        )
-        .cast("array<decimal(38,0)>")
-        .alias("_shingles"),
-    )
-    def _perm(a: int, b: int):
-        # closure factory: a default-arg lambda would change the visible
-        # arity and break PySpark's higher-order-function binding
-        return lambda x: (x * lit(a) + lit(b)) % lit(_P)
+    are hashed to 32-bit ints (crc32 — engine- and session-stable);
+    signature[i] = min over shingles of (a_i·x + b_i) mod p, computed
+    as ONE numpy broadcast per document.
 
-    sig_elems = [
-        F.array_min(F.transform(col("_shingles"), _perm(a, b)))
-        .cast("decimal(38,0)")
-        .cast("string")
-        .alias(f"_h{i}")
-        for i, (a, b) in enumerate(PERM_COEFFS[:k])
-    ]
-    return with_sh.select(col(id_col), F.array(*sig_elems).alias("signature"))
+    This is a deliberate pandas-UDF stage (the documented slow-path
+    escape hatch): the same computation as JVM higher-order transforms
+    (k=64 array_min∘transform chains) runs interpreted per-element in
+    Catalyst and measured ~100x slower at sf0.1. Map-only either way —
+    no shuffle, scales linearly, and signatures stay deterministic
+    (fixed seed + crc32), so incremental dedup against a stored
+    signature table remains valid.
+    """
+    import numpy as np
+
+    coeffs = PERM_COEFFS[:k]
+    A = np.array([a for a, _ in coeffs], dtype=np.uint64).reshape(-1, 1)
+    B = np.array([b for _, b in coeffs], dtype=np.uint64).reshape(-1, 1)
+    P = np.uint64(_P)
+
+    @pandas_udf("array<string>")
+    def _sig_udf(texts: pd.Series) -> pd.Series:
+        import re
+        import zlib
+
+        ws = re.compile(r"\s+")
+        out = []
+        for t in texts:
+            norm = ws.sub(" ", (t or "").lower())
+            if len(norm) < n:
+                shingles = {norm}
+            else:
+                shingles = {norm[i : i + n] for i in range(len(norm) - n + 1)}
+            X = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) for s in shingles),
+                dtype=np.uint64,
+                count=len(shingles),
+            ).reshape(1, -1)
+            sig = ((A * X + B) % P).min(axis=1)
+            out.append([str(int(v)) for v in sig])
+        return pd.Series(out)
+
+    return docs.select(col(id_col), _sig_udf(col(text_col)).alias("signature"))
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", bands: int = 16
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 16, k: int | None = None
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs per bucket.
 
@@ -89,7 +104,9 @@ def lsh_candidate_pairs(
     band hash ⇒ near-identical prefix), so the join is skew-safe; AQE
     splits pathological buckets.
     """
-    k = signatures.select(F.size("signature")).first()[0]
+    if k is None:
+        # fallback probe; callers pass k to avoid the extra job
+        k = signatures.select(F.size("signature")).first()[0]
     r = k // bands
     banded = signatures.select(
         col(id_col),
@@ -139,7 +156,7 @@ def minhash_near_dups(
     output has no false positives (and recall governed by (k, bands)).
     """
     sigs = minhash_signatures(docs, id_col, text_col, k)
-    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, k=k)
 
     toks = docs.select(
         col(id_col),
@@ -161,20 +178,34 @@ def minhash_near_dups(
 
 @pandas_udf(LongType())
 def _simhash64_udf(texts: pd.Series) -> pd.Series:
-    """Arrow-batched 64-bit SimHash over whitespace tokens (md5-based)."""
+    """Arrow-batched 64-bit SimHash over whitespace tokens (md5-based).
+
+    The per-token bit voting is numpy-vectorized: unpack each 64-bit
+    token hash into a (n_tokens, 64) sign matrix and column-sum —
+    a pure-Python bit loop here measured ~4x slower at sf0.1.
+    """
     import hashlib
 
+    import numpy as np
+
+    shifts = np.arange(64, dtype=np.uint64)
     out = []
     for t in texts:
-        counters = [0] * 64
-        for tok in (t or "").lower().split():
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            for bit in range(64):
-                counters[bit] += 1 if (h >> bit) & 1 else -1
-        sig = 0
-        for bit in range(64):
-            if counters[bit] > 0:
-                sig |= 1 << bit
+        toks = (t or "").lower().split()
+        if not toks:
+            out.append(0)
+            continue
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                for tok in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # (n, 64)
+        counters = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        sig = int(((counters > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
         # wrap to signed int64 for Spark LongType
         out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
     return pd.Series(out, dtype="int64")
