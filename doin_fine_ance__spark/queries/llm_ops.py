@@ -275,6 +275,50 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d_dup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tokens,
+             lower(text)[1:16] AS block_key
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM toks a JOIN toks b
+        ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+      WHERE CAST(length(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+              / (length(a.tokens) + length(b.tokens) - length(list_intersect(a.tokens, b.tokens))) >= 0.5
+    ), sym AS (
+      SELECT id_a AS node, id_b AS nbr FROM pairs
+      UNION
+      SELECT id_b AS node, id_a AS nbr FROM pairs
+    ), reach(node, lab) AS (
+      SELECT node, node FROM sym
+      UNION
+      SELECT r.node, s.nbr FROM reach r JOIN sym s ON r.lab = s.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS keeper_id FROM reach GROUP BY node
+    """,
+)
+def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: connected components over the near-dup graph.
+
+    The keep-one-per-cluster step after any pairwise dedup. Spark side
+    is iterative min-label propagation (operators/graph.py, one
+    shuffle-join per round, lineage checkpointed); the oracle is a
+    DuckDB recursive-CTE transitive closure — both converge to the
+    same deterministic fixpoint (smallest doc_id per component), so
+    this iterative algorithm is hash-checked, not just rows-counted.
+    Edge set: the same blocked token-Jaccard ≥ 0.5 graph as
+    d_ngram_jaccard_pairs.
+    """
+    from ..operators.graph import dedup_keepers
+
+    pairs = d_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return dedup_keepers(pairs, "doc_a", "doc_b")
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 # ---------------------------------------------------------------------------

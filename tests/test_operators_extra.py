@@ -161,3 +161,19 @@ def test_distinct_predicted_excludes_uncertain(spark):
     )
     cats = [r.predicted_master_category for r in distinct_predicted_categories(overlay).collect()]
     assert cats == ["Gas", "Rent"]
+
+
+def test_connected_components_known_graph(spark):
+    from doin_fine_ance__spark.operators.graph import connected_components, dedup_keepers
+
+    # two chains, a triangle, a self-loop singleton
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20), (30, 30)],
+        "src long, dst long",
+    )
+    cc = {r.node: r.component for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 30: 30}
+    keep = {r.doc_id: r.keeper_id for r in dedup_keepers(edges, "src", "dst").collect()}
+    assert keep == cc
+    # determinism across runs
+    assert cc == {r.node: r.component for r in connected_components(edges).collect()}
