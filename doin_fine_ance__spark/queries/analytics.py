@@ -358,3 +358,79 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "j_salted_skew_join",
+    oracle="""
+    SELECT l.l_returnflag AS flag,
+           d.flag_label,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty
+    FROM lineitem l
+    JOIN (VALUES ('A', 'accepted'), ('N', 'none'), ('R', 'returned'))
+      AS d(flag, flag_label)
+      ON l.l_returnflag = d.flag
+    GROUP BY l.l_returnflag, d.flag_label
+    """,
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join, oracle-checked for semantic identity.
+
+    The join key (l_returnflag) has 3 distinct values over the whole
+    fact table — worst-case skew, where a naive shuffle join serializes
+    into 3 reducers. ``salted_join`` scatters each hot key into 8
+    sub-keys (big side hashed per-row, dim side exploded 8x); the
+    oracle is the PLAIN join, proving salting changes the shuffle
+    layout and nothing else.
+    """
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "none"), ("R", "returned")],
+        "flag string, flag_label string",
+    )
+    joined = salted_join(
+        li.withColumnRenamed("l_returnflag", "flag"), dim, "flag", salt_buckets=8
+    )
+    return (
+        joined.groupBy(col("flag"), col("flag_label"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(_dec("l_quantity")).cast(DEC).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "a_cube_status_priority",
+    oracle="""
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one pass
+    (Spark plans a single Expand + partial agg — not 4 scans).
+    GROUPING() flags disambiguate real NULLs from subtotal rows."""
+    o = load_table(spark, sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast(DEC).alias("revenue"),
+            F.grouping("o_orderstatus").alias("_gs"),
+            F.grouping("o_orderpriority").alias("_gp"),
+        )
+        .select(
+            F.when(col("_gs") == 1, lit("ALL")).otherwise(col("o_orderstatus")).alias("status"),
+            F.when(col("_gp") == 1, lit("ALL")).otherwise(col("o_orderpriority")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
