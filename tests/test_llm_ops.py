@@ -173,3 +173,33 @@ def test_multimodal_plumbing_batch_shape(spark):
 
     with pytest.raises(NotImplementedError):
         resize_images(media, 32, 32)
+
+
+def test_incremental_near_dups_matches_only_new(spark, tmp_path):
+    """Signature store: batch2 reports new-vs-old and new-vs-new pairs,
+    never re-reports old-vs-old; store accumulates signatures."""
+    from doin_fine_ance__spark.llm.dedup import incremental_near_dups
+
+    store = str(tmp_path / "sigstore")
+    base = "the quick brown fox jumps over the lazy dog " * 8
+
+    batch1 = spark.createDataFrame(
+        [(1, base), (2, base + "tail one"), (50, "completely different words here " * 6)],
+        "doc_id long, text string",
+    )
+    p1 = incremental_near_dups(spark, batch1, store).collect()
+    pairs1 = {(r.id_a, r.id_b) for r in p1}
+    assert (1, 2) in pairs1  # near-dups within the first batch
+
+    batch2 = spark.createDataFrame(
+        [(100, base + "tail two"), (101, "other unrelated content " * 6)],
+        "doc_id long, text string",
+    )
+    p2 = incremental_near_dups(spark, batch2, store).collect()
+    pairs2 = {(r.id_a, r.id_b) for r in p2}
+    # new doc matches the stored near-identical docs...
+    assert (1, 100) in pairs2 and (2, 100) in pairs2
+    # ...but the old-vs-old pair is NOT re-reported
+    assert (1, 2) not in pairs2
+    # store now holds all five signatures
+    assert spark.read.parquet(store).count() == 5
