@@ -143,6 +143,77 @@ class PipelineRun:
 
 
 @dataclass
+class LLMPipelineRun:
+    """Asset DAG for the training-data (LLM) pipeline — the
+    beyond-reference twin of :class:`PipelineRun`:
+
+        documents → minhash signatures (incremental store)
+                  → near-dup pairs → dup clusters → keeper corpus
+                  → corpus quality stats
+
+    Each asset materializes to ``warehouse_root/llm/<asset>`` parquet
+    so downstream consumers (trainers, samplers) read tables, not
+    recompute; at 100 TB every stage is the already-benchmarked
+    one-shuffle operator it wraps.
+    """
+
+    spark: SparkSession
+    warehouse_root: str
+    jaccard_threshold: float = 0.7
+    results: dict = field(default_factory=dict)
+
+    def _path(self, asset: str) -> str:
+        return os.path.join(self.warehouse_root, "llm", asset)
+
+    def dedup_pairs(self, docs) -> None:
+        from .llm.dedup import incremental_near_dups
+
+        pairs = incremental_near_dups(
+            self.spark, docs, self._path("signatures"),
+            threshold=self.jaccard_threshold,
+        )
+        pairs.write.mode("append").parquet(self._path("near_dup_pairs"))
+        self.results["near_dup_pairs"] = pairs.count()
+
+    def clusters(self) -> None:
+        from .operators.graph import dedup_keepers
+
+        pairs = self.spark.read.parquet(self._path("near_dup_pairs"))
+        keepers = dedup_keepers(pairs)
+        keepers.write.mode("overwrite").parquet(self._path("dup_clusters"))
+        self.results["dup_clusters"] = keepers.count()
+
+    def keeper_corpus(self, docs) -> None:
+        from pyspark.sql import functions as F
+
+        clusters = self.spark.read.parquet(self._path("dup_clusters"))
+        dropped = clusters.filter(F.col("doc_id") != F.col("keeper_id")).select("doc_id")
+        kept = docs.join(dropped, "doc_id", "left_anti")
+        kept.write.mode("overwrite").parquet(self._path("corpus"))
+        self.results["corpus"] = kept.count()
+
+    def quality_stats(self) -> None:
+        from pyspark.sql import functions as F
+
+        corpus = self.spark.read.parquet(self._path("corpus"))
+        stats = corpus.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.avg(F.length("text")).alias("avg_chars"),
+        )
+        stats.write.mode("overwrite").parquet(self._path("corpus_stats"))
+        self.results["corpus_stats"] = stats.first().asDict()
+
+    def run(self, docs) -> dict:
+        """Topological execution over one document batch."""
+        self.dedup_pairs(docs)
+        self.clusters()
+        self.keeper_corpus(docs)
+        self.quality_stats()
+        return self.results
+
+
+@dataclass
 class RetrainDebouncer:
     """Debounced retrain policy (dagster_trigger.py:181-205).
 

@@ -123,3 +123,35 @@ def test_mapping_fanout_absorbed_by_disambiguation(spark, tmp_path):
     )
     counts = build(Warehouse(spark, root), full_refresh=True)
     assert counts["stg_historic_trxns"] > 0  # unique test passed
+
+
+def test_llm_pipeline_dag(spark, tmp_path):
+    """documents → pairs → clusters → keeper corpus → stats, end to end.
+
+    Two batches: dedup is incremental (batch2 matches batch1's stored
+    signatures); the keeper corpus keeps exactly one doc per cluster.
+    """
+    from doin_fine_ance__spark.orchestration import LLMPipelineRun
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    batch1 = spark.createDataFrame(
+        [(1, base), (2, base + "tail"), (10, "unrelated words entirely " * 8)],
+        "doc_id long, text string",
+    )
+    run = LLMPipelineRun(spark, str(tmp_path / "wh"))
+    r1 = run.run(batch1)
+    assert r1["near_dup_pairs"] >= 1          # (1,2)
+    assert r1["corpus"] == 2                  # keeper of {1,2} + 10
+    kept1 = {r.doc_id for r in spark.read.parquet(str(tmp_path / "wh/llm/corpus")).collect()}
+    assert kept1 == {1, 10}
+
+    batch2 = spark.createDataFrame(
+        [(20, base + "other tail"), (30, "fresh independent content " * 8)],
+        "doc_id long, text string",
+    )
+    run2 = LLMPipelineRun(spark, str(tmp_path / "wh"))
+    r2 = run2.run(batch1.unionByName(batch2))
+    # doc 20 joined cluster {1,2} via stored signatures; keeper still 1
+    kept2 = {r.doc_id for r in spark.read.parquet(str(tmp_path / "wh/llm/corpus")).collect()}
+    assert kept2 == {1, 10, 30}
+    assert r2["corpus_stats"]["n_docs"] == 3
