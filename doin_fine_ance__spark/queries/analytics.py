@@ -434,3 +434,53 @@ def a_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@query(
+    "j_asof_purchase_last_view",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ), views AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           v.view_event_id AS view_event_id_asof,
+           v.ts AS view_ts_asof
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def j_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join (beyond-reference): each purchase picks up the
+    user's most recent prior (or simultaneous) view.
+
+    Spark has no ASOF JOIN; operators/asof.py implements the
+    union+sort+running-last plan (one exchange over n+m rows, no range
+    explosion). DuckDB HAS native ASOF JOIN — so this custom operator
+    is hash-checked against a first-class engine implementation, tie
+    semantics included.
+    """
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    purchases = ev.filter(col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = (
+        ev.filter(col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = asof_join(
+        purchases, views, by=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["view_event_id"], suffix="_x",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        col("view_event_id_x").alias("view_event_id_asof"),
+        col("ts_x").alias("view_ts_asof"),
+    )

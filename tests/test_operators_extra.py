@@ -177,3 +177,33 @@ def test_connected_components_known_graph(spark):
     assert keep == cc
     # determinism across runs
     assert cc == {r.node: r.component for r in connected_components(edges).collect()}
+
+
+def test_asof_join_null_value_not_backfilled(spark):
+    """A matched right row whose value is NULL must yield NULL, not an
+    older row's value (struct-carry semantics)."""
+    from doin_fine_ance__spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5), (1, 15), (1, 25), (2, 10)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 4, "old"), (1, 14, None), (1, 24, "new")], "k long, ts long, v string"
+    )
+    out = {
+        (r.k, r.ts): (r.v_asof, r.ts_asof)
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    }
+    assert out[(1, 5)] == ("old", 4)
+    assert out[(1, 15)] == (None, 14)   # NULL v carried, ts proves the match
+    assert out[(1, 25)] == ("new", 24)
+    assert out[(2, 10)] == (None, None)  # no match at all
+
+
+def test_asof_join_tie_is_inclusive(spark):
+    from doin_fine_ance__spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 10, "same")], "k long, ts long, v string")
+    r = asof_join(left, right, ["k"], "ts", "ts", ["v"]).first()
+    assert r.v_asof == "same" and r.ts_asof == 10
