@@ -484,3 +484,47 @@ def j_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("view_event_id_x").alias("view_event_id_asof"),
         col("ts_x").alias("view_ts_asof"),
     )
+
+
+@query(
+    "j_range_price_bands",
+    oracle="""
+    SELECT b.band_name,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+    FROM lineitem l
+    JOIN (VALUES
+        ('low',      0.0, 20000.0),
+        ('mid',  15000.0, 45000.0),
+        ('high', 40000.0, 99999999.0)
+      ) AS b(band_name, lo, hi)
+      ON l.l_extendedprice BETWEEN b.lo AND b.hi
+    GROUP BY b.band_name
+    """,
+)
+def j_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via grid binning (beyond-reference).
+
+    Overlapping price bands — a row can land in two bands, so this is
+    a genuine interval join, not a bucket CASE. operators/range_join.py
+    turns the BETWEEN into an equi-join on grid cells + residual
+    filter; the oracle is DuckDB's plain interval join (its optimizer
+    does its own IEJoin), checking semantics against an independent
+    implementation.
+    """
+    from ..operators.range_join import range_join
+
+    li = load_table(spark, sf_dir, "lineitem", ["l_extendedprice"])
+    bands = spark.createDataFrame(
+        [
+            ("low", 0.0, 20000.0),
+            ("mid", 15000.0, 45000.0),
+            ("high", 40000.0, 99999999.0),
+        ],
+        "band_name string, lo double, hi double",
+    )
+    joined = range_join(li, bands, "l_extendedprice", "lo", "hi", bin_width=20000.0)
+    return joined.groupBy("band_name").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(_dec("l_extendedprice")).cast(DEC).alias("total_price"),
+    )

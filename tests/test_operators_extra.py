@@ -207,3 +207,35 @@ def test_asof_join_tie_is_inclusive(spark):
     right = spark.createDataFrame([(1, 10, "same")], "k long, ts long, v string")
     r = asof_join(left, right, ["k"], "ts", "ts", ["v"]).first()
     assert r.v_asof == "same" and r.ts_asof == 10
+
+
+def test_range_join_matches_plain_between_join(spark):
+    """Binned range join ≡ naive BETWEEN join on random overlapping
+    intervals (including left rows matching 0 and 2+ intervals)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.operators.range_join import range_join
+
+    rng = random.Random(7)
+    points = [(i, rng.uniform(0, 100)) for i in range(200)]
+    intervals = []
+    for j in range(40):
+        lo = rng.uniform(0, 90)
+        intervals.append((j, lo, lo + rng.uniform(0.1, 25)))
+    left = spark.createDataFrame(points, "pid long, v double")
+    right = spark.createDataFrame(intervals, "iid long, lo double, hi double")
+
+    binned = {
+        (r.pid, r.iid)
+        for r in range_join(left, right, "v", "lo", "hi", bin_width=10.0).collect()
+    }
+    plain = {
+        (r.pid, r.iid)
+        for r in left.join(
+            right, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+        ).collect()
+    }
+    assert binned == plain
+    assert len(binned) > 200  # overlap actually exercised
