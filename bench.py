@@ -31,6 +31,11 @@ HEADLINE = [
     "w4_w5_reconnection_dedup",
     "j1_mapping_join_disjunctive",
     "j3_override_coalesce_overlay",
+    "j_asof_purchase_last_view",
+    "j_range_price_bands",
+    "j_salted_skew_join",
+    "a_cube_status_priority",
+    "d_dup_clusters",
     "p3_uncategorized_anti_join",
     "f_feature_engineering",
     "f15_json_extraction",
