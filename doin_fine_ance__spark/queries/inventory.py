@@ -978,3 +978,22 @@ def a9_data_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).alias("span_days"),
     )
+
+
+@query("a_approx_distinct_users")
+def a_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (beyond-reference, the 100 TB defaults):
+    HyperLogLog++ distinct count + quantile sketch per event type.
+
+    Rows-only check (sketches are engine-specific by construction);
+    tests/test_operators_extra.py pins HLL error < 5% vs exact and
+    percentile_approx against the exact median. At 100 TB these replace
+    a_count_distinct_users' exact expand-agg: one pass, fixed memory,
+    mergeable partial sketches.
+    """
+    ev = load_table(spark, sf_dir, "events", ["event_type", "user_id", "value"])
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
+        F.count("*").alias("n_events"),
+    )

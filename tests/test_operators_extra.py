@@ -239,3 +239,52 @@ def test_range_join_matches_plain_between_join(spark):
     }
     assert binned == plain
     assert len(binned) > 200  # overlap actually exercised
+
+
+def test_approx_aggregates_vs_exact(spark):
+    from doin_fine_ance__spark.queries import load_registry
+    from doin_fine_ance__spark.sources.testdata import load_table
+
+    qs, _ = load_registry()
+    sf = "/root/testdata/sf0.01"
+    approx = {r.event_type: r for r in qs["a_approx_distinct_users"](spark, sf).collect()}
+    ev = load_table(spark, sf, "events", ["event_type", "user_id", "value"])
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.expr("percentile(value, 0.5)").alias("exact_median"),
+        )
+        .collect()
+    }
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.approx_users - e.exact_users) / e.exact_users < 0.05
+        # percentile_approx with 10k accuracy on ~2k rows is near-exact
+        assert abs(a.approx_median_value - e.exact_median) <= 1.0
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A month-partitioned mart read with a month filter scans only the
+    matching partition directories (the warehouse's B-tree-index analog)."""
+    import contextlib, io
+
+    from doin_fine_ance__spark.sources.testdata import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "orders_by_month")
+    o.write.partitionBy("order_month").parquet(path)
+
+    df = spark.read.parquet(path).filter(F.col("order_month") == "1996-03")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "order_month" in plan.split("PartitionFilters")[1][:200]
+    n_months = o.select("order_month").distinct().count()
+    assert n_months > 1
+    assert df.count() == o.filter(F.col("order_month") == "1996-03").count()
