@@ -45,6 +45,8 @@ HEADLINE = [
     "d_embedding_cosine_neardups",
     "mm_media_features",
     "t_simhash_fingerprints",
+    "t_winnowing_fingerprints",
+    "a_event_funnel",
     "s_cosine_topk_bruteforce",
     "st_session_window",
 ]

@@ -528,3 +528,66 @@ def j_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(_dec("l_extendedprice")).cast(DEC).alias("total_price"),
     )
+
+
+@query(
+    "a_event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_viewed,
+           COUNT(c.user_id) AS n_clicked,
+           COUNT(p.user_id) AS n_purchased
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def a_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel: view -> later click -> later purchase.
+
+    Each stage anchors on the previous stage's first-event time (a
+    strictly ordered funnel, not three independent filters). Three
+    narrow aggregates shuffled on user_id; at scale all three stages
+    co-partition on the same key so AQE reuses the exchange layout.
+    """
+    ev = load_table(spark, sf_dir, "events", ["user_id", "event_type", "ts"])
+    v = (
+        ev.filter(col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(col("ts") >= col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") >= col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("*").alias("n_viewed"),
+            F.count("t_click").alias("n_clicked"),
+            F.count("t_purchase").alias("n_purchased"),
+        )
+    )
