@@ -47,6 +47,10 @@ def connected_components(
     )
     labels = sym.select("node").distinct().withColumn("component", col("node"))
     labels = labels.localCheckpoint(eager=True)
+    # labels only ever DECREASE (least of own + neighbor minima), so the
+    # label sum is a strictly decreasing convergence witness — one cheap
+    # agg per iteration instead of a join-and-count diff.
+    prev_sum = labels.agg(F.sum("component")).first()[0]
 
     for _ in range(max_iter):
         nbr_min = (
@@ -57,7 +61,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("nbr_comp").alias("min_nbr_comp"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
@@ -67,15 +71,10 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(col("n.component") != col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("component")).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
