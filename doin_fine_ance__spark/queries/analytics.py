@@ -591,3 +591,96 @@ def a_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t_purchase").alias("n_purchased"),
         )
     )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) per_customer
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join preserved through two aggregation levels.
+
+    The inventory's only LEFT OUTER + count-of-nullable probe: customers
+    with zero orders must survive as c_count=0 (COUNT of a null key, not
+    COUNT(*)). Physically: one shuffle on the customer key for the outer
+    join + first agg; the second agg groups on c_count — a handful of
+    distinct values — so its exchange is tiny. At 100 TB the first agg
+    is partial (map-side) before the exchange and AQE coalesces the
+    skinny second stage.
+    """
+    c = load_table(spark, sf_dir, "customer", ["c_custkey"])
+    o = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    per_customer = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_customer.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(col("custdist").desc(), col("c_count").desc())
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big_orders AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price,
+           b.sum_qty
+    FROM big_orders b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY total_price DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a fact-side aggregate gates the join.
+
+    Aggregate lineitem once (partial agg → one exchange on the order
+    key), filter to the rare heavy orders, and only THEN join — the
+    filter runs before any join, so orders/customer see a tiny probe
+    side. The aggregated+filtered side is small enough to broadcast
+    into orders at any scale factor (heavy orders are by construction
+    a tail), avoiding a second fact-table shuffle; customer joins on
+    the already-small result. Top-k is a TakeOrdered, no global sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast(DEC).alias("sum_qty"))
+        .filter(col("sum_qty") > 250)
+    )
+    o = load_table(
+        spark, sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    c = load_table(spark, sf_dir, "customer", ["c_custkey", "c_name"])
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            _dec("o_totalprice").alias("total_price"), "sum_qty",
+        )
+        .orderBy(col("total_price").desc(), col("o_orderkey").asc())
+        .limit(100)
+    )
