@@ -23,7 +23,9 @@ HEADLINE = [
     "q4_priority_semi_join",
     "q5_region_revenue_rollup",
     "q6_forecast_revenue",
+    "q13_customer_order_distribution",
     "q14_promo_revenue_ratio",
+    "q18_large_volume_customers",
     "a1_monthly_spend_by_category",
     "a2_monthly_net_change",
     "a12_cumulative_monthly_net",
