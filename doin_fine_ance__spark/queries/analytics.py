@@ -684,3 +684,58 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("total_price").desc(), col("o_orderkey").asc())
         .limit(100)
     )
+
+
+@query(
+    "w_lead_lag_session_count",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ), s AS (
+      SELECT user_id,
+             1 + COUNT(*) FILTER (WHERE prev_ts IS NOT NULL
+                                    AND ts > prev_ts + INTERVAL 30 MINUTE) AS n_sessions
+      FROM g GROUP BY user_id
+    )
+    SELECT n_sessions, COUNT(*) AS n_users
+    FROM s GROUP BY n_sessions
+    ORDER BY n_sessions ASC
+    """,
+)
+def w_lead_lag_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation-function probe: lag()-based sessionization distribution.
+
+    Beyond-reference (the reference uses no lead/lag, SURVEY §2.5): per
+    user, a gap > 30 min between consecutive events starts a new
+    session; output the users-per-session-count distribution. The
+    batch-side complement of ``st_session_window`` (which uses
+    ``F.session_window``) — same semantics, expressed via window
+    navigation so the surface covers both formulations.
+
+    Oracle-determinism: ordering ties on (user_id, ts) are safe — the
+    gap test depends only on consecutive DISTINCT ts values, so any tie
+    order yields identical gap>threshold counts.
+
+    Scale: the window partitions by user_id (millions of small groups —
+    no WindowExec single-partition collapse); one shuffle shared by the
+    window and the per-user agg, then a tiny distribution exchange.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events", ["user_id", "ts"])
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_starts = F.when(
+        col("prev_ts").isNotNull()
+        & (col("ts") > col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .groupBy("user_id")
+        .agg((F.lit(1) + F.sum(gap_starts)).cast("long").alias("n_sessions"))
+        .groupBy("n_sessions")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(col("n_sessions").asc())
+    )
