@@ -31,10 +31,10 @@ def _dec(c) -> F.Column:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(28,6)) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price,
            COUNT(*) AS count_order
@@ -47,7 +47,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: the canonical wide aggregate over the fact table.
 
     One scan (pruned to 7 columns, shipdate filter pushed), partial agg,
-    one tiny exchange on (returnflag, linestatus). Exact-decimal sums;
+    one tiny exchange on (returnflag, linestatus). Exact-decimal sums
+    cast ONCE to double at the output boundary (driver-canonical 64-bit
+    types — pandas turns DuckDB DECIMAL into float64, so emitting
+    DecimalType from Spark hash-mismatches on trailing zeros);
     averages via exact-sum→double÷count.
     """
     li = load_table(
@@ -56,10 +59,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
     qty, price, disc, tax = (_dec("l_quantity"), _dec("l_extendedprice"), _dec("l_discount"), _dec("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qty).cast(DEC).alias("sum_qty"),
-        F.sum(price).cast(DEC).alias("sum_base_price"),
-        F.sum(price * (lit(1) - disc)).cast("decimal(28,4)").alias("sum_disc_price"),
-        F.sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("decimal(28,6)").alias("sum_charge"),
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (lit(1) - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("double").alias("sum_charge"),
         (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
         (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
         F.count("*").alias("count_order"),
@@ -69,9 +72,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q3_top_unshipped_orders",
     oracle="""
-    SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS revenue,
-           o.o_orderdate, o.o_orderpriority
+    SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -99,7 +101,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]).filter(
         col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz")
     )
-    revenue = F.sum(_dec("l_extendedprice") * (lit(1) - _dec("l_discount"))).cast("decimal(28,4)")
+    revenue = F.sum(_dec("l_extendedprice") * (lit(1) - _dec("l_discount"))).cast("double")
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
@@ -114,7 +116,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue_rollup",
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_orders
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -142,7 +144,7 @@ def q5_region_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
         .groupBy("region", "nation")
         .agg(
-            F.sum(_dec("o_totalprice")).cast(DEC).alias("revenue"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -174,7 +176,7 @@ def a_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(r.r_name, 'ALL') AS region,
            CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS nation,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_balance
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -196,7 +198,7 @@ def a_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum(_dec("c_acctbal")).cast(DEC).alias("total_balance"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
             # grouping() is only legal inside the rollup's own agg
             F.grouping("n_name").alias("_g_nation"),
         )
@@ -213,7 +215,7 @@ def a_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f15_json_extraction",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     WHERE json_extract_string(props, '$.k') IS NOT NULL
@@ -276,7 +278,7 @@ def q4_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q6_forecast_revenue",
     oracle="""
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS revenue,
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -304,7 +306,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.agg(
         F.sum(_dec("l_extendedprice") * _dec("l_discount"))
-        .cast("decimal(28,4)")
+        .cast("double")
         .alias("revenue"),
         F.count("*").alias("n_lines"),
     )
@@ -366,7 +368,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.l_returnflag AS flag,
            d.flag_label,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
     FROM lineitem l
     JOIN (VALUES ('A', 'accepted'), ('N', 'none'), ('R', 'returned'))
       AS d(flag, flag_label)
@@ -398,7 +400,7 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(col("flag"), col("flag_label"))
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum(_dec("l_quantity")).cast(DEC).alias("total_qty"),
+            F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
         )
     )
 
@@ -409,7 +411,7 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
            CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -423,7 +425,7 @@ def a_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast(DEC).alias("revenue"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
             F.grouping("o_orderstatus").alias("_gs"),
             F.grouping("o_orderpriority").alias("_gp"),
         )
@@ -491,7 +493,7 @@ def j_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT b.band_name,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM lineitem l
     JOIN (VALUES
         ('low',      0.0, 20000.0),
@@ -526,7 +528,7 @@ def j_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join(li, bands, "l_extendedprice", "lo", "hi", bin_width=20000.0)
     return joined.groupBy("band_name").agg(
         F.count("*").alias("n_lines"),
-        F.sum(_dec("l_extendedprice")).cast(DEC).alias("total_price"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
     )
 
 
@@ -637,13 +639,13 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     WITH big_orders AS (
       SELECT l_orderkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem
       GROUP BY l_orderkey
       HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
     )
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-           CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
            b.sum_qty
     FROM big_orders b
     JOIN orders o ON b.l_orderkey = o.o_orderkey
@@ -666,8 +668,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).cast(DEC).alias("sum_qty"))
-        .filter(col("sum_qty") > 250)
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty_dec"))
+        .filter(col("sum_qty_dec") > 250)
+        .select("l_orderkey", col("sum_qty_dec").cast("double").alias("sum_qty"))
     )
     o = load_table(
         spark, sf_dir, "orders",
@@ -679,7 +682,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
-            _dec("o_totalprice").alias("total_price"), "sum_qty",
+            _dec("o_totalprice").cast("double").alias("total_price"), "sum_qty",
         )
         .orderBy(col("total_price").desc(), col("o_orderkey").asc())
         .limit(100)

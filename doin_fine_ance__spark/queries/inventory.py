@@ -53,8 +53,16 @@ def _dec(c) -> F.Column:
 
 
 def _sum_dec(c, alias: str) -> F.Column:
-    """Exact money sum: cast to decimal before aggregating."""
-    return F.sum(_dec(c)).cast(DEC).alias(alias)
+    """Exact money sum, driver-canonical output type.
+
+    Cast to decimal BEFORE aggregating (exact, order-insensitive), then
+    cast the final sum ONCE to double: pandas turns DuckDB DECIMAL into
+    float64, so a Spark DecimalType output hash-mismatches the driver's
+    oracle on trailing zeros ('1577.50' vs 1577.5). One correctly-
+    rounded decimal→double conversion of the same exact value is
+    bit-identical across engines.
+    """
+    return F.sum(_dec(c)).cast("double").alias(alias)
 
 
 # ---------------------------------------------------------------------------
@@ -67,7 +75,7 @@ def _sum_dec(c, alias: str) -> F.Column:
     oracle="""
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
            o_orderpriority AS category,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_amount
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
     FROM orders
     GROUP BY 1, 2
     """,
@@ -89,7 +97,7 @@ def a1_monthly_spend_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a2_monthly_net_change",
     oracle="""
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS net_change
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS net_change
     FROM orders
     WHERE o_orderpriority IS NOT NULL
       AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
@@ -120,7 +128,7 @@ def a2_monthly_net_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS year,
            l_returnflag AS category,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_amount
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
     FROM lineitem
     GROUP BY 1, 2
     """,
@@ -140,7 +148,7 @@ def a3_yearly_spend_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) || 'Q'
              || CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS quarter,
            o_orderstatus AS category,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_amount
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
     FROM orders
     GROUP BY 1, 2
     """,
@@ -162,9 +170,9 @@ def a4_quarterly_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a5_pivot_month_by_status",
     oracle="""
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS status_f,
-           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS status_o,
-           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS status_p
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS status_f,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS status_o,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS status_p
     FROM orders
     GROUP BY 1
     """,
@@ -183,9 +191,9 @@ def a5_pivot_month_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pv.select(
         "month",
-        F.coalesce(col("F"), lit(0)).cast(DEC).alias("status_f"),
-        F.coalesce(col("O"), lit(0)).cast(DEC).alias("status_o"),
-        F.coalesce(col("P"), lit(0)).cast(DEC).alias("status_p"),
+        F.coalesce(col("F"), lit(0)).cast(DEC).cast("double").alias("status_f"),
+        F.coalesce(col("O"), lit(0)).cast(DEC).cast("double").alias("status_o"),
+        F.coalesce(col("P"), lit(0)).cast(DEC).cast("double").alias("status_p"),
     )
 
 
@@ -266,9 +274,9 @@ def a11_class_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS net_change
       FROM orders GROUP BY 1
     )
-    SELECT month, net_change,
+    SELECT month, CAST(net_change AS DOUBLE) AS net_change,
            CAST(SUM(net_change) OVER (ORDER BY month
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS cumulative_net
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cumulative_net
     FROM monthly
     """,
 )
@@ -279,14 +287,18 @@ def a12_cumulative_monthly_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale because it runs on the *aggregated* frame, not raw rows.
     """
     o = load_table(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    # Keep the monthly sums DECIMAL through the running-sum window (the
+    # cumulative decimal addition is exact in both engines regardless of
+    # the window implementation's association order); cast to double
+    # only at the output boundary.
     monthly = o.groupBy(month_trunc("o_orderdate").alias("month")).agg(
-        _sum_dec("o_totalprice", "net_change")
+        F.sum(_dec("o_totalprice")).cast(DEC).alias("net_change")
     )
     w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
     return monthly.select(
         "month",
-        "net_change",
-        F.sum("net_change").over(w).cast(DEC).alias("cumulative_net"),
+        col("net_change").cast("double").alias("net_change"),
+        F.sum("net_change").over(w).cast("double").alias("cumulative_net"),
     )
 
 
@@ -294,8 +306,8 @@ def a12_cumulative_monthly_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a13_prediction_stats",
     oracle="""
     SELECT COUNT(*) AS n_total,
-           SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS n_high_confidence,
-           SUM(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS n_uncertain
+           CAST(SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_confidence,
+           CAST(SUM(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_uncertain
     FROM events
     """,
 )
@@ -791,12 +803,12 @@ def o5_top5_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     "u1_union_two_sources",
     oracle="""
     SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
            'simplefin' AS source_name
     FROM orders WHERE o_orderstatus = 'O'
     UNION ALL
     SELECT 'HIST_' || CAST(o_orderkey AS VARCHAR) AS transaction_id,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
            'historic' AS source_name
     FROM orders WHERE o_orderstatus = 'F'
     """,
@@ -806,12 +818,12 @@ def u1_union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
     simplefin = o.filter(col("o_orderstatus") == "O").select(
         col("o_orderkey").cast("string").alias("transaction_id"),
-        _dec("o_totalprice").alias("amount"),
+        _dec("o_totalprice").cast("double").alias("amount"),
         lit("simplefin").alias("source_name"),
     )
     historic = o.filter(col("o_orderstatus") == "F").select(
         F.concat(lit("HIST_"), col("o_orderkey").cast("string")).alias("transaction_id"),
-        _dec("o_totalprice").alias("amount"),
+        _dec("o_totalprice").cast("double").alias("amount"),
         lit("historic").alias("source_name"),
     )
     return simplefin.unionByName(historic)
@@ -828,7 +840,7 @@ def u1_union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            COALESCE(event_type, '') || ' ' || COALESCE(CAST(user_id AS VARCHAR), '') AS combined_text,
            CASE WHEN regexp_matches(lower(event_type), 'purchase|refund') THEN 1 ELSE 0 END AS has_money_keyword,
-           CAST(abs(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS amount_abs,
+           CAST(abs(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount_abs,
            CASE WHEN value < 0 THEN 1 ELSE 0 END AS is_negative,
            CASE WHEN abs(value) IS NULL THEN 5
                 WHEN abs(value) <= 10 THEN 0
@@ -864,7 +876,7 @@ def f_feature_engineering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.lower(col("event_type")).rlike("purchase|refund"), 1)
         .otherwise(0)
         .alias("has_money_keyword"),
-        F.abs(_dec("value")).cast(DEC).alias("amount_abs"),
+        F.abs(_dec("value")).cast("double").alias("amount_abs"),
         F.when(col("value") < 0, 1).otherwise(0).alias("is_negative"),
         amount_bucket("value").alias("amount_bucket"),
         pandas_dow("ts").alias("day_of_week"),

@@ -25,7 +25,7 @@ from . import query
     SELECT to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT))::TIMESTAMP AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -41,7 +41,7 @@ def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window(col("ts"), "5 minutes").alias("w"), col("event_type"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+            F.sum(col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(
             col("w.start").cast("timestamp_ntz").alias("window_start"),
@@ -64,7 +64,7 @@ def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE epoch(e.ts) >= floor((epoch(e.ts) - o.k * 300) / 900) * 900 + o.k * 300
     )
     SELECT window_start, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM assigned
     GROUP BY 1
     """,
@@ -76,7 +76,7 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window(col("ts"), "15 minutes", "5 minutes").alias("w"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+            F.sum(col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(col("w.start").cast("timestamp_ntz").alias("window_start"), "n", "total_value")
     )
@@ -94,13 +94,13 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sessions AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -135,5 +135,5 @@ def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
-        F.sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+        F.sum(col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )

@@ -54,17 +54,71 @@ def canonical(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def _pandas_cell(v):
+    """Canonicalize one pandas cell the way a string-level hash would see it.
+
+    Replicates the driver's weakness on purpose: a ``Decimal('1577.50')``
+    from a Spark DecimalType column and a float64 ``1577.5`` from
+    DuckDB-through-pandas stringify differently, so this mode FAILS where
+    the exact-value mode would silently pass. All final outputs must be
+    driver-canonical 64-bit types (double/bigint/string/date/timestamp).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+        return "<null>"
+    if isinstance(v, (bool, np.bool_)):
+        return f"bool:{bool(v)}"
+    if isinstance(v, (np.floating, float)):
+        return repr(float(v))
+    if isinstance(v, (np.integer, int)):
+        return repr(int(v))
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        # DATE columns arrive as datetime.date from Spark collect() but
+        # as datetime64 midnight through DuckDB→pandas; unify (safe: the
+        # logical type is the same on both sides of any one query).
+        return v.isoformat() + "T00:00:00"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_pandas_cell(x) for x in v) + "]"
+    return f"{type(v).__name__}:{v!r}"
+
+
+def canonical_pandas(pdf) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    out = [
+        tuple(_pandas_cell(row[c]) for c in cols)
+        for _, row in pdf.iterrows()
+    ]
+    out.sort()
+    return out
+
+
 def compare_query(spark, name: str, sf_dir: str, queries: dict, oracles: dict):
-    """Return (ok, detail) for one registered query vs its oracle."""
+    """Return (ok, detail) for one registered query vs its oracle.
+
+    Two gates, both must pass:
+    1. exact-value mode (collect/fetchall, typed normalization) — the
+       semantic ground truth;
+    2. pandas-roundtrip mode — a replica of the driver's comparison,
+       where DuckDB DECIMAL/HUGEINT degrade to float64 through pandas.
+       This is the mode that caught r1's 17 canonicalization fails.
+    """
     sdf = queries[name](spark, sf_dir)
     s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    rows_collected = sdf.collect()
+    s_rows = [tuple(r) for r in rows_collected]
 
     con = duck_connection(sf_dir)
     try:
         res = con.execute(oracles[name])
         o_cols = [d[0] for d in res.description]
         o_rows = res.fetchall()
+        o_pdf = con.execute(oracles[name]).df()
     finally:
         con.close()
 
@@ -77,4 +131,13 @@ def compare_query(spark, name: str, sf_dir: str, queries: dict, oracles: dict):
     if sc != oc:
         diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
         return False, f"values differ; first diffs: {diffs}"
+
+    import pandas as pd
+
+    s_pdf = pd.DataFrame(s_rows, columns=s_cols)
+    sp = canonical_pandas(s_pdf)
+    op = canonical_pandas(o_pdf)
+    if sp != op:
+        diffs = [(a, b) for a, b in zip(sp, op) if a != b][:3]
+        return False, f"pandas-canonical values differ; first diffs: {diffs}"
     return True, f"ok ({len(s_rows)} rows)"
