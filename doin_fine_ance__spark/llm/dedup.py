@@ -94,21 +94,20 @@ def minhash_signatures(
     return docs.select(col(id_col), _sig_udf(col(text_col)).alias("signature"))
 
 
-def lsh_candidate_pairs(
+def band_keys(
     signatures: DataFrame, id_col: str = "doc_id", bands: int = 16, k: int | None = None
 ) -> DataFrame:
-    """Band the signatures and emit candidate pairs per bucket.
+    """Map-only banding: (id, band, band_hash) — one row per band.
 
-    One shuffle on (band index, band hash); within-bucket self-join with
-    ``id_a < id_b`` dedup. Bucket sizes are bounded in practice (equal
-    band hash ⇒ near-identical prefix), so the join is skew-safe; AQE
-    splits pathological buckets.
+    band_hash = md5 of the band's r = k/bands signature slots; equal
+    hash ⇔ equal band slice (modulo md5 collisions), which is the LSH
+    bucket key. No shuffle here — callers join on (band, band_hash).
     """
     if k is None:
         # fallback probe; callers pass k to avoid the extra job
         k = signatures.select(F.size("signature")).first()[0]
     r = k // bands
-    banded = signatures.select(
+    return signatures.select(
         col(id_col),
         F.explode(
             F.array(
@@ -127,6 +126,18 @@ def lsh_candidate_pairs(
         ).alias("bk"),
     ).select(col(id_col), col("bk.band").alias("band"), col("bk.band_hash").alias("band_hash"))
 
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 16, k: int | None = None
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs per bucket.
+
+    One shuffle on (band index, band hash); within-bucket self-join with
+    ``id_a < id_b`` dedup. Bucket sizes are bounded in practice (equal
+    band hash ⇒ near-identical prefix), so the join is skew-safe; AQE
+    splits pathological buckets.
+    """
+    banded = band_keys(signatures, id_col, bands, k)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -260,6 +271,42 @@ def simhash_near_dups(
     )
 
 
+def incremental_candidate_pairs(
+    new_sigs: DataFrame,
+    all_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    k: int = 64,
+) -> DataFrame:
+    """Asymmetric LSH candidate join: banded-NEW × banded-(store ∪ new).
+
+    The store side appears exactly once in this plan and is never
+    self-joined — per-batch cost scales with the batch. Store rows are
+    pruned to the buckets the batch touches via a broadcast semi-join
+    on the batch's (band, band_hash) set BEFORE any shuffle. Pairs are
+    emitted as (least, greatest) so a new doc with a lower id than a
+    stored doc still pairs (either-side-new contract).
+    """
+    banded_new = band_keys(new_sigs, id_col, bands, k=k)
+    banded_all = band_keys(all_sigs, id_col, bands, k=k)
+    new_buckets = banded_new.select("band", "band_hash").distinct()
+    touched = banded_all.join(F.broadcast(new_buckets), ["band", "band_hash"], "left_semi")
+    n, t = banded_new.alias("n"), touched.alias("t")
+    return (
+        n.join(
+            t,
+            (col("n.band") == col("t.band"))
+            & (col("n.band_hash") == col("t.band_hash"))
+            & (col(f"n.{id_col}") != col(f"t.{id_col}")),
+        )
+        .select(
+            F.least(col(f"n.{id_col}"), col(f"t.{id_col}")).alias("id_a"),
+            F.greatest(col(f"n.{id_col}"), col(f"t.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def incremental_near_dups(
     spark,
     new_docs: DataFrame,
@@ -276,13 +323,18 @@ def incremental_near_dups(
     document and stored (parquet at `signature_store`, at scale
     partitioned by band hash); each new batch
       1. signs only the NEW documents (map-only),
-      2. LSH-matches new-vs-stored and new-vs-new in one banded join
-         (stored side never re-signs, never re-pairs with itself),
+      2. bands the NEW signatures and joins banded-new × banded-store —
+         the store is never self-joined, and store rows are pruned to
+         the buckets the batch actually touches (broadcast semi-join on
+         the batch's bucket keys) before any shuffle, so per-batch join
+         cost scales with the BATCH, not the corpus,
       3. appends the new signatures to the store.
     Returns candidate pairs (id_a, id_b, estimated_jaccard) where at
-    least one side is new; estimate = fraction of matching minhashes
-    (exact-verify downstream needs the text of both sides, which the
-    store deliberately does not carry).
+    least one side is new — regardless of id ordering across batches
+    (a new doc with a LOWER id than a stored doc still pairs, because
+    the new side is always one leg of the join); estimate = fraction of
+    matching minhashes (exact-verify downstream needs the text of both
+    sides, which the store deliberately does not carry).
 
     Determinism: signatures depend only on (text, seed), so the store
     can be rebuilt or extended in any order and matching is stable.
@@ -297,12 +349,7 @@ def incremental_near_dups(
     else:
         all_sigs = new_sigs
 
-    cands = lsh_candidate_pairs(all_sigs, id_col, bands, k=k)
-    new_ids = new_sigs.select(col(id_col).alias("id_b")).distinct()
-    # keep pairs whose HIGHER id is new (id_a < id_b always holds), i.e.
-    # new-vs-old and new-vs-new — old-vs-old pairs were already reported
-    # in earlier batches and are never recomputed.
-    fresh = cands.join(new_ids, "id_b", "left_semi")
+    fresh = incremental_candidate_pairs(new_sigs, all_sigs, id_col, bands, k)
 
     sa = all_sigs.select(col(id_col).alias("id_a"), col("signature").alias("sig_a"))
     sb = all_sigs.select(col(id_col).alias("id_b"), col("signature").alias("sig_b"))

@@ -104,19 +104,34 @@ def deduplicate(
     recency: Sequence[Column | str] | None = None,
     fuzzy_keys: Sequence[str] | None = None,
     group_key: str | None = None,
+    recency_col: str | None = None,
 ) -> DataFrame:
     """Generalized dedup: exact latest-wins, plus optional fuzzy layer.
 
-    - `keys` + `recency` → :func:`latest_wins` exact dedup.
+    - `keys` + `recency` → :func:`latest_wins` exact dedup. `recency`
+      is an ORDER BY spec: pass explicit directions (e.g.
+      ``[col('ts').desc(), col('id').desc()]``) — plain strings sort
+      ascending, which keeps the OLDEST row.
     - `fuzzy_keys` + `group_key` → additionally collapse
       cross-`group_key` duplicates of the same fuzzy identity
-      (:func:`reconnection_dedup`), using the first `recency` column.
+      (:func:`reconnection_dedup`). The fuzzy layer aggregates
+      ``max(recency_col)`` per group, so it needs a plain COLUMN NAME:
+      pass `recency_col` explicitly; as a convenience it is inferred
+      from `recency[0]` only when that element is a string (a Column
+      expression like ``col('ts').desc()`` has no reliable name — on
+      Spark Connect there is no ``_jc`` at all — so that case raises).
     """
     if recency is None:
         return df.dropDuplicates(list(keys))
     out = latest_wins(df, keys, recency)
     if fuzzy_keys and group_key:
-        rec0 = recency[0]
-        rec_name = rec0 if isinstance(rec0, str) else rec0._jc.toString()  # noqa: SLF001
-        out = reconnection_dedup(out, fuzzy_keys, group_key, rec_name)
+        if recency_col is None:
+            rec0 = recency[0]
+            if not isinstance(rec0, str):
+                raise TypeError(
+                    "deduplicate(fuzzy_keys=...) needs recency_col=<column "
+                    "name> when recency[0] is a Column expression"
+                )
+            recency_col = rec0
+        out = reconnection_dedup(out, fuzzy_keys, group_key, recency_col)
     return out

@@ -30,7 +30,20 @@ def salted_join(
     big rows get a deterministic-per-row salt (hash of all columns, so
     re-runs shuffle identically); small rows are exploded once per salt
     value. Output columns = big's + small's (minus the duplicate key).
+
+    Only ``inner`` and ``left`` are supported: they are row-identical
+    to the unsalted join because every big row carries exactly one salt
+    value. Under ``right``/``full`` an UNMATCHED small row would be
+    emitted once per salt bucket (the small side is exploded
+    `salt_buckets`×), duplicating output — so those modes raise.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: outer "
+            "modes would emit each unmatched small-side row once per salt "
+            "bucket (small side is replicated). Join unsalted, or dedup "
+            "unmatched rows explicitly."
+        )
     big_salted = big.withColumn(
         "_salt",
         F.pmod(F.xxhash64(*[col(c) for c in big.columns]), lit(salt_buckets)).cast("int"),

@@ -203,3 +203,63 @@ def test_incremental_near_dups_matches_only_new(spark, tmp_path):
     assert (1, 2) not in pairs2
     # store now holds all five signatures
     assert spark.read.parquet(store).count() == 5
+
+
+def test_incremental_near_dups_nonmonotone_ids(spark, tmp_path):
+    """A new doc with a LOWER id than its stored near-dup must still
+    pair (regression: the old left_semi-on-id_b filter silently dropped
+    (new_low, old_high) pairs when batch ids weren't monotone)."""
+    from doin_fine_ance__spark.llm.dedup import incremental_near_dups
+
+    store = str(tmp_path / "sigstore")
+    base = "pack my box with five dozen liquor jugs again and again " * 8
+
+    batch1 = spark.createDataFrame([(10, base)], "doc_id long, text string")
+    assert incremental_near_dups(spark, batch1, store).collect() == []
+
+    batch2 = spark.createDataFrame([(3, base + "tiny tail")], "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in incremental_near_dups(spark, batch2, store).collect()}
+    assert (3, 10) in pairs
+
+
+def test_incremental_candidates_never_self_join_store(spark, tmp_path):
+    """Scale contract: the candidate plan scans the signature store
+    exactly once (banded-new × banded-all with broadcast bucket
+    pruning) — a store×store self-join would scan it twice and make
+    per-batch cost grow with the corpus instead of the batch."""
+    from doin_fine_ance__spark.llm.dedup import (
+        incremental_candidate_pairs,
+        minhash_signatures,
+    )
+
+    import hashlib
+
+    def words(i):
+        return " ".join(
+            hashlib.md5(f"{i}:{j}".encode()).hexdigest() for j in range(30)
+        )
+
+    store = str(tmp_path / "sigstore")
+    docs = spark.createDataFrame(
+        [(i, words(i)) for i in range(20)], "doc_id long, text string"
+    )
+    minhash_signatures(docs).write.parquet(store)
+    old_sigs = spark.read.parquet(store)
+
+    new_docs = spark.createDataFrame(
+        [(1000, words(7))], "doc_id long, text string"
+    )
+    new_sigs = minhash_signatures(new_docs)
+    cands = incremental_candidate_pairs(new_sigs, old_sigs.unionByName(new_sigs))
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cands.explain(mode="simple")  # one line per physical node
+    plan = buf.getvalue()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "LeftSemi" in plan, plan
+    # and the candidates themselves are correct
+    assert {(r.id_a, r.id_b) for r in cands.collect()} == {(7, 1000)}

@@ -29,6 +29,58 @@ def test_salted_join_matches_plain_join(spark):
     assert len(left) == 1000  # every big row survives a left join
 
 
+def test_salted_join_rejects_outer_modes(spark):
+    """right/full would emit each unmatched small-side row once per
+    salt bucket (the small side is exploded) — refuse loudly."""
+    import pytest
+
+    big = spark.createDataFrame([("a", 1)], ["k", "v"])
+    small = spark.createDataFrame([("a", "A"), ("unmatched", "Z")], ["k", "tag"])
+    for how in ("right", "full", "outer", "left_semi"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(big, small, "k", how=how)
+
+
+def test_deduplicate_fuzzy_with_column_recency(spark):
+    """Fuzzy layer with a Column recency spec: needs recency_col, keeps
+    the LATEST row per key, and collapses cross-group fuzzy dups."""
+    import pytest
+
+    from doin_fine_ance__spark.operators.dedup import deduplicate
+
+    rows = [
+        # (txn_id, account, logical, ts) — same logical txn seen under
+        # two accounts; account b imported later and must win.
+        ("t1", "acct_a", "L1", dt.datetime(2024, 1, 1)),
+        ("t1", "acct_a", "L1", dt.datetime(2024, 1, 2)),  # exact-dup, later
+        ("t2", "acct_b", "L1", dt.datetime(2024, 2, 1)),
+        ("t3", "acct_c", "L2", dt.datetime(2024, 1, 5)),
+    ]
+    df = spark.createDataFrame(rows, ["txn_id", "account", "logical", "ts"])
+
+    out = deduplicate(
+        df,
+        keys=["txn_id"],
+        recency=[F.col("ts").desc()],
+        fuzzy_keys=["logical"],
+        group_key="account",
+        recency_col="ts",
+    ).collect()
+    got = {(r.txn_id, r.account) for r in out}
+    # exact layer keeps t1@2024-01-02; fuzzy layer then drops acct_a's
+    # L1 in favor of the later-imported acct_b group
+    assert got == {("t2", "acct_b"), ("t3", "acct_c")}
+
+    with pytest.raises(TypeError, match="recency_col"):
+        deduplicate(
+            df,
+            keys=["txn_id"],
+            recency=[F.col("ts").desc()],
+            fuzzy_keys=["logical"],
+            group_key="account",
+        )
+
+
 def test_streaming_upsert_sink(spark, tmp_path):
     from doin_fine_ance__spark.streaming.windows import (
         stream_upsert_sink,
