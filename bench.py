@@ -79,9 +79,12 @@ def main() -> None:
             continue
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # Sink through noop, NOT count(): under count() Catalyst prunes
+        # deterministic projected columns, so map-only queries (pandas
+        # UDF fingerprints, wide feature projections) would be timed as
+        # near-empty scans. noop materializes every output column.
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

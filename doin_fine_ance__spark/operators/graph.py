@@ -45,6 +45,11 @@ def connected_components(
         .unionByName(edges.select(col(dst).alias("node"), col(src).alias("nbr")))
         .distinct()
     )
+    # Materialize the symmetric edge list ONCE: it is joined every
+    # iteration (plus the convergence agg), and without this the whole
+    # upstream edge-generation plan (e.g. a blocked-Jaccard pair join)
+    # re-executes per round.
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select("node").distinct().withColumn("component", col("node"))
     labels = labels.localCheckpoint(eager=True)
     # labels only ever DECREASE (least of own + neighbor minima), so the
