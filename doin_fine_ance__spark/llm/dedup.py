@@ -21,7 +21,9 @@ Determinism: shingle hashes derive from md5 (stable across engines,
 sessions, and partitionings); the k permutations use fixed
 coefficients from ``random.Random(42)`` — same signature for the same
 text forever, which makes incremental dedup (match new docs against a
-stored signature table) valid.
+stored signature table) valid, and lets a SQL oracle recompute the
+identical bands (queries/llm_ops.py generates that SQL from
+PERM_COEFFS).
 """
 
 from __future__ import annotations
@@ -50,9 +52,12 @@ def minhash_signatures(
     """doc → k-wide minhash signature (array<string>), Arrow-vectorized.
 
     Character n-gram shingles of the whitespace-normalized lowered text
-    are hashed to 32-bit ints (crc32 — engine- and session-stable);
-    signature[i] = min over shingles of (a_i·x + b_i) mod p, computed
-    as ONE numpy broadcast per document.
+    are hashed to 32-bit ints via the first 8 hex chars of md5 —
+    engine- and session-stable AND SQL-expressible (DuckDB:
+    ``CAST('0x' || substr(md5(s), 1, 8) AS UBIGINT)``), which lets the
+    driver's oracle recompute the EXACT same signatures/bands instead
+    of depending on LSH recall; signature[i] = min over shingles of
+    (a_i·x + b_i) mod p, computed as ONE numpy broadcast per document.
 
     This is a deliberate pandas-UDF stage (the documented slow-path
     escape hatch): the same computation as JVM higher-order transforms
@@ -71,8 +76,8 @@ def minhash_signatures(
 
     @pandas_udf("array<string>")
     def _sig_udf(texts: pd.Series) -> pd.Series:
+        import hashlib
         import re
-        import zlib
 
         ws = re.compile(r"\s+")
         out = []
@@ -83,7 +88,10 @@ def minhash_signatures(
             else:
                 shingles = {norm[i : i + n] for i in range(len(norm) - n + 1)}
             X = np.fromiter(
-                (zlib.crc32(s.encode("utf-8")) for s in shingles),
+                (
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                    for s in shingles
+                ),
                 dtype=np.uint64,
                 count=len(shingles),
             ).reshape(1, -1)

@@ -23,9 +23,73 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
 from ..llm.ann import ann_topk_ivf, ann_topk_lsh
-from ..llm.dedup import minhash_near_dups, simhash64, simhash_near_dups
+from ..llm.dedup import PERM_COEFFS, minhash_near_dups, simhash64, simhash_near_dups
 from ..sources.testdata import load_table
 from . import query
+
+
+def _minhash_pairs_cte(threshold: float, k: int = 64, bands: int = 16, n: int = 5) -> str:
+    """Generate the DuckDB CTE chain computing the EXACT MinHash-LSH
+    pipeline of :func:`doin_fine_ance__spark.llm.dedup.minhash_near_dups`.
+
+    Same shingling (char n-grams of whitespace-normalized lowered
+    text), same 32-bit md5-derived shingle hash, same fixed permutation
+    coefficients (PERM_COEFFS), same band hashing, same exact token-
+    Jaccard verification — so the oracle matches by construction, not
+    by hoping LSH recall is 1. Yields a chain ending in
+    ``mh_pairs(id_a, id_b, jaccard)``.
+    """
+    p = (1 << 31) - 1
+    r = k // bands
+    mins = ",\n             ".join(
+        f"MIN((CAST({a} AS UBIGINT) * h + CAST({b} AS UBIGINT)) % {p}) AS s{i}"
+        for i, (a, b) in enumerate(PERM_COEFFS[:k])
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {bi} AS band, md5(concat_ws('|', {cols})) AS band_hash FROM mh_sigs".format(
+            bi=bi, cols=", ".join(f"s{bi * r + j}" for j in range(r))
+        )
+        for bi in range(bands)
+    )
+    jac = (
+        "CAST(length(list_intersect(ta.tokens, tb.tokens)) AS DOUBLE)"
+        " / (length(ta.tokens) + length(tb.tokens)"
+        " - length(list_intersect(ta.tokens, tb.tokens)))"
+    )
+    return f"""
+    mh_norm AS (
+      SELECT doc_id, regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ), mh_shingles AS (
+      SELECT doc_id,
+             unnest(CASE WHEN length(t) < {n} THEN [t]
+                    ELSE list_distinct(list_transform(range(1, length(t) - {n - 2}),
+                                                      i -> substr(t, i, {n}))) END) AS s
+      FROM mh_norm
+    ), mh_hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS UBIGINT) AS h
+      FROM mh_shingles
+    ), mh_sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM mh_hashed GROUP BY doc_id
+    ), mh_bands AS (
+      {band_selects}
+    ), mh_cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM mh_bands a JOIN mh_bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ), mh_toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tokens
+      FROM documents
+    ), mh_pairs AS (
+      SELECT c.id_a, c.id_b, {jac} AS jaccard
+      FROM mh_cands c
+      JOIN mh_toks ta ON c.id_a = ta.doc_id
+      JOIN mh_toks tb ON c.id_b = tb.doc_id
+      WHERE {jac} >= {threshold}
+    )"""
 
 
 # ---------------------------------------------------------------------------
@@ -349,22 +413,13 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d_dup_clusters",
-    oracle="""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id,
-             list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tokens,
-             lower(text)[1:16] AS block_key
-      FROM documents
-    ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM toks a JOIN toks b
-        ON a.block_key = b.block_key AND a.doc_id < b.doc_id
-      WHERE CAST(length(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
-              / (length(a.tokens) + length(b.tokens) - length(list_intersect(a.tokens, b.tokens))) >= 0.5
-    ), sym AS (
-      SELECT id_a AS node, id_b AS nbr FROM pairs
+    oracle="WITH RECURSIVE "
+    + _minhash_pairs_cte(0.5)
+    + """,
+    sym AS (
+      SELECT id_a AS node, id_b AS nbr FROM mh_pairs
       UNION
-      SELECT id_b AS node, id_a AS nbr FROM pairs
+      SELECT id_b AS node, id_a AS nbr FROM mh_pairs
     ), reach(node, lab) AS (
       SELECT node, node FROM sym
       UNION
@@ -382,13 +437,20 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB recursive-CTE transitive closure — both converge to the
     same deterministic fixpoint (smallest doc_id per component), so
     this iterative algorithm is hash-checked, not just rows-counted.
-    Edge set: the same blocked token-Jaccard ≥ 0.5 graph as
-    d_ngram_jaccard_pairs.
+
+    Edge set: MinHash-LSH band candidates verified at exact token-
+    Jaccard ≥ 0.5 — the skew-safe production path (bucket sizes are
+    bounded by signature collisions, never by a shared text prefix;
+    cf. d_ngram_jaccard_pairs, whose 16-char-prefix blocking is kept
+    only as an independent oracle probe). The oracle recomputes the
+    SAME signatures/bands in SQL from the fixed PERM_COEFFS, so the
+    match is by construction, not by LSH recall luck.
     """
     from ..operators.graph import dedup_keepers
 
-    pairs = d_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    return dedup_keepers(pairs, "doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_near_dups(d, threshold=0.5).select("id_a", "id_b")
+    return dedup_keepers(pairs, "id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -401,13 +463,23 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SQL-expressible; pytest cross-checks them against exact baselines)
 
 
-@query("d_minhash_lsh_neardups")
+@query(
+    "d_minhash_lsh_neardups",
+    oracle="WITH "
+    + _minhash_pairs_cte(0.7)
+    + """
+    SELECT id_a, id_b, jaccard FROM mh_pairs
+    """,
+)
 def d_minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) near-dup pairs, exact-Jaccard verified.
 
     shingle→minhash→band→bucket-join→verify; no O(n²) stage (see
-    doin_fine_ance__spark.llm.dedup). Rows-only check: recall vs the
-    exact-Jaccard baseline is asserted in tests/test_llm_ops.py.
+    doin_fine_ance__spark.llm.dedup). Hash-checked against a SQL
+    re-computation of the identical signatures/bands (md5-derived
+    shingle hashes + fixed PERM_COEFFS make the sketch engine-
+    independent); recall vs the exact-Jaccard baseline is additionally
+    asserted in tests/test_llm_ops.py.
     """
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     return minhash_near_dups(d, threshold=0.7)

@@ -175,6 +175,36 @@ def test_multimodal_plumbing_batch_shape(spark):
         resize_images(media, 32, 32)
 
 
+def test_dup_cluster_path_skew_safe_on_shared_prefix(spark):
+    """1k docs sharing a 16-char prefix must NOT collapse into one
+    quadratic block: the clustering edge set comes from MinHash bands
+    (global similarity), not text-prefix blocking. Candidate pairs stay
+    ~linear and only the planted near-dup pair survives verification."""
+    import hashlib
+
+    from doin_fine_ance__spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_near_dups,
+        minhash_signatures,
+    )
+
+    prefix = "BOILERPLATE HDR "  # exactly 16 chars, shared by every doc
+    def body(i):
+        return " ".join(hashlib.md5(f"{i}:{j}".encode()).hexdigest() for j in range(25))
+
+    rows = [(i, prefix + body(i)) for i in range(1000)]
+    rows.append((5000, prefix + body(7) + " x"))  # planted near-dup of doc 7
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    n_cands = cands.count()
+    # a prefix-blocked scheme would generate 1001*1000/2 ≈ 500k pairs
+    assert n_cands < 5000, f"candidate explosion: {n_cands} pairs"
+
+    pairs = {(r.id_a, r.id_b) for r in minhash_near_dups(docs, threshold=0.5).collect()}
+    assert pairs == {(7, 5000)}
+
+
 def test_incremental_near_dups_matches_only_new(spark, tmp_path):
     """Signature store: batch2 reports new-vs-old and new-vs-new pairs,
     never re-reports old-vs-old; store accumulates signatures."""
