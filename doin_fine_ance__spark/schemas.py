@@ -49,6 +49,22 @@ RAW_SIMPLEFIN = StructType(
     ]
 )
 
+# balances-only extraction (simplefin_api.py:113's balances-only=1 mode):
+# one row per account per fetch, no transactions materialized.
+RAW_BALANCES = StructType(
+    [
+        _f("account_id", StringType()),
+        _f("account_name", StringType()),
+        _f("institution_domain", StringType()),
+        _f("institution_name", StringType()),
+        _f("balance", DecimalType(18, 2)),
+        _f("available_balance", DecimalType(18, 2)),
+        _f("balance_date", LongType()),  # epoch seconds
+        _f("import_timestamp", StringType()),  # ISO text, cast in staging
+        _f("import_date", StringType()),
+    ]
+)
+
 # historic_transactions — user CSV seed (stg_historic_trxns.sql:59-84).
 RAW_HISTORIC = StructType(
     [

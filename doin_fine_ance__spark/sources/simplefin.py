@@ -24,10 +24,34 @@ from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..schemas import RAW_SIMPLEFIN
+from ..schemas import RAW_BALANCES, RAW_SIMPLEFIN
 
 MAX_DAYS_PER_REQUEST = 45  # simplefin_api.py:120 (SimpleFIN API cap)
 LOOKBACK_DAYS = 200  # simplefin_api.py:115 (no account supports more)
+
+
+def window_params(
+    start: dt.datetime,
+    end: dt.datetime,
+    include_pending: bool = False,
+    balances_only: bool = False,
+) -> dict:
+    """Query params for one /accounts request (P10).
+
+    Mirrors simplefin_api.py:145-148 (start-date/end-date epoch
+    seconds) plus the two option flags the reference declares at
+    :112-113: ``pending=1`` includes pending transactions,
+    ``balances-only=1`` asks the API to omit transactions entirely.
+    """
+    params: dict = {
+        "start-date": int(start.timestamp()),
+        "end-date": int(end.timestamp()),
+    }
+    if include_pending:
+        params["pending"] = 1
+    if balances_only:
+        params["balances-only"] = 1
+    return params
 
 
 @dataclass(frozen=True)
@@ -108,24 +132,91 @@ def rows_from_accounts_payload(
     return rows
 
 
+def balances_from_accounts_payload(
+    payload: dict, import_timestamp: dt.datetime, seen_accounts: set[str]
+) -> list[tuple]:
+    """Flatten one balances-only /accounts payload into RAW_BALANCES
+    rows (P10, balances-only=1): one row per account, first window
+    wins (later windows re-serve the same current balance)."""
+
+    def _dec(v):
+        return Decimal(str(v)).quantize(Decimal("0.01")) if v is not None else None
+
+    rows: list[tuple] = []
+    for account in payload.get("accounts", []):
+        aid = account.get("id")
+        if aid in seen_accounts:
+            continue
+        seen_accounts.add(aid)
+        org = account.get("org", {})
+        rows.append(
+            (
+                aid,
+                account.get("name"),
+                org.get("domain"),
+                org.get("name", "Unknown"),
+                _dec(account.get("balance")),
+                _dec(account.get("available-balance")),
+                account.get("balance-date"),
+                import_timestamp.isoformat(),
+                import_timestamp.date().isoformat(),
+            )
+        )
+    return rows
+
+
 def extract_simplefin(
     spark: SparkSession,
-    fetch_window: Callable[[dt.datetime, dt.datetime], dict],
+    fetch_window: Callable[..., dict],
     now: dt.datetime | None = None,
     lookback_days: int = LOOKBACK_DAYS,
+    include_pending: bool = False,
+    balances_only: bool = False,
 ) -> DataFrame:
     """Driver-side windowed extraction → typed landing DataFrame (S1).
 
     `fetch_window(start, end)` returns one /accounts JSON payload; ids
     repeated across overlapping windows are deduped in-flight
     (simplefin_api.py:127,211-214).
+
+    P10 options (reference TODOs at simplefin_api.py:53-58,111-113):
+
+    - ``include_pending=True`` sends ``pending=1`` (see
+      :func:`window_params`) and keeps pending transactions in the
+      output; with the default False, pending rows are dropped even if
+      a server serves them — mirroring the API, which omits pending
+      transactions unless asked.
+    - ``balances_only=True`` sends ``balances-only=1`` and returns a
+      RAW_BALANCES DataFrame (one row per account) instead of
+      transactions; a single window suffices, balances are current.
+
+    ``fetch_window`` may optionally accept a third ``params`` argument
+    to receive the exact query-param dict (transports that build their
+    own URL can ignore it).
     """
+    import inspect
+
     now = now or dt.datetime.utcnow()
+    takes_params = len(inspect.signature(fetch_window).parameters) >= 3
+
+    def _fetch(start: dt.datetime, end: dt.datetime) -> dict:
+        params = window_params(start, end, include_pending, balances_only)
+        return fetch_window(start, end, params) if takes_params else fetch_window(start, end)
+
+    if balances_only:
+        first_start, first_end = request_windows(now, lookback_days)[-1]
+        seen_accounts: set[str] = set()
+        rows = balances_from_accounts_payload(
+            _fetch(first_start, first_end), now, seen_accounts
+        )
+        return spark.createDataFrame(rows, schema=RAW_BALANCES)
+
     seen: set[str] = set()
-    rows: list[tuple] = []
+    rows = []
     for start, end in request_windows(now, lookback_days):
-        payload = fetch_window(start, end)
-        rows.extend(rows_from_accounts_payload(payload, now, seen))
+        rows.extend(rows_from_accounts_payload(_fetch(start, end), now, seen))
+    if not include_pending:
+        rows = [r for r in rows if not r[11]]  # RAW_SIMPLEFIN 'pending' slot
     return spark.createDataFrame(rows, schema=RAW_SIMPLEFIN)
 
 

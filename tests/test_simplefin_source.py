@@ -105,6 +105,75 @@ def test_extract_dedups_across_windows(spark):
     assert str(by_id["TRN-REPEAT"].amount) == "-10.00"
 
 
+def test_window_params_flags():
+    """P10 (simplefin_api.py:111-113 TODOs): pending=1 and
+    balances-only=1 are sent only when asked; date bounds are epoch
+    seconds exactly as simplefin_api.py:145-148 builds them."""
+    from doin_fine_ance__spark.sources.simplefin import window_params
+
+    s, e = NOW - dt.timedelta(days=45), NOW
+    base = window_params(s, e)
+    assert base == {"start-date": int(s.timestamp()), "end-date": int(e.timestamp())}
+    assert window_params(s, e, include_pending=True)["pending"] == 1
+    assert window_params(s, e, balances_only=True)["balances-only"] == 1
+    assert "pending" not in base and "balances-only" not in base
+
+
+def _payload_with_pending() -> dict:
+    p = _payload(1)
+    p["accounts"][0]["transactions"].append(
+        {"id": "TRN-PEND", "amount": "-3.00", "posted": 1709200009,
+         "transacted_at": 1709100009, "description": "CARD HOLD", "pending": True}
+    )
+    return p
+
+
+def test_extract_pending_flag(spark):
+    """Default mirrors the API (no pending rows); include_pending=True
+    sends pending=1 and keeps pending transactions."""
+    sent = []
+
+    def fetch(start, end, params):
+        sent.append(params)
+        return _payload_with_pending()
+
+    df = extract_simplefin(spark, fetch, now=NOW)
+    assert all("pending" not in p for p in sent)
+    assert "TRN-PEND" not in [r.transaction_id for r in df.collect()]
+
+    sent.clear()
+    df2 = extract_simplefin(spark, fetch, now=NOW, include_pending=True)
+    assert all(p["pending"] == 1 for p in sent)
+    pend = [r for r in df2.collect() if r.transaction_id == "TRN-PEND"]
+    assert len(pend) == 1 and pend[0].pending is True
+
+
+def test_extract_balances_only(spark):
+    """balances-only=1: one request, one row per account, RAW_BALANCES
+    shape with quantized balances."""
+    sent = []
+
+    def fetch(start, end, params):
+        sent.append(params)
+        p = _payload(1)
+        p["accounts"][0].update({"balance": "1234.5", "available-balance": "1200",
+                                 "balance-date": 1709250000})
+        p["accounts"][1].update({"balance": "-5", "balance-date": 1709250000})
+        for a in p["accounts"]:
+            a.pop("transactions")
+        return p
+
+    df = extract_simplefin(spark, fetch, now=NOW, balances_only=True)
+    assert len(sent) == 1 and sent[0]["balances-only"] == 1
+    rows = {r.account_id: r for r in df.collect()}
+    assert set(rows) == {"ACT-1", "ACT-2"}
+    assert str(rows["ACT-1"].balance) == "1234.50"
+    assert str(rows["ACT-1"].available_balance) == "1200.00"
+    assert rows["ACT-2"].available_balance is None
+    assert rows["ACT-1"].balance_date == 1709250000
+    assert rows["ACT-1"].import_date == NOW.date().isoformat()
+
+
 def test_append_to_landing_partitioned(spark, tmp_path):
     df = extract_simplefin(spark, lambda s, e: _payload(1), now=NOW)
     path = str(tmp_path / "landing")
