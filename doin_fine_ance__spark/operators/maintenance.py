@@ -1,0 +1,186 @@
+"""Warehouse maintenance: backup/retention (S9) and compaction (S8).
+
+Engine analogs of the reference's ops machinery:
+
+- Backup/restore/retention port ui/backend/services/backup_service.py:
+  the pg_dump/pg_restore pair becomes snapshot-export/restore of the
+  parquet warehouse (file-level copy — on an object store this is a
+  server-side metadata copy, no data moves through the driver), the
+  ``schedule.json`` state round-trip is kept as-is, and
+  :func:`apply_retention` is the same mtime sweep
+  (backup_service.py:74-84) over snapshot directories.
+- :func:`compact_table` is the OPTIMIZE/Z-ORDER-adjacent story the
+  reference gets from Postgres indexes (init_db.py:79-130): incremental
+  appends leave many small files per partition; compaction rewrites
+  each partition to few large files (atomic stage-and-swap), restoring
+  scan efficiency for the transaction_id-keyed lookups. At 100 TB this
+  runs per-partition (only partitions breaching the small-file
+  threshold are rewritten), never whole-table.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import math
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SCHEDULE = {"enabled": False, "cron": "0 2 * * *", "retention_days": 7}
+SCHEDULE_FILENAME = "schedule.json"
+SNAPSHOT_PREFIX = "snapshot_"
+
+
+class BackupError(RuntimeError):
+    """Raised when a snapshot/restore operation fails."""
+
+
+# ---------------------------------------------------------------------------
+# Schedule / filesystem state (backup_service.py:38-71)
+# ---------------------------------------------------------------------------
+
+
+def ensure_backup_dir(backup_dir: str) -> Path:
+    path = Path(backup_dir)
+    path.mkdir(parents=True, exist_ok=True)
+    return path
+
+
+def load_schedule(backup_dir: str) -> dict:
+    """Load the backup schedule from disk, falling back to defaults."""
+    f = Path(backup_dir) / SCHEDULE_FILENAME
+    if not f.exists():
+        return dict(DEFAULT_SCHEDULE)
+    try:
+        return json.loads(f.read_text())
+    except (OSError, ValueError):
+        return dict(DEFAULT_SCHEDULE)
+
+
+def save_schedule(backup_dir: str, data: dict) -> None:
+    ensure_backup_dir(backup_dir)
+    (Path(backup_dir) / SCHEDULE_FILENAME).write_text(json.dumps(data, indent=2))
+
+
+def save_next_run(backup_dir: str, next_run_iso: str | None) -> None:
+    """Update only the next_run field of the persisted schedule."""
+    data = load_schedule(backup_dir)
+    data["next_run"] = next_run_iso
+    save_schedule(backup_dir, data)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot export / restore (pg_dump/pg_restore analog)
+# ---------------------------------------------------------------------------
+
+
+def export_snapshot(
+    warehouse_root: str, backup_dir: str, now: dt.datetime | None = None
+) -> str:
+    """Copy the warehouse tree into a timestamped snapshot directory.
+
+    The pg_dump -Fc analog (backup_service.py:105-137): parquet is
+    already compressed and columnar, so a consistent snapshot is a
+    recursive copy of the table directories. Returns the snapshot path.
+    """
+    if not os.path.isdir(warehouse_root):
+        raise BackupError(f"warehouse root does not exist: {warehouse_root}")
+    ensure_backup_dir(backup_dir)
+    stamp = (now or dt.datetime.now()).strftime("%Y%m%dT%H%M%S")
+    dest = Path(backup_dir) / f"{SNAPSHOT_PREFIX}{stamp}_{uuid.uuid4().hex[:6]}"
+    staging = Path(str(dest) + ".tmp")
+    try:
+        shutil.copytree(warehouse_root, staging)
+    except OSError as e:  # partial copies must not look like snapshots
+        shutil.rmtree(staging, ignore_errors=True)
+        raise BackupError(f"snapshot copy failed: {e}") from e
+    os.rename(staging, dest)
+    return str(dest)
+
+
+def restore_snapshot(snapshot_path: str, warehouse_root: str) -> None:
+    """Replace the warehouse with a snapshot (pg_restore -c --if-exists
+    analog, backup_service.py:140-155): existing tables are dropped,
+    the snapshot is staged alongside and swapped in atomically."""
+    if not os.path.isdir(snapshot_path):
+        raise BackupError(f"snapshot does not exist: {snapshot_path}")
+    staging = f"{warehouse_root}__restore_{uuid.uuid4().hex[:8]}"
+    shutil.copytree(snapshot_path, staging)
+    backup = f"{warehouse_root}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(warehouse_root):
+        os.rename(warehouse_root, backup)
+    os.rename(staging, warehouse_root)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+
+
+def apply_retention(backup_dir: str, retention_days: int) -> list[str]:
+    """Delete snapshots older than retention_days (mtime sweep, the
+    exact semantics of backup_service.py:74-84). Returns deleted paths."""
+    path = ensure_backup_dir(backup_dir)
+    cutoff = dt.datetime.now().timestamp() - retention_days * 86400
+    deleted: list[str] = []
+    for entry in path.glob(f"{SNAPSHOT_PREFIX}*"):
+        if entry.stat().st_mtime < cutoff:
+            try:
+                shutil.rmtree(entry) if entry.is_dir() else entry.unlink()
+                deleted.append(str(entry))
+            except OSError:
+                continue  # best-effort, like the reference's warning path
+    return deleted
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (S8 — the OPTIMIZE analog)
+# ---------------------------------------------------------------------------
+
+
+def _parquet_files(d: str) -> list[str]:
+    return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict[str, int]:
+    """Rewrite small-file partitions into few large files.
+
+    Walks the table: unpartitioned tables compact in place; HIVE-style
+    partition directories (``col=value``) compact independently, and
+    only directories with more than ``min_files`` fragments are
+    rewritten — untouched partitions keep their files (and any reader
+    sees either the old or the new complete file set, via
+    stage-and-swap). File count per rewrite = ceil(bytes /
+    target_file_bytes), i.e. ~128 MB output files — the scan-efficient
+    shape Delta's OPTIMIZE targets.
+
+    Returns {relative_partition_path: files_after} for rewritten dirs.
+    """
+    results: dict[str, int] = {}
+    leaf_dirs: list[str] = []
+    for cur, dirs, files in os.walk(path):
+        if "__stage_" in cur or "__old_" in cur:
+            continue
+        if any(f.endswith(".parquet") for f in files):
+            leaf_dirs.append(cur)
+    for d in leaf_dirs:
+        frags = _parquet_files(d)
+        if len(frags) <= min_files:
+            continue
+        total = sum(os.path.getsize(os.path.join(d, f)) for f in frags)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        df = spark.read.parquet(d).coalesce(n_out)
+        staging = f"{d}__stage_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(staging)
+        backup = f"{d}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(d, backup)
+        os.rename(staging, d)
+        shutil.rmtree(backup)
+        results[os.path.relpath(d, path)] = len(_parquet_files(d))
+    return results

@@ -55,6 +55,14 @@ class Warehouse:
         else:
             atomic_overwrite(df, self.path(schema, table))
 
+    def compact(self, schema: str, table: str, **kwargs) -> dict[str, int]:
+        """S8: OPTIMIZE-analog small-file compaction of one table —
+        incremental appends fragment partitions; this rewrites each
+        fragmented partition to ~128 MB files (operators/maintenance.py)."""
+        from ..operators.maintenance import compact_table
+
+        return compact_table(self.spark, self.path(schema, table), **kwargs)
+
 
 def _month_col(df: DataFrame) -> DataFrame:
     """Marts carry a month(transacted_date) partition column at scale."""

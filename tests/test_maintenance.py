@@ -1,0 +1,134 @@
+"""S9 backup/retention + S8 compaction — ports of the reference's
+backup-service tests (ui/backend/tests/test_backup_service.py:14-51)
+onto the parquet warehouse, plus the OPTIMIZE-analog file-count
+assertions."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from doin_fine_ance__spark.operators import maintenance as mnt
+
+
+# --- schedule state (test_backup_service.py:14-36) -----------------------
+
+
+def test_load_schedule_defaults_when_missing(tmp_path):
+    assert mnt.load_schedule(str(tmp_path)) == mnt.DEFAULT_SCHEDULE
+
+
+def test_save_and_load_schedule_round_trip(tmp_path):
+    data = {"enabled": True, "cron": "0 3 * * *", "retention_days": 14}
+    mnt.save_schedule(str(tmp_path), data)
+    loaded = mnt.load_schedule(str(tmp_path))
+    assert loaded["enabled"] is True
+    assert loaded["cron"] == "0 3 * * *"
+    assert loaded["retention_days"] == 14
+
+
+def test_save_next_run_preserves_other_fields(tmp_path):
+    mnt.save_schedule(
+        str(tmp_path), {"enabled": True, "cron": "0 2 * * *", "retention_days": 7}
+    )
+    mnt.save_next_run(str(tmp_path), "2026-01-01T02:00:00")
+    loaded = mnt.load_schedule(str(tmp_path))
+    assert loaded["next_run"] == "2026-01-01T02:00:00"
+    assert loaded["enabled"] is True
+
+
+# --- retention sweep (test_backup_service.py:39-51) ----------------------
+
+
+def test_apply_retention_deletes_old_snapshots(tmp_path):
+    old = tmp_path / "snapshot_old"
+    new = tmp_path / "snapshot_new"
+    old.mkdir()
+    (old / "x").write_bytes(b"old")
+    new.mkdir()
+    ten_days_ago = time.time() - 10 * 86400
+    os.utime(old, (ten_days_ago, ten_days_ago))
+
+    deleted = mnt.apply_retention(str(tmp_path), retention_days=7)
+
+    assert not old.exists()
+    assert new.exists()
+    assert deleted == [str(old)]
+
+
+def test_apply_retention_ignores_non_snapshot_entries(tmp_path):
+    other = tmp_path / "schedule.json"
+    other.write_text("{}")
+    ten_days_ago = time.time() - 10 * 86400
+    os.utime(other, (ten_days_ago, ten_days_ago))
+    mnt.apply_retention(str(tmp_path), retention_days=7)
+    assert other.exists()
+
+
+# --- snapshot export / restore (pg_dump/pg_restore analog) ----------------
+
+
+def test_snapshot_export_restore_round_trip(spark, tmp_path):
+    wh = str(tmp_path / "warehouse")
+    bk = str(tmp_path / "backups")
+    df = spark.range(100).withColumnRenamed("id", "k")
+    df.write.parquet(os.path.join(wh, "marts", "t1"))
+
+    snap = mnt.export_snapshot(wh, bk)
+    assert os.path.basename(snap).startswith(mnt.SNAPSHOT_PREFIX)
+
+    # mutate the live warehouse, then restore: snapshot state wins
+    spark.range(5).withColumnRenamed("id", "k").write.mode("overwrite").parquet(
+        os.path.join(wh, "marts", "t1")
+    )
+    assert spark.read.parquet(os.path.join(wh, "marts", "t1")).count() == 5
+    mnt.restore_snapshot(snap, wh)
+    assert spark.read.parquet(os.path.join(wh, "marts", "t1")).count() == 100
+
+
+def test_snapshot_errors(tmp_path):
+    import pytest
+
+    with pytest.raises(mnt.BackupError):
+        mnt.export_snapshot(str(tmp_path / "nope"), str(tmp_path / "b"))
+    with pytest.raises(mnt.BackupError):
+        mnt.restore_snapshot(str(tmp_path / "nosnap"), str(tmp_path / "wh"))
+
+
+# --- compaction (S8, OPTIMIZE analog) -------------------------------------
+
+
+def test_compact_table_partitioned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # 8 appends x 4 shuffle partitions -> many small files per partition
+    for i in range(8):
+        (
+            spark.range(i * 100, (i + 1) * 100)
+            .selectExpr("id", "CAST(id % 2 AS STRING) AS p")
+            .repartition(4)
+            .write.mode("append")
+            .partitionBy("p")
+            .parquet(path)
+        )
+    before = {
+        d: len([f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")])
+        for d in ("p=0", "p=1")
+    }
+    assert all(n >= 8 for n in before.values())
+
+    results = mnt.compact_table(spark, path)
+
+    assert set(results) == {"p=0", "p=1"}
+    for d in ("p=0", "p=1"):
+        n = len([f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")])
+        assert n == 1  # tiny data -> single ~target-size file
+    # data identical after compaction
+    back = spark.read.parquet(path)
+    assert back.count() == 800
+    assert back.selectExpr("sum(id)").first()[0] == sum(range(800))
+
+
+def test_compact_table_skips_already_compact(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.range(100).coalesce(1).write.parquet(path)
+    assert mnt.compact_table(spark, path) == {}
