@@ -168,11 +168,69 @@ def test_multimodal_plumbing_batch_shape(spark):
     # deterministic features (pure function of content)
     again = {r.media_id: r for r in extract_media_features(media).collect()}
     assert all(out[i].feat_0 == again[i].feat_0 for i in out)
-    # stubbed stages declare themselves loudly
+    # unregistered mimes declare themselves loudly at execution
     from doin_fine_ance__spark.llm.multimodal import resize_images
 
-    with pytest.raises(NotImplementedError):
-        resize_images(media, 32, 32)
+    with pytest.raises(Exception, match="no decoder registered.*image/png"):
+        resize_images(media, 32, 32).collect()
+
+
+def test_bmp_codec_round_trip():
+    import numpy as np
+
+    from doin_fine_ance__spark.llm.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)  # odd width → row padding
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_resize_images_end_to_end_bmp(spark):
+    import numpy as np
+
+    from doin_fine_ance__spark.llm.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = {i: rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8) for i in (1, 2)}
+    media = spark.createDataFrame(
+        [(i, "image", "image/bmp", 12, 16, None, encode_bmp(a)) for i, a in imgs.items()],
+        schema=MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in resize_images(media, 6, 4).collect()}
+    assert set(out) == {1, 2}
+    for i, r in out.items():
+        assert (r.width, r.height) == (6, 4)
+        arr = decode_bmp(bytes(r.content))
+        assert arr.shape == (4, 6, 3)
+        # nearest-neighbor: every output pixel exists in the source
+        src = imgs[i].reshape(-1, 3)
+        assert all(any((src == px).all(axis=1)) for px in arr.reshape(-1, 3))
+
+
+def test_sample_video_frames_end_to_end(spark):
+    import numpy as np
+
+    from doin_fine_ance__spark.llm.multimodal import (
+        decode_bmp,
+        encode_raw_bmp_video,
+        sample_video_frames,
+    )
+
+    # 6 solid-color 4x4 frames at 100ms each; sample every 200ms → 0,2,4
+    frames = [np.full((4, 4, 3), 40 * i, dtype=np.uint8) for i in range(6)]
+    video = encode_raw_bmp_video(frames, frame_ms=100)
+    media = spark.createDataFrame(
+        [(9, "video", "video/x-raw-bmp", 4, 4, 600, video)], schema=MEDIA_SCHEMA
+    )
+    out = sorted(sample_video_frames(media, every_ms=200).collect(), key=lambda r: r.media_id)
+    assert [r.media_id for r in out] == [9_000_000, 9_000_002, 9_000_004]
+    assert all(r.media_type == "image" and r.mime == "image/bmp" for r in out)
+    sampled = [decode_bmp(bytes(r.content)) for r in out]
+    assert [int(a[0, 0, 0]) for a in sampled] == [0, 80, 160]
 
 
 def test_dup_cluster_path_skew_safe_on_shared_prefix(spark):
