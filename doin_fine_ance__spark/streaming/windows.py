@@ -74,7 +74,7 @@ def tumbling_counts(
         .groupBy(F.window(col("ts"), window).alias("w"), col("event_type"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+            F.sum(col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(
             col("w.start").alias("window_start"),
@@ -109,7 +109,7 @@ def session_aggregates(
         .groupBy(F.session_window(col("ts"), gap).alias("w"), col("user_id"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+            F.sum(col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(
             col("w.start").alias("session_start"),
