@@ -92,6 +92,43 @@ def _minhash_pairs_cte(threshold: float, k: int = 64, bands: int = 16, n: int = 
     )"""
 
 
+def _simhash_fp_cte() -> str:
+    """DuckDB CTE chain recomputing llm.dedup._simhash64_udf exactly.
+
+    Per whitespace token (multiplicity kept — repeats vote repeatedly):
+    64-bit hash = first 16 md5 hex chars; per bit, sum of ±1 votes;
+    fingerprint bit set iff the vote sum is positive; wrapped to signed
+    int64 like the Spark LongType output. Empty-token docs → 0. Ends in
+    ``sh_fp(doc_id, simhash)``.
+    """
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS c{i}"
+        for i in range(64)
+    )
+    acc = " + ".join(f"CASE WHEN c{i} > 0 THEN CAST({1 << i} AS HUGEINT) ELSE 0 END" for i in range(64))
+    return f"""
+    sh_toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ), sh_hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h
+      FROM sh_toks
+    ), sh_votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM sh_hashed GROUP BY doc_id
+    ), sh_unsigned AS (
+      SELECT doc_id, ({acc}) AS u FROM sh_votes
+    ), sh_fp AS (
+      SELECT d.doc_id,
+             COALESCE(CAST(CASE WHEN u >= CAST({1 << 63} AS HUGEINT)
+                                THEN u - CAST({1 << 64} AS HUGEINT)
+                                ELSE u END AS BIGINT), 0) AS simhash
+      FROM documents d LEFT JOIN sh_unsigned s ON d.doc_id = s.doc_id
+    )"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -485,16 +522,37 @@ def d_minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(d, threshold=0.7)
 
 
-@query("d_simhash_neardups")
+@query(
+    "d_simhash_neardups",
+    oracle="WITH "
+    + _simhash_fp_cte()
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh_fp a JOIN sh_fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def d_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (Hamming ≤ 3) via 16-bit chunk buckets."""
+    """SimHash-64 near-dup pairs (Hamming ≤ 3) via 16-bit chunk buckets.
+
+    The pigeonhole bucketing is EXACT (≤3 differing bits of 64 ⇒ at
+    least one of the 4 16-bit chunks identical), so the oracle can be
+    the brute-force all-pairs Hamming filter over the identical
+    fingerprints — recomputed in SQL from the same md5 token hashes —
+    and match the bucketed Spark plan row-for-row.
+    """
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     return simhash_near_dups(d, max_hamming=3)
 
 
-@query("t_simhash_fingerprints")
+@query(
+    "t_simhash_fingerprints",
+    oracle="WITH " + _simhash_fp_cte() + "\n    SELECT doc_id, simhash FROM sh_fp",
+)
 def t_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 64-bit SimHash fingerprint (Arrow-vectorized pandas UDF)."""
+    """Per-doc 64-bit SimHash fingerprint (Arrow-vectorized pandas UDF),
+    hash-checked against a SQL recomputation of the same bit votes."""
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     return simhash64(d)
 
@@ -514,20 +572,69 @@ def s_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "bucket", F.round("cosine", 6).alias("cosine_r"))
 
 
-@query("s_cosine_topk_ivf")
+_IVF_COSINE = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "s_cosine_topk_ivf",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS q
+      FROM embeddings WHERE vec_id <> 0
+    ), qv AS (
+      SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS q
+      FROM embeddings WHERE vec_id = 0
+    ), samp AS (
+      SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn
+      FROM corpus ORDER BY vec_id LIMIT 128
+    ), cents AS (
+      SELECT CAST((rn - 1) / 8 AS INT) AS list_id, q AS c
+      FROM samp WHERE (rn - 1) % 8 = 0
+    ), probes AS (
+      SELECT c.list_id
+      FROM cents c, qv
+      ORDER BY {qc} DESC, c.list_id ASC
+      LIMIT 4
+    ), assigned AS (
+      SELECT vec_id, q, list_id FROM (
+        SELECT v.vec_id, v.q, c.list_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {vc} DESC, c.list_id ASC) AS rnk
+        FROM corpus v CROSS JOIN cents c
+      ) WHERE rnk = 1
+    )
+    SELECT a.vec_id, a.list_id, {vq} AS cosine
+    FROM assigned a JOIN probes p ON a.list_id = p.list_id, qv
+    ORDER BY cosine DESC, a.vec_id ASC
+    LIMIT 10
+    """.format(
+        qc=_IVF_COSINE.format(a="c.c", b="qv.q"),
+        vc=_IVF_COSINE.format(a="v.q", b="c.c"),
+        vq=_IVF_COSINE.format(a="a.q", b="qv.q"),
+    ),
+)
 def s_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-k (data-adaptive scale path, see llm/ann.py).
 
     Assign→probe: the corpus is bucketed into 16 centroid cells once
     (at 100 TB, written partitionBy(list_id)); a query scores only its
-    4 nearest cells. Recall vs brute force asserted in pytest.
+    4 nearest cells. Fully deterministic (stride-sampled centroids,
+    quantized integer-valued dot products), so the oracle replays the
+    identical sample→probe→assign→score pipeline in SQL and the driver
+    hash-checks it; recall vs brute force is additionally asserted in
+    pytest.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    qrow = e.filter(col("vec_id") == 0).select("embedding").first()
+    quant = e.select("vec_id", _quantize(col("embedding")).alias("q"))
+    qrow = quant.filter(col("vec_id") == 0).select("q").first()
     qvec = [float(x) for x in qrow[0]]
     return ann_topk_ivf(
-        e.filter(col("vec_id") != 0), qvec, k=10, n_centroids=16, nprobe=4
-    ).select("vec_id", "list_id", F.round("cosine", 6).alias("cosine_r"))
+        quant.filter(col("vec_id") != 0), qvec, k=10, n_centroids=16, nprobe=4,
+        vec_col="q",
+    ).select("vec_id", "list_id", "cosine")
 
 
 @query(
