@@ -19,9 +19,11 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import col, lit
+from pyspark.sql.functions import col, lit, pandas_udf
+from pyspark.sql.types import IntegerType
 
 
 def _planes(dim: int, n_planes: int, seed: int = 4242) -> list[list[float]]:
@@ -37,6 +39,21 @@ def _dot(a, b):
     )
 
 
+def _plane_matrix(dim: int, n_planes: int):
+    import numpy as np
+
+    return np.array(_planes(dim, n_planes), dtype=np.float64)  # (n_planes, dim)
+
+
+def _bucket_of(vectors, P):
+    """numpy (n, dim) × plane matrix → int bucket ids (sign bits packed)."""
+    import numpy as np
+
+    signs = (vectors @ P.T) >= 0  # (n, n_planes)
+    weights = (1 << np.arange(P.shape[0])).astype(np.int64)
+    return (signs @ weights).astype(np.int32)
+
+
 def hyperplane_buckets(
     embeddings: DataFrame,
     dim: int,
@@ -44,14 +61,27 @@ def hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Attach the LSH bucket id (int of n_planes sign bits) per vector."""
-    planes = _planes(dim, n_planes)
-    bucket = lit(0)
-    for i, p in enumerate(planes):
-        plane_arr = F.array(*[lit(v) for v in p])
-        bit = (_dot(col(vec_col), plane_arr) >= 0).cast("int")
-        bucket = bucket + (bit * lit(1 << i))
-    return embeddings.withColumn("bucket", bucket.cast("int"))
+    """Attach the LSH bucket id (int of n_planes sign bits) per vector.
+
+    Index-build path: one Arrow-vectorized pandas UDF doing the whole
+    (batch × planes) sign matrix in a single numpy matmul. The earlier
+    JVM formulation (n_planes chained aggregate/zip_with folds with the
+    plane values inlined as n_planes×dim literals) ran interpreted AND
+    bloated the plan at high dim; the plane matrix now travels once in
+    the UDF closure. Query-side bucket ids use the same numpy matmul
+    (:func:`ann_topk_lsh`), so corpus and query bucketing agree
+    bit-for-bit.
+    """
+    import numpy as np
+
+    P = _plane_matrix(dim, n_planes)
+
+    @pandas_udf(IntegerType())
+    def _bucket_udf(vecs: pd.Series) -> pd.Series:
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(_bucket_of(E, P))
+
+    return embeddings.withColumn("bucket", _bucket_udf(col(vec_col)))
 
 
 def ivf_assign(
@@ -155,13 +185,11 @@ def ann_topk_lsh(
     work per query regardless of corpus size once the bucketed table is
     partition-pruned.
     """
+    import numpy as np
+
     dim = len(query_vec)
-    planes = _planes(dim, n_planes)
-    qbits = [
-        1 if sum(q * p for q, p in zip(query_vec, plane)) >= 0 else 0
-        for plane in planes
-    ]
-    qbucket = sum(b << i for i, b in enumerate(qbits))
+    P = _plane_matrix(dim, n_planes)
+    qbucket = int(_bucket_of(np.asarray([query_vec], dtype=np.float64), P)[0])
     probe_buckets = [qbucket] + [qbucket ^ (1 << i) for i in range(min(multiprobe, n_planes))]
 
     bucketed = hyperplane_buckets(embeddings, dim, n_planes, id_col, vec_col)
