@@ -39,10 +39,16 @@ def _dot(a, b):
     )
 
 
-def _plane_matrix(dim: int, n_planes: int):
+def _plane_matrix(dim: int, n_planes: int, quantize: bool = False):
+    """(n_planes, dim) float64 plane matrix; ``quantize`` rounds the
+    gaussians to integer-valued doubles (×1000) so plane·vector dots on
+    likewise-quantized vectors are exact integers — sign bits then
+    reproduce bit-for-bit in any engine/accumulation order (the same
+    ×1000 trick the cosine oracles use)."""
     import numpy as np
 
-    return np.array(_planes(dim, n_planes), dtype=np.float64)  # (n_planes, dim)
+    P = np.array(_planes(dim, n_planes), dtype=np.float64)
+    return np.round(P * 1000.0) if quantize else P
 
 
 def _bucket_of(vectors, P):
@@ -60,6 +66,7 @@ def hyperplane_buckets(
     n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize_planes: bool = False,
 ) -> DataFrame:
     """Attach the LSH bucket id (int of n_planes sign bits) per vector.
 
@@ -74,7 +81,7 @@ def hyperplane_buckets(
     """
     import numpy as np
 
-    P = _plane_matrix(dim, n_planes)
+    P = _plane_matrix(dim, n_planes, quantize_planes)
 
     @pandas_udf(IntegerType())
     def _bucket_udf(vecs: pd.Series) -> pd.Series:
@@ -177,6 +184,7 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: int = 2,
+    quantize_planes: bool = False,
 ) -> DataFrame:
     """Top-k by cosine among vectors in the query's LSH bucket
     (+ single-bit-flip probes up to `multiprobe` planes).
@@ -188,11 +196,13 @@ def ann_topk_lsh(
     import numpy as np
 
     dim = len(query_vec)
-    P = _plane_matrix(dim, n_planes)
+    P = _plane_matrix(dim, n_planes, quantize_planes)
     qbucket = int(_bucket_of(np.asarray([query_vec], dtype=np.float64), P)[0])
     probe_buckets = [qbucket] + [qbucket ^ (1 << i) for i in range(min(multiprobe, n_planes))]
 
-    bucketed = hyperplane_buckets(embeddings, dim, n_planes, id_col, vec_col)
+    bucketed = hyperplane_buckets(
+        embeddings, dim, n_planes, id_col, vec_col, quantize_planes
+    )
     qarr = F.array(*[lit(float(v)) for v in query_vec])
     qnorm = sum(v * v for v in query_vec) ** 0.5
     scored = bucketed.filter(col("bucket").isin(probe_buckets)).select(

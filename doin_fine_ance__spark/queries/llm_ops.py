@@ -557,19 +557,64 @@ def t_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(d)
 
 
-@query("s_cosine_topk_lsh")
+def _lsh_oracle_sql(dim: int = 64, n_planes: int = 4, multiprobe: int = 2, k: int = 10) -> str:
+    """DuckDB oracle replaying ann_topk_lsh with quantized planes+vectors.
+
+    Plane literals are generated from the same seeded gaussians
+    (llm.ann._plane_matrix(quantize=True)); every dot is an exact
+    integer, so sign bits, bucket ids, probes, and cosines reproduce
+    bit-for-bit.
+    """
+    from ..llm.ann import _plane_matrix
+
+    P = _plane_matrix(dim, n_planes, quantize=True)
+    plane_lits = [
+        "list_value(" + ", ".join(str(int(v)) for v in row) + ")" for row in P
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(q, {pl}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, pl in enumerate(plane_lits)
+    )
+    cosine = (
+        "list_dot_product(b.q, qb.q)"
+        " / (sqrt(list_dot_product(b.q, b.q)) * sqrt(list_dot_product(qb.q, qb.q)))"
+    )
+    probes = ", ".join(["qb.bucket"] + [f"xor(qb.bucket, {1 << j})" for j in range(multiprobe)])
+    return f"""
+    WITH quant AS (
+      SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS q
+      FROM embeddings
+    ), bucketed AS (
+      SELECT vec_id, q, CAST({bucket} AS INT) AS bucket FROM quant
+    ), qb AS (
+      SELECT q, bucket FROM bucketed WHERE vec_id = 0
+    )
+    SELECT b.vec_id, b.bucket, {cosine} AS cosine
+    FROM bucketed b, qb
+    WHERE b.vec_id <> 0 AND b.bucket IN ({probes})
+    ORDER BY cosine DESC, b.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@query("s_cosine_topk_lsh", oracle=_lsh_oracle_sql())
 def s_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-k (scale path of s_cosine_topk_bruteforce).
 
-    Probes the query's hyperplane bucket + 2 single-bit flips instead of
-    scanning the corpus. Recall vs brute force asserted in pytest.
+    Probes the query's hyperplane bucket + 2 single-bit flips instead
+    of scanning the corpus. Quantized vectors AND quantized planes make
+    every dot an exact integer, so the oracle replays the identical
+    bucketing/probing/scoring in SQL (plane literals generated from the
+    same seeded gaussians); recall vs brute force asserted in pytest.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    qrow = e.filter(col("vec_id") == 0).select("embedding").first()
+    quant = e.select("vec_id", _quantize(col("embedding")).alias("q"))
+    qrow = quant.filter(col("vec_id") == 0).select("q").first()
     qvec = [float(x) for x in qrow[0]]
     return ann_topk_lsh(
-        e.filter(col("vec_id") != 0), qvec, k=10, n_planes=4, multiprobe=2
-    ).select("vec_id", "bucket", F.round("cosine", 6).alias("cosine_r"))
+        quant.filter(col("vec_id") != 0), qvec, k=10, n_planes=4, multiprobe=2,
+        vec_col="q", quantize_planes=True,
+    ).select("vec_id", "bucket", "cosine")
 
 
 _IVF_COSINE = (
