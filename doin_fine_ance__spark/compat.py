@@ -7,12 +7,13 @@ conf set here, not a builder-time conf:
 - ``spark.sql.session.timeZone=UTC`` — DuckDB/Postgres timestamps are
   wall-clock; pin Spark to UTC so TIMESTAMP_LTZ ⇄ NTZ casts and
   collected values agree.
-- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the driver's
-  ``events.parquet`` stores INT64 TIMESTAMP(NANOS) which Spark refuses
-  to read natively; with this conf it lands as LongType nanoseconds and
-  :mod:`doin_fine_ance__spark.sources.testdata` converts to
-  TIMESTAMP_NTZ microseconds (identical to DuckDB's nanos→micros
-  truncation).
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — some generations of
+  the driver's ``events.parquet`` store INT64 TIMESTAMP(NANOS) which
+  Spark refuses to read natively; with this conf it lands as LongType
+  nanoseconds and :mod:`doin_fine_ance__spark.sources.testdata`
+  converts to TIMESTAMP_NTZ microseconds (identical to DuckDB's
+  nanos→micros truncation). Harmless when the data is
+  TIMESTAMP(MICROS), which reads natively.
 """
 
 from __future__ import annotations

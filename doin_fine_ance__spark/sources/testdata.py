@@ -44,9 +44,10 @@ def load_table(
 ) -> DataFrame:
     """Load one testdata table with oracle-compatible types.
 
-    ``events.ts`` is INT64 TIMESTAMP(NANOS) parquet; Spark reads it as
-    LongType nanoseconds (via the nanosAsLong compat conf) and we
-    truncate to microseconds — exactly what DuckDB does — yielding
+    ``events.ts`` has shipped as both TIMESTAMP(MICROS) (reads natively
+    as timestamp) and INT64 TIMESTAMP(NANOS) (reads as LongType nanos
+    under the nanosAsLong compat conf); when it arrives as a raw long
+    we truncate ns→µs — exactly what DuckDB does — yielding
     TIMESTAMP_NTZ like every other timestamp column in the dataset.
     """
     ensure_compat(spark)

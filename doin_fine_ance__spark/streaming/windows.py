@@ -11,11 +11,12 @@ grows forever at 100 TB/day); `session_window` is the native stateful
 sessionizer; `foreachBatch` + keyed merge gives exactly-once-ish
 upserts into the parquet warehouse without Delta.
 
-The events parquet stores TIMESTAMP(NANOS); the stream reader declares
-``ts`` as LongType and converts to a proper timestamp column (same
-ns→µs truncation as the batch reader). Streaming watermarks need
-TIMESTAMP_LTZ — under the UTC session pin it equals the NTZ wall
-clock.
+The stream reader takes its schema from the batch reader, so it tracks
+the physical timestamp type of the data (TIMESTAMP(MICROS) reads
+natively; TIMESTAMP(NANOS) arrives as long under the nanosAsLong conf
+and is truncated to micros, same as the batch reader). Streaming
+watermarks need TIMESTAMP_LTZ — under the UTC session pin it equals
+the NTZ wall clock.
 """
 
 from __future__ import annotations
@@ -25,27 +26,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType, StructField, StructType
 
 from ..compat import ensure_compat
-
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos (parquet TIMESTAMP(NANOS))
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
@@ -53,16 +36,26 @@ def read_events_stream(
     """File-source stream over the events parquet (smoke path; in
     production the same plan reads Kafka)."""
     ensure_compat(spark)
+    # readStream needs an explicit schema; take it from the batch reader
+    # so the stream tracks whatever physical type the data carries
+    # (TIMESTAMP(MICROS) reads as timestamp; TIMESTAMP(NANOS) reads as
+    # long under the nanosAsLong conf and is truncated below).
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
     # events.parquet is a single file; the file stream source requires a
     # directory, so stream the parent dir with a glob filter.
     src = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_RAW_SCHEMA)
+        .schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # watermarks require TIMESTAMP_LTZ; under the UTC session pin the
+    # cast from NTZ keeps the same wall clock
+    return src.withColumn("ts", col("ts").cast("timestamp"))
 
 
 def tumbling_counts(
