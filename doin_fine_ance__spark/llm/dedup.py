@@ -46,6 +46,22 @@ PERM_COEFFS: list[tuple[int, int]] = [
 ]
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition a DataFrame up to default parallelism before a
+    CPU-bound map stage.
+
+    A small corpus arrives as one parquet file → one scan partition →
+    an expensive pandas UDF pinned to a single core. At real scale the
+    scan already has ≥ parallelism partitions and this is a no-op (no
+    shuffle inserted), so the branch only pays its round-robin
+    exchange when the input genuinely under-partitions the cluster.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 64, n: int = 5
 ) -> DataFrame:
@@ -80,6 +96,17 @@ def minhash_signatures(
         import re
 
         ws = re.compile(r"\s+")
+        # shingles repeat heavily across documents (boilerplate, shared
+        # vocabulary): hash each DISTINCT shingle once per Arrow batch
+        cache: dict[str, int] = {}
+
+        def sh_hash(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                cache[s] = v
+            return v
+
         out = []
         for t in texts:
             norm = ws.sub(" ", (t or "").lower())
@@ -88,10 +115,7 @@ def minhash_signatures(
             else:
                 shingles = {norm[i : i + n] for i in range(len(norm) - n + 1)}
             X = np.fromiter(
-                (
-                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
-                    for s in shingles
-                ),
+                (sh_hash(s) for s in shingles),
                 dtype=np.uint64,
                 count=len(shingles),
             ).reshape(1, -1)
@@ -99,7 +123,7 @@ def minhash_signatures(
             out.append([str(int(v)) for v in sig])
         return pd.Series(out)
 
-    return docs.select(col(id_col), _sig_udf(col(text_col)).alias("signature"))
+    return _fan_out(docs).select(col(id_col), _sig_udf(col(text_col)).alias("signature"))
 
 
 def band_keys(
@@ -208,6 +232,17 @@ def _simhash64_udf(texts: pd.Series) -> pd.Series:
     import numpy as np
 
     shifts = np.arange(64, dtype=np.uint64)
+    # natural-language token frequency is Zipfian: hash each DISTINCT
+    # token once per Arrow batch
+    cache: dict[str, int] = {}
+
+    def tok_hash(tok: str) -> int:
+        v = cache.get(tok)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            cache[tok] = v
+        return v
+
     out = []
     for t in texts:
         toks = (t or "").lower().split()
@@ -215,10 +250,7 @@ def _simhash64_udf(texts: pd.Series) -> pd.Series:
             out.append(0)
             continue
         hs = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                for tok in toks
-            ),
+            (tok_hash(tok) for tok in toks),
             dtype=np.uint64,
             count=len(toks),
         )
@@ -237,7 +269,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     16-bit chunks (any pair within Hamming ≤ 3 of 64 bits shares at
     least one of 4 exact chunks — the standard pigeonhole trick).
     """
-    return docs.select(col(id_col), _simhash64_udf(col(text_col)).alias("simhash"))
+    return _fan_out(docs).select(col(id_col), _simhash64_udf(col(text_col)).alias("simhash"))
 
 
 def simhash_near_dups(

@@ -5,17 +5,25 @@ a training pipeline needs CLUSTERS: one keeper per group of mutually
 similar documents. Pairs→clusters is connected components, the
 canonical iterative Spark algorithm.
 
-Implementation: minimum-label propagation. Every node starts labeled
-with itself; each iteration every node takes the min of its own and
-its neighbors' labels; fixpoint = every node carries the smallest id
-in its component. Each iteration is one shuffle join + one groupBy —
-O(diameter) iterations, and near-dup graphs are clique-ish (diameter
-2-3), so 3-5 iterations in practice. Lineage is truncated with
-localCheckpoint each round (without it the plan doubles per iteration
-and the driver OOMs planning by ~iter 20). For adversarial
-long-chain graphs at 100 TB, swap in the large-star/small-star
-variant (Kiveris et al., "Connected Components in MapReduce") — same
-join primitives, O(log n) rounds.
+Implementation: minimum-label propagation with pointer doubling.
+Every node starts labeled with itself; each iteration every node
+takes the min of its own and its neighbors' labels, THEN jumps to its
+label's label (path halving — labels only decrease, so label[label]
+is always ≤ label). Neighbor-min alone is O(diameter) rounds and
+near-dup graphs are not always clique-ish (verified: the sf0.1
+MinHash graph has diameter ~6); the jump makes it O(log diameter),
+the same round bound as large-star/small-star (Kiveris et al.,
+"Connected Components in MapReduce") with simpler join primitives.
+Lineage is truncated with localCheckpoint each round (without it the
+plan doubles per iteration and the driver OOMs planning by ~iter 20).
+
+Iteration parallelism is sized to the GRAPH, not the cluster: after
+the one-time materialization the edge list is counted, and a small
+graph (the common case after LSH banding — pairs are sparse relative
+to the corpus) is coalesced to a few partitions so each of the
+O(log d) iteration jobs is a couple of tasks, not 32 empty shuffles.
+At 100 TB the edge list is large and keeps full parallelism — the
+coalesce branch never triggers.
 
 The fixpoint is deterministic (min is order-insensitive), so results
 hash-match a DuckDB recursive-CTE transitive closure — see
@@ -50,6 +58,12 @@ def connected_components(
     # upstream edge-generation plan (e.g. a blocked-Jaccard pair join)
     # re-executes per round.
     sym = sym.localCheckpoint(eager=True)
+    # Size iteration parallelism to the graph (see module docstring):
+    # ~1M edge rows per partition; a sparse pair graph collapses to 1.
+    n_edges = sym.count()
+    parts = max(1, min(sym.rdd.getNumPartitions(), int(n_edges // 1_000_000) + 1))
+    if parts < sym.rdd.getNumPartitions():
+        sym = sym.coalesce(parts).localCheckpoint(eager=True)
     labels = sym.select("node").distinct().withColumn("component", col("node"))
     labels = labels.localCheckpoint(eager=True)
     # labels only ever DECREASE (least of own + neighbor minima), so the
@@ -66,12 +80,25 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("nbr_comp").alias("min_nbr_comp"))
         )
+        cand = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(
+                col("component"), F.coalesce(col("min_nbr_comp"), col("component"))
+            ).alias("component"),
+        )
+        # Pointer doubling: follow component -> label(component). Every
+        # label IS a node id present in `cand` (labels are minima over
+        # node ids), and labels only decrease, so the jump can only
+        # tighten — this halves the remaining path each round.
+        jump = cand.select(
+            col("node").alias("component"), col("component").alias("jump_comp")
+        )
         labels = (
-            labels.join(nbr_min, "node", "left")
+            cand.join(jump, "component", "left")
             .select(
                 "node",
                 F.least(
-                    col("component"), F.coalesce(col("min_nbr_comp"), col("component"))
+                    col("component"), F.coalesce(col("jump_comp"), col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
