@@ -51,6 +51,9 @@ HEADLINE = [
     "a_event_funnel",
     "s_cosine_topk_bruteforce",
     "st_session_window",
+    "t_repetition_filter",
+    "d_decontaminate",
+    "t_sequence_packing",
 ]
 
 

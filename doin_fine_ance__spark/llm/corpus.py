@@ -1,0 +1,204 @@
+"""Corpus-preparation operators: quality filtering, PII redaction,
+benchmark decontamination, and sequence packing.
+
+These are the steps between "deduplicated documents" and "training
+shards" in a large-scale LLM data pipeline, re-expressed Spark-first:
+
+- :func:`repetition_stats` — Gopher-style repetition/quality signals
+  (Rae et al. 2021, "Scaling Language Models: ... Gopher", table A1;
+  also the C4 heuristics of Raffel et al. 2020). Explode → two-level
+  aggregate; partial aggregation keeps the shuffle narrow.
+- :func:`redact_pii` — map-only regex redaction (emails, phone
+  numbers), the standard pre-training scrub. Pure JVM
+  ``regexp_replace``/``regexp_count`` — no Python in the path.
+- :func:`decontaminate` — flag training docs sharing any word n-gram
+  with an evaluation/benchmark set (the public n-gram-overlap
+  decontamination recipe used for GPT-3/PaLM/Llama evals). N-gram
+  hashes are md5 of the space-joined window, so the same fingerprints
+  reproduce in any engine; the benchmark side is aggregated DISTINCT
+  before the semi-join.
+- :func:`pack_sequences` — deterministic sharding + greedy contiguous
+  packing of documents into fixed token budgets (sequence packing for
+  training). One window per shard, never a global single-partition
+  sort: shard assignment is md5-based (engine-stable) and each
+  shard's cumulative sum is independent, so the operator scales out
+  by adding shards.
+
+All arithmetic is integer or single-division-of-integers, so results
+are bit-identical across engines and accumulation orders — every
+operator here is SQL-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+
+
+def _words(text_col):
+    """Lowercased whitespace tokens, empties dropped (both engines
+    agree on this tokenization: split on \\s+, filter '')."""
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: w != "")
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_frac: float = 0.10,
+    min_distinct_frac: float = 0.5,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+) -> DataFrame:
+    """Per-document repetition/quality signals + keep verdict.
+
+    Signals (integer ratios → engine-exact doubles):
+    - ``max_word_frac``: occurrences of the most frequent word / total
+      words — high means degenerate repetition;
+    - ``distinct_word_frac``: distinct words / total words;
+    - ``mean_word_len``: character mass / total words (Gopher keeps
+      documents with mean word length in [3, 10]).
+
+    Shape: explode → count per (doc, word) → roll up per doc. Both
+    aggregations get map-side partial combine; the (doc, word) key is
+    high-cardinality and unskewed by construction.
+    """
+    words = docs.select(col(id_col), F.explode(_words(col(text_col))).alias("word"))
+    wc = words.groupBy(id_col, "word").agg(F.count("*").alias("n"))
+    stats = wc.groupBy(id_col).agg(
+        F.sum("n").alias("n_words"),
+        F.max("n").alias("max_word_n"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.length("word") * col("n")).alias("char_mass"),
+    )
+    mwf = col("max_word_n").cast("double") / col("n_words")
+    dwf = col("n_distinct").cast("double") / col("n_words")
+    mwl = col("char_mass").cast("double") / col("n_words")
+    return stats.select(
+        col(id_col),
+        col("n_words"),
+        mwf.alias("max_word_frac"),
+        dwf.alias("distinct_word_frac"),
+        mwl.alias("mean_word_len"),
+        (
+            (mwf <= lit(max_word_frac))
+            & (dwf >= lit(min_distinct_frac))
+            & (mwl >= lit(min_mean_word_len))
+            & (mwl <= lit(max_mean_word_len))
+        ).alias("keep"),
+    )
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Email/phone redaction with per-doc counts (map-only, JVM regex).
+
+    Returns (id, n_emails, n_phones, redacted) — counts as BIGINT and
+    the scrubbed text with ``<EMAIL>``/``<PHONE>`` placeholders. The
+    patterns avoid constructs where Java regex and RE2 diverge, so a
+    SQL engine reproduces the identical redaction.
+    """
+    redacted = F.regexp_replace(
+        F.regexp_replace(col(text_col), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        col(id_col),
+        F.regexp_count(col(text_col), F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(col(text_col), F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+def ngram_hashes(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, ngram_hash) — md5 of each space-joined word n-gram.
+
+    JVM higher-order transform over token positions (no Python, no
+    shuffle); a doc shorter than n words contributes nothing.
+    """
+    toks = _words(col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(col(id_col), F.explode(grams).alias("ngram_hash"))
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training docs sharing ≥1 word n-gram with the benchmark set.
+
+    Returns (id, n_shared) with n_shared = count of DISTINCT
+    contaminated n-grams in the doc. The benchmark n-gram set is
+    deduplicated then BROADCAST: eval suites are tiny next to a
+    training corpus, so the train side — the 100 TB side — is never
+    shuffled. (If a benchmark ever outgrew broadcast, drop the hint
+    and the hash join key is uniform md5, so the shuffle variant is
+    skew-free too.)
+    """
+    bench_grams = ngram_hashes(benchmark, n, id_col, text_col).select("ngram_hash").distinct()
+    train_grams = ngram_hashes(train, n, id_col, text_col)
+    return (
+        train_grams.join(F.broadcast(bench_grams), "ngram_hash")
+        .groupBy(id_col)
+        .agg(F.count_distinct("ngram_hash").alias("n_shared"))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document a (shard, pack_id) for fixed-budget packing.
+
+    - ``shard`` = first 4 hex chars of md5(doc_id) mod n_shards — an
+      engine-stable pseudorandom shuffle of the corpus;
+    - within a shard, documents are ordered by their full md5 (a
+      deterministic permutation) and packed greedily: ``pack_id`` =
+      exclusive-prefix-sum(tokens) ÷ budget. A document straddling a
+      boundary belongs to the pack where it starts (the standard
+      concat-then-chunk approximation of sequence packing).
+
+    The window partitions by shard, so parallelism = n_shards and no
+    global sort exists; at 100 TB raise n_shards to O(cluster cores) —
+    shard sizes stay balanced because md5 is uniform.
+    """
+    toks = _words(col(text_col))
+    key = F.md5(col(id_col).cast("string"))
+    base = docs.select(
+        col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.conv(F.substring(key, 1, 4), 16, 10).cast("bigint") % n_shards)
+        .cast("int")
+        .alias("shard"),
+        key.alias("_ord"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_tokens").over(w), lit(0).cast("bigint"))
+    return base.select(
+        col(id_col),
+        "shard",
+        F.floor(prior / lit(budget)).cast("bigint").alias("pack_id"),
+        "n_tokens",
+    )

@@ -100,6 +100,7 @@ def load_registry() -> tuple[dict, dict]:
     """Import every query module, then order the registry so the
     driver's 50-query verification window covers DRIVER_WINDOW."""
     from . import analytics  # noqa: F401
+    from . import corpus_ops  # noqa: F401
     from . import inventory  # noqa: F401
     from . import llm_ops  # noqa: F401
     from . import streaming_batch  # noqa: F401
