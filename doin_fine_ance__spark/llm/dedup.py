@@ -56,10 +56,14 @@ def _fan_out(df: DataFrame) -> DataFrame:
     shuffle inserted), so the branch only pays its round-robin
     exchange when the input genuinely under-partitions the cluster.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect exposes neither sparkContext nor .rdd; there the
+        # scan's partitioning is opaque, so leave the plan unchanged.
+        return df
+    return df.repartition(target) if n < target else df
 
 
 def minhash_signatures(

@@ -33,6 +33,24 @@ def test_registry_consistency(spark):
     }, f"unexpected rows-only queries: {rows_only}"
 
 
+def test_compat_self_heals_foreign_timezone(spark):
+    """The driver owns its SparkSession and may carry any session tz;
+    ensure_compat (called by every load_table) must pin UTC back so
+    timestamp queries still match the DuckDB oracle."""
+    from .oracle import compare_query
+
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ok, detail = compare_query(
+            spark, "st_tumbling_window", "/root/testdata/sf0.001", qs, os_
+        )
+        assert ok, detail
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def test_every_query_runs_at_smoke_scale(spark):
     """The driver's t1 gate: every declared query must at least execute
     at sf0.001 (cheap versions of the sf0.01 correctness runs)."""

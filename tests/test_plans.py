@@ -148,3 +148,27 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The 100 TB side (training grams) must never shuffle for the
+    contamination join; the eval-suite gram set is broadcast."""
+    plan = plan_of(spark, "d_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_sequence_packing_has_no_global_sort_window(spark):
+    """The packing window partitions by shard — a window with an empty
+    partition spec would serialize the corpus through one task."""
+    plan = plan_of(spark, "t_sequence_packing")
+    # Spark renders an unpartitioned window as 'Window [...], [...ORDER...]'
+    # with no partition spec list; the shard spec must be present.
+    assert "hashpartitioning(shard" in plan, plan[:3000]
+
+
+def test_repetition_filter_partial_aggregation(spark):
+    """Both aggregation levels must map-side combine (partial_ marker)
+    so the (doc, word) shuffle carries counts, not raw tokens."""
+    plan = plan_of(spark, "t_repetition_filter")
+    assert "partial_count" in plan or "partial_sum" in plan, plan[:3000]
