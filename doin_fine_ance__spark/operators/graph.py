@@ -5,17 +5,32 @@ a training pipeline needs CLUSTERS: one keeper per group of mutually
 similar documents. Pairs→clusters is connected components, the
 canonical iterative Spark algorithm.
 
-Implementation: minimum-label propagation with pointer doubling.
-Every node starts labeled with itself; each iteration every node
-takes the min of its own and its neighbors' labels, THEN jumps to its
-label's label (path halving — labels only decrease, so label[label]
-is always ≤ label). Neighbor-min alone is O(diameter) rounds and
-near-dup graphs are not always clique-ish (verified: the sf0.1
-MinHash graph has diameter ~6); the jump makes it O(log diameter),
-the same round bound as large-star/small-star (Kiveris et al.,
-"Connected Components in MapReduce") with simpler join primitives.
-Lineage is truncated with localCheckpoint each round (without it the
-plan doubles per iteration and the driver OOMs planning by ~iter 20).
+Implementation, two phases:
+
+1. **Partition-local contraction** (one map-only pass): each edge
+   partition runs an in-memory min-root union-find over the edges it
+   holds and emits STAR edges (node → partition-local min root). The
+   union of all partitions' stars has the same connected components
+   as the input — every original edge was unioned in exactly one
+   partition, and a node appearing in several partitions chains its
+   local roots together through its own star edges (the local-
+   contraction step of Stergiou et al., "Shortcutting Label
+   Propagation", WSDM'18). Dense clusters collapse to stars before
+   any shuffle happens, so the iterative phase sees a graph that is
+   usually orders of magnitude smaller and shallower.
+
+2. **Minimum-label propagation with pointer doubling** on the star
+   graph: every node starts labeled with itself; each iteration takes
+   the min of its own and its neighbors' labels, then jumps to its
+   label's label (path halving — labels only decrease, so
+   label[label] is always ≤ label). Neighbor-min alone is O(diameter)
+   rounds and near-dup graphs are not always clique-ish (verified:
+   the sf0.1 MinHash graph has diameter ~6); contraction + doubling
+   make it O(log diameter), the same round bound as
+   large-star/small-star (Kiveris et al., "Connected Components in
+   MapReduce") with simpler join primitives. Lineage is truncated
+   with localCheckpoint each round (without it the plan doubles per
+   iteration and the driver OOMs planning by ~iter 20).
 
 Iteration parallelism is sized to the GRAPH, not the cluster: after
 the one-time materialization the edge list is counted, and a small
@@ -35,6 +50,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
+
+
+def _contract_partitions(sym: DataFrame) -> DataFrame:
+    """Map-only local contraction: per-partition min-root union-find.
+
+    Input/output schema: (node, nbr). Output rows are star edges
+    ``node → local min root``, INCLUDING self-loops for local roots so
+    every node the partition saw survives into the contracted graph
+    (isolated/self-edge nodes must keep their label row). Memory per
+    task is O(distinct nodes in partition) — at 100 TB size partitions
+    so each holds a bounded slice of edges.
+    """
+    import pandas as pd
+
+    def uf(pdfs):
+        parent: dict[int, int] = {}
+        seen: set[int] = set()
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in pdfs:
+            for a, b in zip(pdf["node"], pdf["nbr"]):
+                a, b = int(a), int(b)
+                seen.add(a)
+                seen.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # min id stays the root, so labels are component minima
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        nodes = sorted(seen)
+        yield pd.DataFrame({"node": nodes, "nbr": [find(n) for n in nodes]})
+
+    return sym.mapInPandas(uf, "node long, nbr long")
 
 
 def connected_components(
@@ -63,7 +118,17 @@ def connected_components(
     n_edges = sym.count()
     parts = max(1, min(sym.rdd.getNumPartitions(), int(n_edges // 1_000_000) + 1))
     if parts < sym.rdd.getNumPartitions():
-        sym = sym.coalesce(parts).localCheckpoint(eager=True)
+        sym = sym.coalesce(parts)
+    # Phase 1: collapse each partition's local components to stars,
+    # then re-symmetrize so label minima flow both ways in phase 2.
+    stars = _contract_partitions(sym)
+    sym = (
+        stars.unionByName(
+            stars.select(col("nbr").alias("node"), col("node").alias("nbr"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = sym.select("node").distinct().withColumn("component", col("node"))
     labels = labels.localCheckpoint(eager=True)
     # labels only ever DECREASE (least of own + neighbor minima), so the

@@ -340,3 +340,47 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     n_months = o.select("order_month").distinct().count()
     assert n_months > 1
     assert df.count() == o.filter(F.col("order_month") == "1996-03").count()
+
+
+def test_connected_components_long_chain_across_partitions(spark):
+    """A 64-node path whose edges are scattered over many partitions:
+    partition-local contraction must chain local roots through shared
+    nodes, and pointer doubling must close the long diameter."""
+    import random
+
+    from doin_fine_ance__spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    chain = [(i, i + 1) for i in range(63)]
+    rng.shuffle(chain)
+    edges = spark.createDataFrame(chain, "src long, dst long").repartition(16)
+    cc = {r.node: r.component for r in connected_components(edges).collect()}
+    assert cc == {i: 0 for i in range(64)}
+
+
+def test_connected_components_random_graph_matches_networkless_oracle(spark):
+    """Random sparse graph vs a driver-side union-find oracle."""
+    import random
+
+    from doin_fine_ance__spark.operators.graph import connected_components
+
+    rng = random.Random(123)
+    edges_py = [(rng.randrange(300), rng.randrange(300)) for _ in range(220)]
+    parent = list(range(300))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges_py:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    seen = {n for e in edges_py for n in e}
+    want = {n: find(n) for n in seen}
+    edges = spark.createDataFrame(edges_py, "src long, dst long").repartition(8)
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == want
