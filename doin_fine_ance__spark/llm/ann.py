@@ -136,6 +136,62 @@ def ivf_assign(
     )
 
 
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over an embedding column.
+
+    The real IVF index build (the deterministic-sample init in
+    :func:`ann_topk_ivf` is the cheap stand-in). Each iteration:
+
+    1. assign: map-only vectorized cosine argmax (:func:`ivf_assign`);
+    2. update: ``posexplode`` the vectors → partial-agg ``SUM``/count
+       per (list, dimension) → one narrow shuffle of K×dim partial
+       sums, never of vectors — the scalable centroid update;
+    3. collect the K×dim centroid matrix to the driver (bounded,
+       independent of corpus size) for the next broadcast.
+
+    Empty cells keep their previous centroid. On quantized
+    (integer-valued) vectors every partial sum is exact, so the fit is
+    deterministic under any partitioning; the mean's single division
+    is the only rounding. Init = every n/k-th vector by id (seedless,
+    engine-stable).
+    """
+    sample = (
+        embeddings.orderBy(id_col)
+        .select(id_col, vec_col)
+        .limit(max(k * 8, k))
+        .collect()
+    )
+    step = max(len(sample) // k, 1)
+    centroids = [[float(x) for x in row[vec_col]] for row in sample[::step][:k]]
+
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+        sums = (
+            assigned.select(
+                "list_id", F.posexplode(col(vec_col)).alias("dim", "x")
+            )
+            .groupBy("list_id", "dim")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        for row in sums:
+            by_list.setdefault(row["list_id"], {})[row["dim"]] = row["s"] / row["n"]
+        centroids = [
+            [by_list[li][d] for d in range(len(centroids[li]))]
+            if li in by_list
+            else centroids[li]
+            for li in range(len(centroids))
+        ]
+    return centroids
+
+
 def ann_topk_ivf(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -144,25 +200,34 @@ def ann_topk_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat ANN: probe the `nprobe` centroid cells nearest the query.
 
-    Centroids are a deterministic corpus sample (every ``n/K``-th vector
-    by ``id_col``) — stable across runs, no iterative k-means needed for
-    the recall targets the tests pin. Complements the hyperplane-LSH
-    tier: IVF adapts to the data distribution (cells follow density),
-    LSH is data-independent (no index build).
+    Default centroids are a deterministic corpus sample (every
+    ``n/K``-th vector by ``id_col``) — stable across runs, enough for
+    the recall targets the tests pin AND SQL-reproducible for the
+    oracle. Pass ``kmeans_iters > 0`` to refine them with distributed
+    Lloyd's iterations (:func:`kmeans_fit`) — the production index
+    build. Complements the hyperplane-LSH tier: IVF adapts to the data
+    distribution (cells follow density), LSH is data-independent (no
+    index build).
     """
-    sample = (
-        embeddings.orderBy(id_col)
-        .select(id_col, vec_col)
-        .limit(max(n_centroids * 8, n_centroids))
-        .collect()
-    )
-    step = max(len(sample) // n_centroids, 1)
-    centroids = [
-        [float(x) for x in row[vec_col]] for row in sample[:: step][:n_centroids]
-    ]
+    if kmeans_iters > 0:
+        centroids = kmeans_fit(
+            embeddings, n_centroids, kmeans_iters, id_col, vec_col
+        )
+    else:
+        sample = (
+            embeddings.orderBy(id_col)
+            .select(id_col, vec_col)
+            .limit(max(n_centroids * 8, n_centroids))
+            .collect()
+        )
+        step = max(len(sample) // n_centroids, 1)
+        centroids = [
+            [float(x) for x in row[vec_col]] for row in sample[::step][:n_centroids]
+        ]
 
     def pysim(c: list[float]) -> float:
         d = sum(a * b for a, b in zip(query_vec, c))

@@ -159,6 +159,30 @@ def decontaminate(
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    strata: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: top-n per stratum by md5(id).
+
+    ``rand()``-based sampling is irreproducible across runs/engines;
+    ranking on the md5 of the id gives a uniform, engine-stable
+    pseudorandom draw — the reproducible way to cut eval sets out of a
+    training corpus. One window shuffle partitioned by the strata;
+    no stratum ever concentrates on one task unless the data does.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata).orderBy(F.md5(col(id_col).cast("string")), id_col)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 2048,

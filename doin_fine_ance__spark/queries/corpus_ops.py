@@ -28,6 +28,7 @@ from ..llm.corpus import (
     pack_sequences,
     redact_pii,
     repetition_stats,
+    stratified_sample,
 )
 from ..sources.testdata import load_table
 from . import query
@@ -153,3 +154,22 @@ def t_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shard + greedy 512-token packing per document."""
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     return pack_sequences(d, budget=512, n_shards=4).orderBy("doc_id")
+
+
+@query(
+    "t_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20 ORDER BY doc_id
+    """,
+)
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible eval-set draw: 20 docs per language by md5 rank."""
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    return stratified_sample(d, ["lang"], 20).select("doc_id", "lang", "source").orderBy(
+        "doc_id"
+    )

@@ -351,3 +351,42 @@ def test_incremental_candidates_never_self_join_store(spark, tmp_path):
     assert "LeftSemi" in plan, plan
     # and the candidates themselves are correct
     assert {(r.id_a, r.id_b) for r in cands.collect()} == {(7, 1000)}
+
+
+def test_kmeans_fit_improves_and_is_deterministic(spark):
+    """Distributed Lloyd's: inertia (sum of 1-cosine to own centroid)
+    must not increase with iterations, the fit must be identical across
+    runs, and refined centroids must still back a working IVF probe."""
+    import numpy as np
+
+    from doin_fine_ance__spark.llm.ann import ann_topk_ivf, ivf_assign, kmeans_fit
+
+    e = load_table(spark, SF, "embeddings")
+    # quantize so partial sums are exact integers (deterministic fit)
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000)
+        ).alias("embedding"),
+    )
+
+    def inertia(centroids):
+        C = np.asarray(centroids)
+        Cn = C / np.maximum(np.sqrt((C * C).sum(axis=1))[:, None], 1e-12)
+        rows = ivf_assign(q, centroids).collect()
+        total = 0.0
+        for r in rows:
+            v = np.asarray(r["embedding"], dtype=np.float64)
+            vn = v / max(np.sqrt((v * v).sum()), 1e-12)
+            total += 1.0 - float(vn @ Cn[r["list_id"]])
+        return total
+
+    c1 = kmeans_fit(q, k=8, iters=1)
+    c3 = kmeans_fit(q, k=8, iters=3)
+    assert inertia(c3) <= inertia(c1) + 1e-9
+    assert c3 == kmeans_fit(q, k=8, iters=3)  # deterministic
+    qvec = [float(x) for x in q.filter("vec_id = 0").first()["embedding"]]
+    got = ann_topk_ivf(
+        q.filter("vec_id != 0"), qvec, k=5, n_centroids=8, nprobe=3, kmeans_iters=2
+    ).collect()
+    assert len(got) == 5
