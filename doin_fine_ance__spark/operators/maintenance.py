@@ -148,6 +148,7 @@ def compact_table(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
+    zorder: list[str] | None = None,
 ) -> dict[str, int]:
     """Rewrite small-file partitions into few large files.
 
@@ -159,6 +160,13 @@ def compact_table(
     stage-and-swap). File count per rewrite = ceil(bytes /
     target_file_bytes), i.e. ~128 MB output files — the scan-efficient
     shape Delta's OPTIMIZE targets.
+
+    ``zorder=[cols]`` additionally clusters each rewrite by the Morton
+    code of those columns (``OPTIMIZE ... ZORDER BY`` analog): output
+    files are range-partitioned + sorted on the interleaved-bit key,
+    so every file carries a tight min/max bounding box over ALL listed
+    columns and point/range lookups skip most files (the parquet-lake
+    replacement for the reference's btree indexes, init_db.py:79-130).
 
     Returns {relative_partition_path: files_after} for rewritten dirs.
     """
@@ -175,7 +183,18 @@ def compact_table(
             continue
         total = sum(os.path.getsize(os.path.join(d, f)) for f in frags)
         n_out = max(1, math.ceil(total / target_file_bytes))
-        df = spark.read.parquet(d).coalesce(n_out)
+        df = spark.read.parquet(d)
+        if zorder:
+            from .zorder import zorder_key
+
+            df = (
+                df.withColumn("_z", zorder_key(df, zorder))
+                .repartitionByRange(n_out, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        else:
+            df = df.coalesce(n_out)
         staging = f"{d}__stage_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(staging)
         backup = f"{d}__old_{uuid.uuid4().hex[:8]}"

@@ -132,3 +132,53 @@ def test_compact_table_skips_already_compact(spark, tmp_path):
     path = str(tmp_path / "t")
     spark.range(100).coalesce(1).write.parquet(path)
     assert mnt.compact_table(spark, path) == {}
+
+
+def test_compact_table_zorder_skips_files_on_both_columns(spark, tmp_path):
+    """ZORDER analog: after a z-ordered rewrite, per-file min/max
+    stats are selective on BOTH clustered columns, so a point-ish
+    predicate on either column prunes most files — the parquet-lake
+    stand-in for the reference's btree indexes (init_db.py:79-130)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tz")
+    df = spark.range(40000).select(
+        F.col("id"),
+        (F.col("id") * 7919 % 1000).alias("a"),
+        (F.col("id") * 104729 % 1000).alias("b"),
+    )
+    df.repartition(24).write.mode("overwrite").parquet(path)
+    before = df.count()
+
+    out = mnt.compact_table(
+        spark, path, target_file_bytes=40_000, min_files=2, zorder=["a", "b"]
+    )
+    assert out  # the rewrite happened
+
+    files = [
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+    assert len(files) >= 4
+
+    def covering(colname, value):
+        n = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(colname)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st.min <= value <= st.max:
+                    n += 1
+                    break
+        return n
+
+    # each column's value range is [0, 1000); a z-ordered layout keeps
+    # both columns' per-file ranges narrow, so a point predicate on
+    # either column touches a strict minority of files
+    assert covering("a", 5) <= len(files) // 2
+    assert covering("b", 5) <= len(files) // 2
+    # data survives the rewrite intact
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    assert after.agg(F.sum("id")).first()[0] == sum(range(40000))
