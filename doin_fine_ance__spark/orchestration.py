@@ -149,6 +149,9 @@ class LLMPipelineRun:
 
         documents → minhash signatures (incremental store)
                   → near-dup pairs → dup clusters → keeper corpus
+                  → clean corpus (repetition filter + PII scrub +
+                    benchmark decontamination)
+                  → training shards (sequence packing)
                   → corpus quality stats
 
     Each asset materializes to ``warehouse_root/llm/<asset>`` parquet
@@ -160,6 +163,8 @@ class LLMPipelineRun:
     spark: SparkSession
     warehouse_root: str
     jaccard_threshold: float = 0.7
+    # kwargs for llm.corpus.repetition_stats (quality-filter thresholds)
+    repetition_kwargs: dict = field(default_factory=dict)
     results: dict = field(default_factory=dict)
 
     def _path(self, asset: str) -> str:
@@ -192,10 +197,43 @@ class LLMPipelineRun:
         kept.write.mode("overwrite").parquet(self._path("corpus"))
         self.results["corpus"] = kept.count()
 
+    def clean_corpus(self, benchmark=None) -> None:
+        """Quality filter + PII scrub (+ optional decontamination vs a
+        benchmark DataFrame) over the deduplicated corpus."""
+        from pyspark.sql import functions as F
+
+        from .llm.corpus import decontaminate, redact_pii, repetition_stats
+
+        corpus = self.spark.read.parquet(self._path("corpus"))
+        keep_ids = (
+            repetition_stats(corpus, **self.repetition_kwargs)
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        clean = corpus.join(keep_ids, "doc_id", "left_semi")
+        if benchmark is not None:
+            contaminated = decontaminate(clean, benchmark).select("doc_id")
+            clean = clean.join(contaminated, "doc_id", "left_anti")
+        scrubbed = clean.drop("text").join(
+            redact_pii(clean).withColumnRenamed("redacted", "text"), "doc_id"
+        )
+        scrubbed.write.mode("overwrite").parquet(self._path("clean_corpus"))
+        self.results["clean_corpus"] = scrubbed.count()
+
+    def shards(self, budget: int = 2048, n_shards: int = 8) -> None:
+        from .llm.corpus import pack_sequences
+
+        clean = self.spark.read.parquet(self._path("clean_corpus"))
+        packed = pack_sequences(clean, budget=budget, n_shards=n_shards)
+        packed.join(clean.select("doc_id", "text"), "doc_id").write.mode(
+            "overwrite"
+        ).partitionBy("shard").parquet(self._path("shards"))
+        self.results["shards"] = packed.select("shard", "pack_id").distinct().count()
+
     def quality_stats(self) -> None:
         from pyspark.sql import functions as F
 
-        corpus = self.spark.read.parquet(self._path("corpus"))
+        corpus = self.spark.read.parquet(self._path("clean_corpus"))
         stats = corpus.agg(
             F.count("*").alias("n_docs"),
             F.sum(F.length("text")).alias("n_chars"),
@@ -204,11 +242,13 @@ class LLMPipelineRun:
         stats.write.mode("overwrite").parquet(self._path("corpus_stats"))
         self.results["corpus_stats"] = stats.first().asDict()
 
-    def run(self, docs) -> dict:
+    def run(self, docs, benchmark=None) -> dict:
         """Topological execution over one document batch."""
         self.dedup_pairs(docs)
         self.clusters()
         self.keeper_corpus(docs)
+        self.clean_corpus(benchmark)
+        self.shards()
         self.quality_stats()
         return self.results
 

@@ -134,11 +134,17 @@ def test_llm_pipeline_dag(spark, tmp_path):
     from doin_fine_ance__spark.orchestration import LLMPipelineRun
 
     base = "the quick brown fox jumps over the lazy dog " * 8
+    # fixtures are deliberately repetitive (for the dedup stages);
+    # disarm the Gopher thresholds so the quality filter keeps them
+    lenient = dict(
+        max_word_frac=1.0, min_distinct_frac=0.0,
+        min_mean_word_len=0.0, max_mean_word_len=100.0,
+    )
     batch1 = spark.createDataFrame(
         [(1, base), (2, base + "tail"), (10, "unrelated words entirely " * 8)],
         "doc_id long, text string",
     )
-    run = LLMPipelineRun(spark, str(tmp_path / "wh"))
+    run = LLMPipelineRun(spark, str(tmp_path / "wh"), repetition_kwargs=lenient)
     r1 = run.run(batch1)
     assert r1["near_dup_pairs"] >= 1          # (1,2)
     assert r1["corpus"] == 2                  # keeper of {1,2} + 10
@@ -149,9 +155,40 @@ def test_llm_pipeline_dag(spark, tmp_path):
         [(20, base + "other tail"), (30, "fresh independent content " * 8)],
         "doc_id long, text string",
     )
-    run2 = LLMPipelineRun(spark, str(tmp_path / "wh"))
+    run2 = LLMPipelineRun(spark, str(tmp_path / "wh"), repetition_kwargs=lenient)
     r2 = run2.run(batch1.unionByName(batch2))
     # doc 20 joined cluster {1,2} via stored signatures; keeper still 1
     kept2 = {r.doc_id for r in spark.read.parquet(str(tmp_path / "wh/llm/corpus")).collect()}
     assert kept2 == {1, 10, 30}
+    assert r2["clean_corpus"] == 3
     assert r2["corpus_stats"]["n_docs"] == 3
+    # shards asset: every clean doc landed in a (shard, pack) slot
+    sh = spark.read.parquet(str(tmp_path / "wh/llm/shards"))
+    assert {r.doc_id for r in sh.select("doc_id").collect()} == kept2
+    assert set(sh.columns) >= {"doc_id", "shard", "pack_id", "n_tokens", "text"}
+
+
+def test_llm_pipeline_quality_and_decontamination_gates(spark, tmp_path):
+    """Default thresholds DROP degenerate docs; a benchmark batch
+    removes contaminated docs from the clean corpus."""
+    from doin_fine_ance__spark.orchestration import LLMPipelineRun
+
+    good = " ".join(f"word{i:03d}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "spam " * 60),                      # repetition-filtered
+            (3, " ".join(f"tok{i:02d}" for i in range(40, 100))),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "word001 word002 word003 word004 word005")],  # contaminates doc 1
+        "doc_id long, text string",
+    )
+    run = LLMPipelineRun(spark, str(tmp_path / "wh2"))
+    r = run.run(docs, benchmark=bench)
+    clean = {r_.doc_id for r_ in
+             spark.read.parquet(str(tmp_path / "wh2/llm/clean_corpus")).collect()}
+    assert clean == {3}
+    assert r["clean_corpus"] == 1
