@@ -295,7 +295,9 @@ def t_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    from ..llm.dedup import _fan_out
+
+    d = _fan_out(load_table(spark, sf_dir, "documents", ["doc_id", "text"]))
     toks = d.select(
         "doc_id",
         F.filter(F.split(F.lower(col("text")), r"\s+"), lambda x: x != "").alias("t"),
@@ -304,6 +306,7 @@ def t_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT per-doc nested arrays: Catalyst inlines computed arrays into
     # their explode, re-evaluating every gram hash once per output row
     # (measured 66s for 500 docs); row-wise + window min is linear.
+    # The gram hashing runs pre-shuffle, so fan the scan out first.
     grams = (
         toks.filter(F.size("t") >= 4)
         .select(
