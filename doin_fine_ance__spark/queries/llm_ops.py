@@ -526,6 +526,51 @@ def d_minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d_incremental_neardups",
+    oracle="WITH "
+    + _minhash_pairs_cte(0.7)
+    + """
+    SELECT id_a, id_b, jaccard FROM mh_pairs
+    WHERE id_a % 10 = 0 OR id_b % 10 = 0
+    """,
+)
+def d_incremental_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-dedup join shape, driver-verifiable (L6's oracle row).
+
+    Stateless restaging of :func:`llm.dedup.incremental_near_dups`:
+    "new batch" = ``doc_id % 10 = 0``, store = the whole corpus. The
+    asymmetric banded join (new × bucket-pruned store, never
+    store × store) must produce exactly the band-collision pairs with
+    at least one new side — which is what the oracle computes from the
+    full mh_pairs CTE — then the same exact-Jaccard verify applies.
+    Proves the either-side-new contract (a new doc with a LOWER id
+    than a stored doc still pairs) against SQL, not just pytest.
+    """
+    from ..llm.dedup import incremental_candidate_pairs, minhash_signatures
+
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    sigs_all = minhash_signatures(d)
+    sigs_new = minhash_signatures(d.filter(col("doc_id") % 10 == 0))
+    cands = incremental_candidate_pairs(sigs_new, sigs_all)
+    toks = d.select(
+        col("doc_id"),
+        F.array_distinct(
+            F.filter(F.split(F.lower(col("text")), r"\s+"), lambda x: x != "")
+        ).alias("tokens"),
+    )
+    ta = toks.select(col("doc_id").alias("id_a"), col("tokens").alias("tok_a"))
+    tb = toks.select(col("doc_id").alias("id_b"), col("tokens").alias("tok_b"))
+    inter = F.size(F.array_intersect("tok_a", "tok_b"))
+    union = F.size("tok_a") + F.size("tok_b") - inter
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(col("jaccard") >= 0.7)
+    )
+
+
+@query(
     "d_simhash_neardups",
     oracle="WITH "
     + _simhash_fp_cte()
