@@ -117,3 +117,64 @@ def test_pagination_partitions_the_order(spark, rows, page_size):
             break
         offset += page_size
     assert got == expect
+
+
+# --- corpus-prep operators (llm/corpus.py) -------------------------------
+
+word = st.sampled_from(["alpha", "beta", "gamma", "delta", "x", "longishword"])
+doc_text = st.lists(word, min_size=0, max_size=30).map(" ".join)
+
+
+@given(docs=st.lists(doc_text, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_pack_sequences_partitions_the_corpus(spark, docs):
+    """Every doc lands in exactly one (shard, pack); per-shard pack ids
+    are contiguous from 0; n_tokens matches the whitespace tokenizer."""
+    from doin_fine_ance__spark.llm.corpus import pack_sequences
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    out = pack_sequences(
+        spark.createDataFrame(rows, "doc_id long, text string"), budget=16, n_shards=2
+    ).collect()
+    assert sorted(r.doc_id for r in out) == [i for i, _ in rows]
+    for r in out:
+        assert r.n_tokens == len(docs[r.doc_id].split())
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, set()).add(r.pack_id)
+    for pids in by_shard.values():
+        assert pids == set(range(max(pids) + 1))
+
+
+@given(docs=st.lists(doc_text, min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_repetition_stats_bounds_and_totals(spark, docs):
+    from doin_fine_ance__spark.llm.corpus import repetition_stats
+
+    rows = [(i, t) for i, t in enumerate(docs) if t.strip()]
+    if not rows:
+        return
+    out = repetition_stats(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()
+    assert {r.doc_id for r in out} == {i for i, _ in rows}
+    for r in out:
+        assert 0.0 < r.max_word_frac <= 1.0
+        assert 0.0 < r.distinct_word_frac <= 1.0
+        assert r.n_words == len(dict(rows)[r.doc_id].split())
+
+
+@given(docs=st.lists(st.text(alphabet=" abc@.-0123456789", max_size=40), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_redact_pii_is_idempotent(spark, docs):
+    """Redacting twice equals redacting once — placeholders never
+    re-match the patterns."""
+    from doin_fine_ance__spark.llm.corpus import redact_pii
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = redact_pii(df).select("doc_id", "redacted")
+    twice = redact_pii(
+        once.withColumnRenamed("redacted", "text")
+    ).select("doc_id", "redacted")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
