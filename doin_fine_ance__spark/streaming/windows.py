@@ -237,3 +237,37 @@ def stream_upsert_sink(agg: DataFrame, path: str, key_cols: list[str]):
         .foreachBatch(_sink)
         .start()
     )
+
+
+def stream_incremental_dedup(
+    docs_stream: DataFrame,
+    signature_store: str,
+    pairs_path: str,
+    threshold: float = 0.7,
+):
+    """Streaming corpus ingestion with incremental near-dup detection.
+
+    foreachBatch composition of the batch operator
+    (:func:`..llm.dedup.incremental_near_dups`): each micro-batch of
+    documents is MinHash-signed once, banded against the persistent
+    signature store (banded-new × bucket-pruned store — per-batch cost
+    scales with the batch, never the corpus), matched pairs are
+    appended to ``pairs_path``, and the batch's signatures are
+    appended to the store. Retried epochs re-match against a store
+    that already holds their signatures; self-pairs are excluded by
+    the candidate join, so replays cannot pair a doc with itself.
+
+    This is the 100 TB ingestion shape: the stream IS the pipeline —
+    no nightly full-corpus recompute.
+    """
+    from ..llm.dedup import incremental_near_dups
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = incremental_near_dups(
+            batch_df.sparkSession, batch_df, signature_store, threshold=threshold
+        )
+        pairs.write.mode("append").parquet(pairs_path)
+
+    return docs_stream.writeStream.outputMode("append").foreachBatch(_sink).start()

@@ -182,3 +182,56 @@ def test_watermark_drops_late_data(spark, tmp_path):
     hours = {r["window"].start.hour for r in rows}
     assert 9 not in hours  # late event never produced a window
     assert 11 in hours  # on-time event did
+
+
+def test_stream_incremental_dedup_pairs_across_batches(spark, tmp_path):
+    """foreachBatch corpus ingestion: a doc arriving in a later
+    micro-batch pairs with its stored near-dup from an earlier batch;
+    no old-vs-old pairs are recomputed; replay-safe store append."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from doin_fine_ance__spark.streaming.windows import stream_incremental_dedup
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def drop(rows, name):
+        (
+            spark.createDataFrame(rows, schema)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / f"_stage_{name}"))
+        )
+        import shutil
+
+        pq = next((tmp_path / f"_stage_{name}").glob("*.parquet"))
+        shutil.copy(pq, src / f"{name}.parquet")
+
+    drop([(1, base), (50, "unrelated filler words " * 10)], "b1")
+    drop([(2, base + " tail"), (60, "still nothing alike here " * 9)], "b2")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    store = str(tmp_path / "sigstore")
+    pairs_path = str(tmp_path / "pairs")
+    q = stream_incremental_dedup(stream, store, pairs_path, threshold=0.6)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pairs = {
+        (r.id_a, r.id_b) for r in spark.read.parquet(pairs_path).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(1 in p or 2 in p for p in pairs)  # no unrelated-pair noise
+    # the store accumulated every streamed signature
+    assert spark.read.parquet(store).count() == 4
