@@ -103,15 +103,26 @@ def connected_components(
     Nodes are those appearing in at least one edge; add self-edges for
     isolated nodes you want carried through.
     """
+    # Symmetrize in ONE pass over the edges: a union of the edge list
+    # with its own swap would put the upstream edge-generation plan
+    # (e.g. the MinHash candidate join feeding d_dup_clusters) into the
+    # DAG twice and execute it twice; explode(array(fwd, rev)) scans it
+    # once.
     sym = (
-        edges.select(col(src).alias("node"), col(dst).alias("nbr"))
-        .unionByName(edges.select(col(dst).alias("node"), col(src).alias("nbr")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(col(src).alias("node"), col(dst).alias("nbr")),
+                    F.struct(col(dst).alias("node"), col(src).alias("nbr")),
+                )
+            ).alias("e")
+        )
+        .select("e.node", "e.nbr")
         .distinct()
     )
     # Materialize the symmetric edge list ONCE: it is joined every
     # iteration (plus the convergence agg), and without this the whole
-    # upstream edge-generation plan (e.g. a blocked-Jaccard pair join)
-    # re-executes per round.
+    # upstream edge-generation plan re-executes per round.
     sym = sym.localCheckpoint(eager=True)
     # Size iteration parallelism to the graph (see module docstring):
     # ~1M edge rows per partition; a sparse pair graph collapses to 1.
@@ -123,9 +134,15 @@ def connected_components(
     # then re-symmetrize so label minima flow both ways in phase 2.
     stars = _contract_partitions(sym)
     sym = (
-        stars.unionByName(
-            stars.select(col("nbr").alias("node"), col("node").alias("nbr"))
+        stars.select(
+            F.explode(
+                F.array(
+                    F.struct(col("node"), col("nbr")),
+                    F.struct(col("nbr").alias("node"), col("node").alias("nbr")),
+                )
+            ).alias("e")
         )
+        .select("e.node", "e.nbr")
         .distinct()
         .localCheckpoint(eager=True)
     )
