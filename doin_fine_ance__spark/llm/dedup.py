@@ -174,6 +174,16 @@ def lsh_candidate_pairs(
     splits pathological buckets.
     """
     banded = band_keys(signatures, id_col, bands, k)
+    # Materialize the band keys ONCE before the self-join: the two join
+    # branches are otherwise separate copies of the whole upstream plan
+    # (signature UDF included), and Spark only reuses exchanges, not
+    # arbitrary subplans — without this the signatures compute twice.
+    # At corpus scale this materialization is the signature/band store
+    # you would persist anyway (incremental dedup reads exactly it).
+    try:
+        banded = banded.localCheckpoint(eager=True)
+    except Exception:
+        pass  # Spark Connect without checkpoint support: correct, just slower
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -204,11 +214,31 @@ def minhash_near_dups(
     """
     sigs = minhash_signatures(docs, id_col, text_col, k)
     cands = lsh_candidate_pairs(sigs, id_col, bands, k=k)
+    # Pin verify parallelism: the candidate list is BYTE-small but each
+    # row costs an array intersection, and AQE coalesces post-shuffle
+    # partitions by bytes — without an explicit width the whole verify
+    # stage lands on one core. A numbered repartition is exempt from
+    # AQE coalescing.
+    try:
+        width = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # round-robin, NOT by key: a hash repartition on (id_a, id_b) is
+        # optimizer-eliminated as redundant with the distinct's own
+        # partitioning, putting the stage back under AQE coalescing.
+        cands = cands.repartition(width)
+    except (TypeError, ValueError):
+        pass  # non-numeric conf (e.g. "auto"): keep the planner's choice
 
+    # Verify on HASHED token sets (xxhash64 → long): set semantics are
+    # identical to string tokens (64-bit collisions are ~1e-16 per
+    # pair), while the shuffle ships 8-byte longs instead of strings
+    # and the per-pair intersection compares longs, not UTF-8.
     toks = docs.select(
         col(id_col),
         F.array_distinct(
-            F.filter(F.split(F.lower(col(text_col)), r"\s+"), lambda x: x != "")
+            F.transform(
+                F.filter(F.split(F.lower(col(text_col)), r"\s+"), lambda x: x != ""),
+                lambda x: F.xxhash64(x),
+            )
         ).alias("tokens"),
     )
     ta = toks.select(col(id_col).alias("id_a"), col("tokens").alias("tok_a"))
