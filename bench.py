@@ -7,6 +7,7 @@ local[$SPARK_GRAFT_CPUS] and prints
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -65,10 +66,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers + Python/Arrow worker pool once so
-    # per-query numbers measure the query, not session startup (the first
-    # pandas-UDF stage otherwise pays ~5s of worker fork + Arrow init)
+    # per-query numbers measure the query, not session startup. The
+    # UDF warmup must run FULL-WIDTH (noop sink, not limit(1)): limit(1)
+    # forks exactly one Python worker, leaving the first wide pandas-UDF
+    # query to pay the other 31 forks + Arrow init inside its timing.
     queries["a6_count_total"](spark, sf_dir).collect()
-    queries["t_simhash_fingerprints"](spark, sf_dir).limit(1).collect()
+    queries["t_simhash_fingerprints"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     from doin_fine_ance__spark.sources.testdata import load_table
 
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -88,6 +93,13 @@ def main() -> None:
         # near-empty scans. noop materializes every output column.
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # Drop this query's localCheckpoint blocks NOW: they are only
+        # unpersisted after Python GC releases the DataFrame and the
+        # JVM ContextCleaner notices — left alone they accumulate in
+        # the local block manager across queries and turn into full-GC
+        # stalls attributed to whatever query runs later.
+        del df
+        gc.collect()
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

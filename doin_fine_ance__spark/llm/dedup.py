@@ -241,6 +241,13 @@ def minhash_near_dups(
             )
         ).alias("tokens"),
     )
+    # Tokenize ONCE: toks feeds both join branches (ta on id_a, tb on
+    # id_b) and Spark reuses exchanges, not subplans — without this the
+    # scan + split + hash runs twice.
+    try:
+        toks = toks.localCheckpoint(eager=True)
+    except Exception:
+        pass  # Spark Connect without checkpoint support: correct, just slower
     ta = toks.select(col(id_col).alias("id_a"), col("tokens").alias("tok_a"))
     tb = toks.select(col(id_col).alias("id_b"), col("tokens").alias("tok_b"))
     inter = F.size(F.array_intersect("tok_a", "tok_b"))

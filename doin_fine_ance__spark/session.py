@@ -47,7 +47,25 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local mode = driver IS the executor: its block manager holds
+        # every localCheckpoint (the dedup pipelines materialize band
+        # keys / token stores / CC labels there). At 8g those blocks
+        # drive stop-the-world full GCs that stall unrelated queries
+        # for tens of seconds; size the single-JVM heap like the
+        # executor it stands in for.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # Shuffle files + spilled checkpoint blocks go to spark.local.dir;
+        # on this box the root disk is burst-throttled block storage and
+        # shuffle-heavy pipelines stall seconds in D-state once credits
+        # run out, while RAM sits idle. Prefer tmpfs when it exists —
+        # exactly what a tuned cluster does with NVMe/ramdisk scratch.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark-scratch" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
