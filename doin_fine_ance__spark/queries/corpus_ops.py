@@ -173,3 +173,115 @@ def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(d, ["lang"], 20).select("doc_id", "lang", "source").orderBy(
         "doc_id"
     )
+
+
+_STOPLIST = "['the','a','an','and','or','of','to','in','is','it']"
+
+
+@query(
+    "t_token_budget_select",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS w FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             CAST(length(w) AS BIGINT) AS n_tokens,
+             CAST(length(list_filter(w, x -> list_contains({_STOPLIST}, x))) AS DOUBLE)
+               / greatest(length(w), 1) AS score
+      FROM toks
+    ), cum AS (
+      SELECT doc_id, n_tokens, score,
+             CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, score, cum_tokens
+    FROM cum WHERE cum_tokens <= 10000 ORDER BY doc_id
+    """,
+)
+def t_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: best documents first, stop at 10k tokens.
+
+    Rank by stopword ratio (an English-prose quality proxy; any score
+    works) and greedily keep documents while the cumulative token
+    count fits the budget — the data-selection step that turns a
+    cleaned corpus into a right-sized training mix. The cumulative sum
+    is llm/selection.py's two-pass distributed prefix sum (range
+    partition → local window → driver offsets); the oracle is the
+    equivalent single-window SQL, which is exactly the plan shape the
+    Spark side exists to avoid at scale.
+    """
+    from ..llm.selection import budget_select
+
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = F.filter(F.split(F.lower(col("text")), r"\s+"), lambda x: x != "")
+    stop = F.array([F.lit(w) for w in
+                    ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    scored = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1))).alias("score"),
+    )
+    sel = budget_select(
+        scored, "n_tokens", 10_000,
+        [col("score").desc(), col("doc_id")], cum_col="cum_tokens",
+    )
+    return sel.select("doc_id", "n_tokens", "score", "cum_tokens").orderBy("doc_id")
+
+
+@query(
+    "t_shuffle_order",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id
+           ) AS BIGINT) AS shuffle_rank
+    FROM documents ORDER BY doc_id
+    """,
+)
+def t_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (seeded md5 rank).
+
+    Reproducible example order without a single-partition
+    row_number(): the rank is the distributed prefix COUNT in
+    md5(id:seed) order (llm/selection.py). Bump the seed to reshuffle
+    between epochs; same seed → same order on any cluster layout.
+    """
+    from ..llm.selection import shuffle_rank
+
+    d = load_table(spark, sf_dir, "documents", ["doc_id"])
+    return shuffle_rank(d, seed=42).select("doc_id", "shuffle_rank").orderBy("doc_id")
+
+
+@query(
+    "t_domain_mix",
+    oracle="""
+    WITH drawn AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS UBIGINT)
+               / 4294967296.0 AS sample_u,
+             CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
+                         WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25
+                         ELSE 0.1 END AS w
+      FROM documents
+    )
+    SELECT doc_id, source, sample_u FROM drawn
+    WHERE sample_u < w ORDER BY doc_id
+    """,
+)
+def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixing: downsample each source to a target rate.
+
+    The training-mix rebalancer (keep all of src0, 75% of src1, …,
+    10% of the long tail). Map-only and shuffle-free at any scale;
+    membership is a deterministic per-doc uniform draw (md5-derived),
+    so reruns and incremental extensions select the same documents.
+    """
+    from ..llm.selection import domain_mix
+
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "source"])
+    mixed = domain_mix(
+        d, {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25},
+        default_weight=0.1, seed="mix",
+    )
+    return mixed.select("doc_id", "source", "sample_u").orderBy("doc_id")

@@ -93,3 +93,92 @@ def test_pack_sequences_greedy_invariants(spark):
         # packs are contiguous from 0
         pids = sorted({r["pack_id"] for r in docs})
         assert pids == list(range(pids[-1] + 1))
+
+
+# --- llm/selection.py: budget selection, shuffle order, domain mix ------
+
+
+def test_global_running_sum_matches_naive_window(spark):
+    """Two-pass distributed prefix sum == single-window cumulative sum."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.llm.selection import global_running_sum
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1, 50), rng.random()) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w long, key double")
+    order = [F.col("key"), F.col("id")]
+    got = {
+        r.id: r.cum
+        for r in global_running_sum(df, "w", order, out_col="cum").collect()
+    }
+    naive = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.id: r.cum
+        for r in df.withColumn("cum", F.sum("w").over(naive)).collect()
+    }
+    assert got == want
+
+
+def test_global_running_sum_no_single_partition_window(spark):
+    """The scale contract: no global-sort window in the physical plan.
+
+    A single-partition Window (the naive cumulative-sum plan) shows up
+    as a Window operator whose required ordering triggered a global
+    Sort without a partitioning key. Ours must window only within
+    _pid partitions after a range repartition."""
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.llm.selection import global_running_sum
+
+    df = spark.range(100).withColumn("w", F.lit(1))
+    out = global_running_sum(df, "w", [F.col("id")], out_col="cum")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_pid" in plan  # window is partitioned, not global
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        window_line = plan[m.start() : plan.find("\n", m.start())]
+        assert "_pid" in window_line, window_line
+
+
+def test_budget_select_boundary(spark):
+    """Selection keeps exactly the prefix whose inclusive sum <= budget."""
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.llm.selection import budget_select
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(10)], "doc_id long, n long"
+    )
+    kept = budget_select(df, "n", 35, [F.col("doc_id")], cum_col="cum").collect()
+    assert sorted(r.doc_id for r in kept) == [0, 1, 2]  # 10+10+10 <= 35 < 40
+    assert {r.doc_id: r.cum for r in kept} == {0: 10, 1: 20, 2: 30}
+
+
+def test_shuffle_rank_is_permutation_and_seed_sensitive(spark):
+    from doin_fine_ance__spark.llm.selection import shuffle_rank
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    r42 = {r.doc_id: r.shuffle_rank for r in shuffle_rank(df, seed=42).collect()}
+    assert sorted(r42.values()) == list(range(1, 201))  # a true permutation
+    again = {r.doc_id: r.shuffle_rank for r in shuffle_rank(df, seed=42).collect()}
+    assert r42 == again  # reproducible
+    r43 = {r.doc_id: r.shuffle_rank for r in shuffle_rank(df, seed=43).collect()}
+    assert r42 != r43  # seed actually reshuffles
+
+
+def test_domain_mix_deterministic_and_weight_bounds(spark):
+    from doin_fine_ance__spark.llm.selection import domain_mix
+
+    rows = [(i, "keep" if i % 2 else "drop") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    mixed = domain_mix(df, {"keep": 1.0, "drop": 0.0}, default_weight=0.5)
+    kept = [r.doc_id for r in mixed.collect()]
+    assert all(i % 2 == 1 for i in kept)  # weight 0 excludes everything
+    assert len(kept) == 200  # weight 1 keeps everything
+    twice = [r.doc_id for r in mixed.collect()]
+    assert kept == twice
