@@ -55,6 +55,8 @@ HEADLINE = [
     "t_repetition_filter",
     "d_decontaminate",
     "t_sequence_packing",
+    "t_token_budget_select",
+    "t_domain_mix",
 ]
 
 
