@@ -57,6 +57,7 @@ HEADLINE = [
     "t_sequence_packing",
     "t_token_budget_select",
     "t_domain_mix",
+    "mm_audio_features",
 ]
 
 

@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -285,3 +286,121 @@ def sample_video_frames(media: DataFrame, every_ms: int) -> DataFrame:
             yield pd.DataFrame(rows, columns=MEDIA_SCHEMA.fieldNames())
 
     return media.repartition("media_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: WAV/PCM16 codec + feature extraction
+# ---------------------------------------------------------------------------
+#
+# The audio analog of image/bmp: a real, dependency-free codec for
+# audio/wav (RIFF, PCM16 mono, struct+numpy) so the audio pipeline —
+# encode → binary column → decode → features — runs END-TO-END without
+# soundfile/torchaudio. Other audio mimes raise NotImplementedError
+# until a decoder is registered.
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mime", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """numpy int16 mono samples → RIFF/WAVE PCM16 bytes."""
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.int16)
+    data = samples.tobytes()
+    byte_rate = sample_rate * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+def decode_wav(data: bytes):
+    """RIFF/WAVE PCM16 mono bytes → (sample_rate, numpy int16 samples).
+
+    Walks the RIFF chunk list (fmt may be followed by LIST/fact chunks
+    before data in real encoders' output); rejects non-PCM16-mono
+    variants explicitly rather than mis-decoding them.
+    """
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, fmt_code = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack_from("<HHI", data, body)
+            bits = struct.unpack_from("<H", data, body + 14)[0]
+        elif cid == b"data":
+            if fmt_code != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV variant (fmt={fmt_code}, ch={channels}, bits={bits})"
+                )
+            samples = np.frombuffer(data, dtype="<i2", count=size // 2, offset=body)
+            return rate, samples
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("WAV data chunk not found")
+
+
+# mime → decode bytes → (sample_rate, numpy int16 samples)
+AUDIO_DECODERS: dict[str, object] = {"audio/wav": decode_wav}
+
+
+def register_audio_decoder(mime: str, decode) -> None:
+    AUDIO_DECODERS[mime] = decode
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Distributed audio decode + signal features via the codec registry.
+
+    Per clip: sample count, duration, RMS amplitude, peak, and
+    zero-crossing count — the standard cheap audio-quality/VAD
+    signals. numpy-vectorized per clip inside Arrow batches; the
+    integer accumulations (sum of squares, peak, crossings) are exact,
+    so results are engine-reproducible from the same samples.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                decode = _require(AUDIO_DECODERS, r.mime, "extract_audio_features")
+                rate, s = decode(r.content)
+                x = s.astype(np.int64)
+                n = int(x.size)
+                sum_sq = int((x * x).sum())
+                neg = x < 0
+                rows.append(
+                    (
+                        r.media_id,
+                        r.mime,
+                        rate,
+                        n,
+                        n * 1000 // rate if rate else 0,
+                        float(np.sqrt(sum_sq / n)) if n else 0.0,
+                        int(np.abs(x).max()) if n else 0,
+                        int((neg[1:] != neg[:-1]).sum()) if n > 1 else 0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=AUDIO_FEATURES_SCHEMA.fieldNames())
+
+    return media.repartition("media_id").mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)

@@ -853,6 +853,82 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_audio_features",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, repeat(md5(CAST(doc_id AS VARCHAR)), 10) AS hx
+      FROM documents
+    ), samp AS (
+      SELECT doc_id,
+             list_transform(range(1, 321),
+               i -> ((ascii(substr(hx, CAST(i AS INT), 1)) * i) % 65536) - 32768) AS s
+      FROM base
+    ), agg AS (
+      SELECT doc_id,
+             CAST(length(s) AS BIGINT) AS n_samples,
+             CAST(list_sum(list_transform(s, x -> CAST(x * x AS BIGINT))) AS BIGINT) AS sum_sq,
+             CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+             CAST(list_sum(list_transform(range(2, 321),
+               i -> CASE WHEN (s[CAST(i AS INT)] < 0) <> (s[CAST(i AS INT) - 1] < 0)
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+      FROM samp
+    )
+    SELECT doc_id AS media_id,
+           'audio/wav' AS mime,
+           16000 AS sample_rate,
+           n_samples,
+           n_samples * 1000 // 16000 AS duration_ms,
+           sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms,
+           peak,
+           zero_crossings
+    FROM agg ORDER BY media_id
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline end-to-end: synthesize → WAV-encode → decode → features.
+
+    Each document deterministically synthesizes a 320-sample PCM16
+    clip (samples derived from the md5 hex of its id — ASCII-exact in
+    any engine), which is encoded through the REAL RIFF/WAVE codec
+    (llm/multimodal.py::encode_wav), shipped as an opaque binary
+    column, then decoded back and reduced to signal features
+    (RMS/peak/zero-crossings) by extract_audio_features. The oracle
+    recomputes the features analytically from the same sample
+    definition — so a hash match proves the encode→binary→decode
+    round-trip is bit-exact AND the feature math is right, not that
+    two copies of the same code agree.
+    """
+    import numpy as np
+
+    from ..llm.multimodal import encode_wav, extract_audio_features
+
+    d = load_table(spark, sf_dir, "documents", ["doc_id"]).select(
+        "doc_id", F.repeat(F.md5(col("doc_id").cast("string")), 10).alias("hx")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            content = []
+            for hx in pdf["hx"]:
+                b = np.frombuffer(hx.encode("ascii"), dtype=np.uint8).astype(np.int64)
+                i = np.arange(1, b.size + 1, dtype=np.int64)
+                content.append(encode_wav(((b * i) % 65536 - 32768).astype(np.int16), 16000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "mime": "audio/wav",
+                    "content": content,
+                }
+            )
+
+    media = d.mapInPandas(synth, "media_id long, mime string, content binary")
+    return extract_audio_features(media).select(
+        "media_id", "mime", "sample_rate", "n_samples",
+        "duration_ms", "rms", "peak", "zero_crossings",
+    ).orderBy("media_id")
+
+
 def _quantize(vec) -> F.Column:
     """float32 array → integer-valued doubles (×1000, round away-from-zero).
 

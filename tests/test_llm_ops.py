@@ -390,3 +390,81 @@ def test_kmeans_fit_improves_and_is_deterministic(spark):
         q.filter("vec_id != 0"), qvec, k=5, n_centroids=8, nprobe=3, kmeans_iters=2
     ).collect()
     assert len(got) == 5
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """PCM16 round-trip is bit-exact; decoder walks unknown chunks."""
+    import struct
+
+    import numpy as np
+
+    from doin_fine_ance__spark.llm.multimodal import decode_wav, encode_wav
+
+    t = np.arange(1600)
+    sine = (10_000 * np.sin(2 * np.pi * 440 * t / 16_000)).astype(np.int16)
+    rate, back = decode_wav(encode_wav(sine, 16_000))
+    assert rate == 16_000
+    assert np.array_equal(back, sine)
+
+    # inject a LIST chunk between fmt and data (real encoders do this)
+    raw = encode_wav(sine, 16_000)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    padded = raw[:fmt_end] + extra + raw[fmt_end:]
+    rate2, back2 = decode_wav(padded)
+    assert rate2 == 16_000 and np.array_equal(back2, sine)
+
+
+def test_wav_decoder_rejects_unsupported_variants():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from doin_fine_ance__spark.llm.multimodal import decode_wav, encode_wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio at all")
+    # stereo: flip the channel count in the fmt chunk
+    raw = bytearray(encode_wav(np.zeros(4, dtype=np.int16), 8000))
+    struct.pack_into("<H", raw, 12 + 8 + 2, 2)
+    with pytest.raises(ValueError, match="ch=2"):
+        decode_wav(bytes(raw))
+
+
+def test_extract_audio_features_known_signal(spark):
+    """Features of a hand-checkable square wave: rms == amplitude,
+    peak == amplitude, one crossing per half-period."""
+    import numpy as np
+
+    from doin_fine_ance__spark.llm.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+
+    amp, n = 1000, 800
+    square = np.where(np.arange(n) // 100 % 2 == 0, amp, -amp).astype(np.int16)
+    media = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(encode_wav(square, 8000)))],
+        "media_id long, mime string, content binary",
+    )
+    r = extract_audio_features(media).collect()[0]
+    assert r.sample_rate == 8000
+    assert r.n_samples == n
+    assert r.duration_ms == n * 1000 // 8000
+    assert r.rms == float(amp)
+    assert r.peak == amp
+    assert r.zero_crossings == n // 100 - 1
+
+
+def test_extract_audio_features_unknown_mime_raises(spark):
+    import pytest
+
+    from doin_fine_ance__spark.llm.multimodal import extract_audio_features
+
+    media = spark.createDataFrame(
+        [(1, "audio/mp3", bytearray(b"\xff\xfb junk"))],
+        "media_id long, mime string, content binary",
+    )
+    with pytest.raises(Exception, match="audio/mp3"):
+        extract_audio_features(media).collect()
