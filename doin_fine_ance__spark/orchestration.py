@@ -230,6 +230,50 @@ class LLMPipelineRun:
         ).partitionBy("shard").parquet(self._path("shards"))
         self.results["shards"] = packed.select("shard", "pack_id").distinct().count()
 
+    def training_mix(
+        self,
+        weights: dict | None = None,
+        token_budget: int | None = None,
+        min_quality: float = 0.5,
+        seed: int = 42,
+    ) -> None:
+        """Clean corpus → final training mix, the last selection mile:
+
+        1. model-based quality scoring (llm/quality.py): a hashing-TF
+           logistic scorer bootstrapped from weak stopword labels on
+           THIS corpus, then a min-probability gate;
+        2. weighted domain mixing to target source rates (map-only);
+        3. greedy token-budget selection by quality score (two-pass
+           distributed prefix sum);
+        4. deterministic shuffle rank = the training serve order.
+        """
+        from pyspark.sql import functions as F
+
+        from .llm.quality import (
+            quality_filter,
+            train_quality_classifier,
+            weak_labels_from_stopwords,
+        )
+        from .llm.selection import budget_select, domain_mix, shuffle_rank
+
+        corpus = self.spark.read.parquet(self._path("clean_corpus"))
+        model = train_quality_classifier(weak_labels_from_stopwords(corpus))
+        mix = quality_filter(model, corpus, min_prob=min_quality)
+        if weights and "source" in mix.columns:
+            mix = domain_mix(mix, weights)
+        if token_budget is not None:
+            toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+            mix = budget_select(
+                mix.withColumn("n_tokens", F.size(toks).cast("bigint")),
+                "n_tokens",
+                token_budget,
+                [F.col("quality_prob").desc(), F.col("doc_id")],
+                cum_col="cum_tokens",
+            )
+        ordered = shuffle_rank(mix, seed=seed).drop("_shuffle_key")
+        ordered.write.mode("overwrite").parquet(self._path("training_mix"))
+        self.results["training_mix"] = ordered.count()
+
     def quality_stats(self) -> None:
         from pyspark.sql import functions as F
 
@@ -248,6 +292,7 @@ class LLMPipelineRun:
         self.clusters()
         self.keeper_corpus(docs)
         self.clean_corpus(benchmark)
+        self.training_mix()
         self.shards()
         self.quality_stats()
         return self.results

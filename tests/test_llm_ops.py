@@ -468,3 +468,51 @@ def test_extract_audio_features_unknown_mime_raises(spark):
     )
     with pytest.raises(Exception, match="audio/mp3"):
         extract_audio_features(media).collect()
+
+
+def test_quality_classifier_separates_planted_vocab(spark):
+    """Linear scorer trained on weak labels generalizes to held-out docs."""
+    import random
+
+    from doin_fine_ance__spark.llm.quality import (
+        score_quality,
+        train_quality_classifier,
+        weak_labels_from_stopwords,
+    )
+
+    rng = random.Random(11)
+    good_vocab = ["the", "of", "and", "to", "is", "science", "history", "learn"]
+    bad_vocab = ["zzz", "qqq", "xxx", "spam", "click", "winner", "jackpot"]
+
+    def doc(vocab):
+        return " ".join(rng.choice(vocab) for _ in range(30))
+
+    train = [(i, doc(good_vocab)) for i in range(100)] + [
+        (100 + i, doc(bad_vocab)) for i in range(100)
+    ]
+    train_df = spark.createDataFrame(train, "doc_id long, text string")
+    model = train_quality_classifier(weak_labels_from_stopwords(train_df))
+
+    held = [(0, doc(good_vocab)), (1, doc(bad_vocab))]
+    held_df = spark.createDataFrame(held, "doc_id long, text string")
+    probs = {r.doc_id: r.quality_prob for r in score_quality(model, held_df).collect()}
+    assert probs[0] > 0.9, probs
+    assert probs[1] < 0.1, probs
+    # scoring must not leak pipeline-internal columns
+    cols = score_quality(model, held_df).columns
+    assert set(cols) == {"doc_id", "text", "quality_prob"}
+
+
+def test_quality_filter_threshold(spark):
+    from doin_fine_ance__spark.llm.quality import (
+        quality_filter,
+        train_quality_classifier,
+    )
+
+    rows = [(i, "the of and to is", 1.0) for i in range(20)] + [
+        (20 + i, "zzz qqq spam", 0.0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    model = train_quality_classifier(df)
+    kept = quality_filter(model, df.select("doc_id", "text"), min_prob=0.5)
+    assert sorted(r.doc_id for r in kept.collect()) == list(range(20))

@@ -166,6 +166,14 @@ def test_llm_pipeline_dag(spark, tmp_path):
     sh = spark.read.parquet(str(tmp_path / "wh/llm/shards"))
     assert {r.doc_id for r in sh.select("doc_id").collect()} == kept2
     assert set(sh.columns) >= {"doc_id", "shard", "pack_id", "n_tokens", "text"}
+    # training_mix asset: model-quality gate + deterministic serve order;
+    # ranks are a contiguous 1..n permutation
+    tm = spark.read.parquet(str(tmp_path / "wh/llm/training_mix"))
+    rows = tm.select("doc_id", "quality_prob", "shuffle_rank").collect()
+    assert r2["training_mix"] == len(rows) > 0
+    assert {r.doc_id for r in rows} <= kept2
+    assert sorted(r.shuffle_rank for r in rows) == list(range(1, len(rows) + 1))
+    assert all(r.quality_prob >= 0.5 for r in rows)
 
 
 def test_llm_pipeline_quality_and_decontamination_gates(spark, tmp_path):
@@ -192,3 +200,21 @@ def test_llm_pipeline_quality_and_decontamination_gates(spark, tmp_path):
              spark.read.parquet(str(tmp_path / "wh2/llm/clean_corpus")).collect()}
     assert clean == {3}
     assert r["clean_corpus"] == 1
+
+
+def test_training_mix_budget_and_weights(spark, tmp_path):
+    """Optional knobs: source weights + token budget both constrain the mix."""
+    from doin_fine_ance__spark.orchestration import LLMPipelineRun
+
+    rows = [
+        (i, "the of and to is learn " * 10, "srcA" if i % 2 else "srcB")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    run = LLMPipelineRun(spark, str(tmp_path / "wh"))
+    docs.write.mode("overwrite").parquet(run._path("clean_corpus"))
+    run.training_mix(weights={"srcA": 1.0, "srcB": 0.0}, token_budget=300)
+    tm = spark.read.parquet(run._path("training_mix")).collect()
+    assert all(r.source == "srcA" for r in tm)     # srcB weighted out
+    assert all(r.cum_tokens <= 300 for r in tm)    # budget respected
+    assert 0 < len(tm) < 20                        # strictly cut by budget
