@@ -58,6 +58,7 @@ HEADLINE = [
     "t_token_budget_select",
     "t_domain_mix",
     "mm_audio_features",
+    "t_bigram_familiarity",
 ]
 
 

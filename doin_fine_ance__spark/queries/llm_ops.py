@@ -493,6 +493,105 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keepers(pairs, "id_a", "id_b")
 
 
+@query(
+    "t_top_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    )
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks GROUP BY tok
+    ORDER BY n DESC, tok LIMIT 100
+    """,
+)
+def t_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 tokens by frequency.
+
+    The vocabulary-stats pass every tokenizer/BPE training run starts
+    with. One shuffle with map-side partial aggregation (Zipfian skew
+    lands on the combiners, not the reduce); the final top-k is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    d = load_table(spark, sf_dir, "documents", ["text"])
+    toks = F.filter(F.split(F.lower(col("text")), r"\s+"), lambda x: x != "")
+    return (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(col("n").desc(), "tok")
+        .limit(100)
+    )
+
+
+@query(
+    "t_bigram_familiarity",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_transform(range(1, length(t)), i -> substr(t, i, 2))) AS g
+      FROM norm WHERE length(t) >= 2
+    ), vocab AS (
+      SELECT g, COUNT(*) AS c FROM grams GROUP BY g
+    ), scored AS (
+      SELECT gr.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(v.c) AS BIGINT) AS familiarity_sum
+      FROM grams gr JOIN vocab v ON gr.g = v.g
+      GROUP BY gr.doc_id
+    )
+    SELECT doc_id, n_bigrams, familiarity_sum,
+           CAST(familiarity_sum AS DOUBLE) / n_bigrams AS familiarity
+    FROM scored ORDER BY doc_id
+    """,
+)
+def t_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram familiarity: a CCNet-style LM-fluency proxy.
+
+    CCNet ranks documents by language-model perplexity; the cheap
+    engine-exact analog is the average CORPUS frequency of a
+    document's character bigrams — fluent text reuses common bigrams,
+    gibberish doesn't. Log-likelihood is deliberately avoided: ln()
+    is not bit-identical across engines, while this score is an
+    integer sum and one IEEE division, so it hash-matches the oracle.
+
+    Scale shape: the bigram vocabulary is tiny (≤ |charset|², a few
+    thousand rows at any corpus size) — built with one partial-agg
+    shuffle, then BROADCAST to score the exploded corpus; per-doc
+    aggregation is the only data-sized shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    norm = F.regexp_replace(F.lower(F.coalesce(col("text"), lit(""))), r"\s+", " ")
+    base = d.select("doc_id", norm.alias("t")).filter(F.length("t") >= 2)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(lit(1), F.length("t") - 1),
+                lambda i: col("t").substr(i, lit(2)),
+            )
+        ).alias("g"),
+    )
+    vocab = grams.groupBy("g").agg(F.count("*").alias("c"))
+    return (
+        grams.join(F.broadcast(vocab), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("c").cast("bigint").alias("familiarity_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "familiarity_sum",
+            (col("familiarity_sum").cast("double") / col("n_bigrams")).alias("familiarity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 # ---------------------------------------------------------------------------
