@@ -26,6 +26,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q13_customer_order_distribution",
     "q14_promo_revenue_ratio",
+    "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "a1_monthly_spend_by_category",
     "a2_monthly_net_change",

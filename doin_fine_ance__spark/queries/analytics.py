@@ -742,3 +742,56 @@ def w_lead_lag_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy(col("n_sessions").asc())
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pp AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#12'
+    ), li AS (
+      SELECT l.l_partkey,
+             CAST(l.l_quantity AS DECIMAL(18,2)) AS q,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) AS ep
+      FROM lineitem l JOIN pp ON l.l_partkey = pp.p_partkey
+    ), a AS (
+      SELECT l_partkey, SUM(q) AS sum_q, COUNT(*) AS n FROM li GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(li.ep) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM li JOIN a ON li.l_partkey = a.l_partkey
+    WHERE li.q * 5 * a.n < a.sum_q
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery → aggregate-then-rejoin.
+
+    The classic decorrelation pattern: "lineitems below 20% of their
+    part's average quantity" becomes (1) semi-reduce lineitem to the
+    brand's parts via a broadcast join, (2) one groupBy for per-part
+    (sum_qty, count), (3) rejoin and filter. The 0.2·avg comparison is
+    algebraically rearranged to ``qty·5·n < sum_qty`` so it stays in
+    exact decimal multiplication — no decimal division whose scale/
+    rounding could differ between engines; the single double division
+    (/7) happens once at the end.
+    """
+    p = load_table(spark, sf_dir, "part", ["p_partkey", "p_brand"]).filter(
+        col("p_brand") == "Brand#12"
+    )
+    li = load_table(
+        spark, sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    ).join(F.broadcast(p.select("p_partkey")), col("l_partkey") == col("p_partkey"))
+    li = li.select(
+        "l_partkey", _dec("l_quantity").alias("q"), _dec("l_extendedprice").alias("ep")
+    )
+    a = li.groupBy("l_partkey").agg(
+        F.sum("q").alias("sum_q"), F.count("*").alias("n")
+    )
+    return (
+        li.join(a, "l_partkey")
+        .filter(col("q") * lit(5) * col("n") < col("sum_q"))
+        .agg(
+            (F.sum("ep").cast("double") / lit(7.0)).cast("double").alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
