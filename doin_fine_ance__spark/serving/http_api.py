@@ -23,6 +23,8 @@ Routes (mirroring the reference paths):
   PUT  /api/transactions/{id}/notes           notes
   PUT  /api/transactions/{id}/exclude-from-forecast
   POST /api/transactions/bulk-validate        one keyed merge
+  GET  /api/validated                         validated list + count
+  GET  /api/validated/categories/list         distinct validated cats
   GET  /api/categories                        active catalog names
   GET  /api/control-center/connection-health  health rollup
 """
@@ -204,6 +206,32 @@ class ServingApp:
         self.invalidate()
         return {"status": "success", "updated": n}
 
+    def list_validated(self, q: dict) -> dict:
+        from .validated import list_validated_transactions
+
+        page = list_validated_transactions(
+            self.wh.read("analytics", "fct_validated_trxns"),
+            self._user_categories(),
+            limit=int(q.get("limit", ["100"])[0]),
+            offset=int(q.get("offset", ["0"])[0]),
+            sort_by=q.get("sort_by", [None])[0],
+            sort_order=q.get("sort_order", ["desc"])[0],
+            category=q.get("category", [None])[0],
+            account_name_filter=q.get("account_name", [None])[0],
+            description_search=q.get("search", [None])[0],
+        )
+        return {
+            "total_count": page.total_count,
+            "transactions": _rows(page.transactions),
+        }
+
+    def validated_categories(self) -> list:
+        from .validated import distinct_validated_categories
+
+        return [r["master_category"] for r in _rows(
+            distinct_validated_categories(self.wh.read("analytics", "fct_validated_trxns"))
+        )]
+
     def categories(self) -> list:
         import os
 
@@ -231,6 +259,10 @@ class ServingApp:
             return self.predicted_categories()
         if path == "/api/transactions/bulk-validate" and method == "POST":
             return self.bulk_validate(body)
+        if path == "/api/validated" and method == "GET":
+            return self.list_validated(query)
+        if path == "/api/validated/categories/list" and method == "GET":
+            return self.validated_categories()
         if path == "/api/categories" and method == "GET":
             return self.categories()
         if path == "/api/control-center/connection-health" and method == "GET":

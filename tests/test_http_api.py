@@ -127,3 +127,16 @@ def test_unknown_route_404(base_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{base_url}/api/nope")
     assert e.value.code == 404
+
+
+def test_validated_routes(base_url):
+    page = _get(f"{base_url}/api/validated?limit=10")
+    assert page["total_count"] >= len(page["transactions"]) > 0
+    assert {"transaction_id", "master_category", "amount"} <= set(
+        page["transactions"][0].keys()
+    )
+    cat = page["transactions"][0]["master_category"]
+    filt = _get(f"{base_url}/api/validated?category={cat}")
+    assert all(t["master_category"] == cat for t in filt["transactions"])
+    cats = _get(f"{base_url}/api/validated/categories/list")
+    assert cat in cats
