@@ -128,22 +128,38 @@ doc_text = st.lists(word, min_size=0, max_size=30).map(" ".join)
 @given(docs=st.lists(doc_text, min_size=1, max_size=12))
 @settings(**SETTINGS)
 def test_pack_sequences_partitions_the_corpus(spark, docs):
-    """Every doc lands in exactly one (shard, pack); per-shard pack ids
-    are contiguous from 0; n_tokens matches the whitespace tokenizer."""
+    """Every doc lands in exactly one (shard, pack); pack_id matches the
+    concat-then-chunk spec exactly (exclusive token prefix ÷ budget in
+    md5 order within the shard); n_tokens matches the whitespace
+    tokenizer. Pack ids may legitimately skip an index when a single
+    document longer than the budget spans whole chunks — hypothesis
+    found that case, so the test mirrors the spec instead of asserting
+    contiguity."""
+    import hashlib
+
     from doin_fine_ance__spark.llm.corpus import pack_sequences
 
+    budget = 16
     rows = [(i, t) for i, t in enumerate(docs)]
     out = pack_sequences(
-        spark.createDataFrame(rows, "doc_id long, text string"), budget=16, n_shards=2
+        spark.createDataFrame(rows, "doc_id long, text string"), budget=budget, n_shards=2
     ).collect()
     assert sorted(r.doc_id for r in out) == [i for i, _ in rows]
     for r in out:
         assert r.n_tokens == len(docs[r.doc_id].split())
-    by_shard = {}
-    for r in out:
-        by_shard.setdefault(r.shard, set()).add(r.pack_id)
-    for pids in by_shard.values():
-        assert pids == set(range(max(pids) + 1))
+    # independent spec: md5-order each shard, exclusive prefix // budget
+    expected: dict[int, int] = {}
+    by_shard: dict[int, list[int]] = {}
+    for i, _ in rows:
+        md5 = hashlib.md5(str(i).encode()).hexdigest()
+        by_shard.setdefault(int(md5[:4], 16) % 2, []).append(i)
+    for members in by_shard.values():
+        members.sort(key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        prefix = 0
+        for i in members:
+            expected[i] = prefix // budget
+            prefix += len(docs[i].split())
+    assert {r.doc_id: r.pack_id for r in out} == expected
 
 
 @given(docs=st.lists(doc_text, min_size=1, max_size=10))
