@@ -27,6 +27,8 @@ Routes (mirroring the reference paths):
   GET  /api/validated/categories/list         distinct validated cats
   GET  /api/categories                        active catalog names
   GET  /api/control-center/connection-health  health rollup
+  GET  /api/model-metrics/metrics/history     registry metrics view
+  GET  /api/model-metrics/training-status     latest registry row
 """
 
 from __future__ import annotations
@@ -248,6 +250,33 @@ class ServingApp:
 
         return _rows(connection_health(self.wh.read("public", "simplefin")))
 
+    def metrics_history(self) -> dict:
+        import os
+
+        from ..ml.registry import registry_metrics_view
+
+        path = self.wh.path("analytics", "model_registry")
+        if not os.path.exists(path):
+            return {"history": []}
+        view = registry_metrics_view(self.spark.read.parquet(path))
+        return {"history": _rows(view.orderBy("training_timestamp"))}
+
+    def training_status(self) -> dict:
+        import os
+
+        path = self.wh.path("analytics", "model_registry")
+        if not os.path.exists(path):
+            return {"status": "never_trained", "model_version": None}
+        latest = _rows(
+            self.spark.read.parquet(path)
+            .filter("is_latest")
+            .select("model_version", "status", "training_timestamp")
+            .limit(1)
+        )
+        if not latest:
+            return {"status": "never_trained", "model_version": None}
+        return latest[0]
+
     # -- routing -----------------------------------------------------
 
     _TXN_SUB = re.compile(r"^/api/transactions/([^/]+)(?:/([a-z\-]+))?$")
@@ -267,6 +296,10 @@ class ServingApp:
             return self.categories()
         if path == "/api/control-center/connection-health" and method == "GET":
             return self.connection_health()
+        if path == "/api/model-metrics/metrics/history" and method == "GET":
+            return self.metrics_history()
+        if path == "/api/model-metrics/training-status" and method == "GET":
+            return self.training_status()
         m = self._TXN_SUB.match(path)
         if m:
             txn_id, action = m.group(1), m.group(2)

@@ -140,3 +140,16 @@ def test_validated_routes(base_url):
     assert all(t["master_category"] == cat for t in filt["transactions"])
     cats = _get(f"{base_url}/api/validated/categories/list")
     assert cat in cats
+
+
+def test_model_metrics_routes(base_url):
+    # fixture build trains-or-skips, so the registry exists with an
+    # is_latest row; history reflects whatever the registry holds
+    status = _get(f"{base_url}/api/model-metrics/training-status")
+    assert "status" in status
+    hist = _get(f"{base_url}/api/model-metrics/metrics/history")
+    assert isinstance(hist["history"], list)
+    if status["status"] != "never_trained":
+        assert status["model_version"] is not None
+        assert len(hist["history"]) >= 1
+        assert {"model_version", "accuracy", "is_latest"} <= set(hist["history"][0])
