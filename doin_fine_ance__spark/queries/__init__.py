@@ -31,15 +31,21 @@ def query(name: str, oracle: str | None = None):
 
 # The external driver verifies the FIRST 50 registered queries against
 # their DuckDB oracles; the rest keep local pytest + tests/oracle.py
-# coverage only. With 71 registered queries, this list pins which 50
+# coverage only. With 84 registered queries, this list pins which 50
 # get a driver correctness row: the LLM-data-pipeline + streaming
-# surface (first-class per the north star) and the one-query-per-
-# SURVEY-§2-row inventory set. The TPC-H-shape probes ride in the tail
-# — they remain in queries()/bench and are plan-audited + oracle-
-# checked locally (tests/test_inventory_oracle.py runs ALL of them).
+# surface (first-class per the north star — including the round-2
+# corpus-selection and audio operators) and the one-query-per-
+# SURVEY-§2-row inventory set. Three inventory probes whose §2 rows
+# have strong independent coverage ride the tail to make room
+# (o3: same sort+limit machinery as in-window o1/o2; f16: trivial
+# IN-list; a9: exercised by the serving control-center tests and the
+# in-window a8) — like every tail query, they stay registered, plan-
+# audited, and oracle-checked by tests/test_inventory_oracle.py.
 DRIVER_WINDOW: list[str] = [
     # LLM text-analysis surface (oracle-backed)
     "t_token_count",
+    "t_token_budget_select",
+    "t_domain_mix",
     "t_quality_score",
     "t_lang_id_heuristic",
     "t_doc_fingerprint",
@@ -56,6 +62,7 @@ DRIVER_WINDOW: list[str] = [
     "s_cosine_topk_ivf",
     "d_embedding_cosine_neardups",
     "mm_media_features",
+    "mm_audio_features",
     # Streaming-window batch twins (oracle-backed)
     "st_tumbling_window",
     "st_sliding_window",
@@ -67,7 +74,6 @@ DRIVER_WINDOW: list[str] = [
     "a6_count_total",
     "a7_distinct_categories",
     "a8_connection_health_rollup",
-    "a9_data_range_check",
     "a11_class_distribution",
     "a12_cumulative_monthly_net",
     "a13_prediction_stats",
@@ -85,12 +91,10 @@ DRIVER_WINDOW: list[str] = [
     "j10_nullsafe_equality_join",
     "o1_pagination_offset",
     "o2_sort_nulls_last_top",
-    "o3_latest_one",
     "o5_top5_categories",
     "u1_union_two_sources",
     "f_feature_engineering",
     "f8_f9_timestamp_conversions",
-    "f16_array_membership",
     "f15_json_extraction",
     "m7_calibration_curve",
 ]
