@@ -39,8 +39,13 @@ def query(name: str, oracle: str | None = None):
 # have strong independent coverage ride the tail to make room
 # (o3: same sort+limit machinery as in-window o1/o2; f16: trivial
 # IN-list; a9: exercised by the serving control-center tests and the
-# in-window a8) — like every tail query, they stay registered, plan-
-# audited, and oracle-checked by tests/test_inventory_oracle.py.
+# in-window a8; t_token_count_bpe / t_doc_fingerprint: second variants
+# of capability rows whose primary variant — whitespace token count,
+# winnowing fingerprints — stays in-window) — like every tail query,
+# they stay registered, plan-audited, and oracle-checked by
+# tests/test_inventory_oracle.py. a3/a4 (yearly/quarterly spend) ride
+# IN-window: they were the only §2 rows hash-failing in round 1 with
+# no round-2 driver row to show the canonicalization fix.
 DRIVER_WINDOW: list[str] = [
     # LLM text-analysis surface (oracle-backed)
     "t_token_count",
@@ -48,9 +53,7 @@ DRIVER_WINDOW: list[str] = [
     "t_domain_mix",
     "t_quality_score",
     "t_lang_id_heuristic",
-    "t_doc_fingerprint",
     "t_winnowing_fingerprints",
-    "t_token_count_bpe",
     # Dedup surface
     "d_exact_dedup",
     "d_ngram_jaccard_pairs",
@@ -70,6 +73,8 @@ DRIVER_WINDOW: list[str] = [
     # Reference-operator inventory (one row per SURVEY §2 operator)
     "a1_monthly_spend_by_category",
     "a2_monthly_net_change",
+    "a3_yearly_spend_by_category",
+    "a4_quarterly_spend",
     "a5_pivot_month_by_status",
     "a6_count_total",
     "a7_distinct_categories",
