@@ -354,8 +354,16 @@ def test_connected_components_long_chain_across_partitions(spark):
     chain = [(i, i + 1) for i in range(63)]
     rng.shuffle(chain)
     edges = spark.createDataFrame(chain, "src long, dst long").repartition(16)
-    cc = {r.node: r.component for r in connected_components(edges).collect()}
+    # edges_per_partition=8 forces the multi-partition contraction +
+    # iterative phase (the 100 TB shape); the default would collapse
+    # this tiny graph to the single-partition exact path.
+    cc = {
+        r.node: r.component
+        for r in connected_components(edges, edges_per_partition=8).collect()
+    }
     assert cc == {i: 0 for i in range(64)}
+    # the small-graph exact path must agree
+    assert cc == {r.node: r.component for r in connected_components(edges).collect()}
 
 
 def test_connected_components_random_graph_matches_networkless_oracle(spark):
@@ -382,5 +390,10 @@ def test_connected_components_random_graph_matches_networkless_oracle(spark):
     seen = {n for e in edges_py for n in e}
     want = {n: find(n) for n in seen}
     edges = spark.createDataFrame(edges_py, "src long, dst long").repartition(8)
-    got = {r.node: r.component for r in connected_components(edges).collect()}
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, edges_per_partition=32).collect()
+    }
     assert got == want
+    # small-graph exact path agrees with the iterative path
+    assert want == {r.node: r.component for r in connected_components(edges).collect()}
