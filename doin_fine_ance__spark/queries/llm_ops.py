@@ -557,30 +557,56 @@ def t_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     is not bit-identical across engines, while this score is an
     integer sum and one IEEE division, so it hash-matches the oracle.
 
-    Scale shape: the bigram vocabulary is tiny (≤ |charset|², a few
-    thousand rows at any corpus size) — built with one partial-agg
-    shuffle, then BROADCAST to score the exploded corpus; per-doc
-    aggregation is the only data-sized shuffle.
+    Scale shape: bigram counting happens map-side (one Arrow pass per
+    batch, counts per doc — the stream that shuffles is the distinct
+    (doc, bigram) set, ~3x smaller than raw bigrams); the vocabulary is
+    tiny (≤ |charset|², a few thousand rows at any corpus size) — one
+    partial-agg shuffle, then BROADCAST to score; per-doc aggregation
+    is the only data-sized shuffle.
     """
+    import pandas as pd
+
+    from ..llm.dedup import _fan_out
+
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     norm = F.regexp_replace(F.lower(F.coalesce(col("text"), lit(""))), r"\s+", " ")
-    base = d.select("doc_id", norm.alias("t")).filter(F.length("t") >= 2)
-    grams = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(lit(1), F.length("t") - 1),
-                lambda i: col("t").substr(i, lit(2)),
-            )
-        ).alias("g"),
-    )
-    vocab = grams.groupBy("g").agg(F.count("*").alias("c"))
+    base = _fan_out(d).select("doc_id", norm.alias("t")).filter(F.length("t") >= 2)
+
+    def gram_counts(pdfs):
+        # Per-doc bigram COUNTS in one Arrow batch pass — a map-side
+        # combine done where bigram slicing is cheapest. The JVM
+        # alternative (explode(transform(sequence, substr))) runs the
+        # higher-order lambda interpreted per character AND executes
+        # twice (vocab branch + scoring branch, Spark reuses exchanges
+        # not subplans): measured 4.8s vs 1.8s at sf0.1. Counts are
+        # exact because each input row is one whole document.
+        from collections import Counter
+
+        for pdf in pdfs:
+            ids: list = []
+            gs: list = []
+            cs: list = []
+            for did, t in zip(pdf["doc_id"], pdf["t"]):
+                cnt = Counter(t[i : i + 2] for i in range(len(t) - 1))
+                ids.extend([did] * len(cnt))
+                gs.extend(cnt.keys())
+                cs.extend(cnt.values())
+            yield pd.DataFrame({"doc_id": ids, "g": gs, "cnt": cs})
+
+    dg = base.mapInPandas(gram_counts, "doc_id long, g string, cnt long")
+    # dg feeds BOTH the vocab build and the scoring join; materialize it
+    # once (463k rows at sf0.1 vs the 1.48M-row raw bigram stream).
+    try:
+        dg = dg.localCheckpoint(eager=True)
+    except Exception:
+        pass  # Spark Connect without checkpoint support: correct, just slower
+    vocab = dg.groupBy("g").agg(F.sum("cnt").alias("c"))
     return (
-        grams.join(F.broadcast(vocab), "g")
+        dg.join(F.broadcast(vocab), "g")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum("c").cast("bigint").alias("familiarity_sum"),
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(col("cnt") * col("c")).cast("bigint").alias("familiarity_sum"),
         )
         .select(
             "doc_id",
