@@ -28,6 +28,10 @@ HEADLINE = [
     "q14_promo_revenue_ratio",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
+    "q7_volume_shipping_pairs",
+    "q15_top_supplier_revenue",
+    "q19_disjunctive_predicate_join",
+    "q21_waiting_supplier_shape",
     "a1_monthly_spend_by_category",
     "a2_monthly_net_change",
     "a12_cumulative_monthly_net",

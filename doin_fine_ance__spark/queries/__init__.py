@@ -113,6 +113,7 @@ def load_registry() -> tuple[dict, dict]:
     from . import inventory  # noqa: F401
     from . import llm_ops  # noqa: F401
     from . import streaming_batch  # noqa: F401
+    from . import tpch_extra  # noqa: F401
 
     missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
     if missing:
