@@ -232,3 +232,66 @@ def pack_sequences(
         F.floor(prior / lit(budget)).cast("bigint").alias("pack_id"),
         "n_tokens",
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+    max_docs: int = 3,
+) -> DataFrame:
+    """Exact segment-level dedup: C4's "remove any three-sentence span
+    occurring more than once" (Raffel et al. 2020 §2.2) / RefinedWeb's
+    exact-substring pass, expressed at token-segment granularity.
+
+    Documents are cut into consecutive ``seg_tokens``-token segments;
+    a segment that occurs in more than ``max_docs`` DISTINCT documents
+    is boilerplate (headers, licence blocks, injected templates) and
+    is dropped from every document that contains it. Returns one row
+    per non-empty document: ``(id, n_chunks, n_dropped, cleaned_md5)``
+    where cleaned_md5 fingerprints the surviving text (md5 of the
+    space-joined kept segments in document order; md5('') when
+    everything was boilerplate).
+
+    Scale shape: tokenize + segment are map-only (the per-doc
+    higher-order slice runs over ~len/seg_tokens elements, not per
+    character); segment frequencies are ONE partial-agg shuffle keyed
+    on the segment; the mark join shuffles on the same key; the final
+    per-doc rebuild aggregates bounded arrays (a document's own
+    segments). Nothing is quadratic and no driver-side state exists,
+    unlike suffix-array exact-substring dedup which needs a global
+    sort — at 100 TB this is the practical form.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(col(text_col), lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    base = docs.select(col(id_col), toks.alias("ts")).filter(F.size("ts") > 0)
+    chunks = base.select(
+        col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(lit(0), F.size("ts") - 1, lit(seg_tokens)),
+                lambda s: F.array_join(F.slice("ts", s + 1, seg_tokens), " "),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    seen = chunks.groupBy("chunk").agg(F.count_distinct(col(id_col)).alias("n_docs"))
+    marked = chunks.join(seen, "chunk").withColumn("dropped", col("n_docs") > max_docs)
+    kept_struct = F.when(~col("dropped"), F.struct("chunk_idx", "chunk"))
+    return marked.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.when(col("dropped"), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    # collect_list skips the NULLs (dropped segments);
+                    # array_sort orders by chunk_idx (unique per doc)
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )

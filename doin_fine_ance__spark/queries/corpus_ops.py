@@ -285,3 +285,47 @@ def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_weight=0.1, seed="mix",
     )
     return mixed.select("doc_id", "source", "sample_u").orderBy("doc_id")
+
+
+@query(
+    "d_segment_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, CAST(s AS INT) // 10 AS chunk_idx,
+             array_to_string(list_slice(ts, CAST(s AS INT) + 1, CAST(s AS INT) + 10), ' ') AS chunk
+      FROM toks, unnest(range(0, len(ts), 10)) AS u(s)
+    ), seen AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY chunk
+    ), marked AS (
+      SELECT c.doc_id, c.chunk_idx, c.chunk, (s.n_docs > 3) AS dropped
+      FROM chunks c JOIN seen s ON c.chunk = s.chunk
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           md5(coalesce(string_agg(CASE WHEN dropped THEN NULL ELSE chunk END,
+                                   ' ' ORDER BY chunk_idx), '')) AS cleaned_md5
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def d_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact segment-level (C4 three-sentence-span / RefinedWeb
+    exact-substring analog) boilerplate removal: 10-token segments
+    occurring in >3 distinct docs are cut from every doc.
+
+    Complements doc-level dedup (d_exact_dedup, d_minhash_*): those
+    drop whole documents, this strips REPEATED SPANS inside otherwise
+    unique documents. cleaned_md5 fingerprints the rebuilt text, so
+    the oracle match proves segmentation, counting, and reassembly
+    order, not just counts. See llm/corpus.py::segment_dedup for the
+    scale shape (two shuffles, no global sort).
+    """
+    from ..llm.corpus import segment_dedup
+
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return segment_dedup(d, "doc_id", "text", seg_tokens=10, max_docs=3).orderBy("doc_id")

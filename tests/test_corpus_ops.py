@@ -182,3 +182,32 @@ def test_domain_mix_deterministic_and_weight_bounds(spark):
     assert len(kept) == 200  # weight 1 keeps everything
     twice = [r.doc_id for r in mixed.collect()]
     assert kept == twice
+
+
+def test_segment_dedup_drops_planted_boilerplate(spark):
+    """A licence-header segment shared by many docs must be cut from
+    each, unique bodies must survive, and an all-boilerplate doc must
+    fingerprint as md5('')."""
+    import hashlib
+
+    from doin_fine_ance__spark.llm.corpus import segment_dedup
+
+    boiler = " ".join(f"legal{i}" for i in range(10))  # one exact segment
+    rows = [(i, boiler + " " + " ".join(f"body{i}w{j}" for j in range(10)))
+            for i in range(5)]
+    rows.append((99, boiler))  # nothing but the boilerplate
+    rows.append((100, " ".join(f"solo{j}" for j in range(15))))  # untouched
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in segment_dedup(df, max_docs=3).collect()}
+
+    for i in range(5):
+        r = out[i]
+        assert (r.n_chunks, r.n_dropped) == (2, 1)
+        body = " ".join(f"body{i}w{j}" for j in range(10))
+        assert r.cleaned_md5 == hashlib.md5(body.encode()).hexdigest()
+    assert (out[99].n_chunks, out[99].n_dropped) == (1, 1)
+    assert out[99].cleaned_md5 == hashlib.md5(b"").hexdigest()
+    r = out[100]
+    assert (r.n_chunks, r.n_dropped) == (2, 0)  # 15 tokens -> 10+5 segments
+    solo = " ".join(f"solo{j}" for j in range(15))
+    assert r.cleaned_md5 == hashlib.md5(solo.encode()).hexdigest()
