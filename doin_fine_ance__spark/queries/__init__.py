@@ -46,16 +46,19 @@ def query(name: str, oracle: str | None = None):
 # tests/test_inventory_oracle.py. a3/a4 (yearly/quarterly spend) ride
 # IN-window: they were the only §2 rows hash-failing in round 1 with
 # no round-2 driver row to show the canonicalization fix.
+# d_segment_dedup rides in-window over t_domain_mix: the only
+# intra-document dedup capability vs a second selection-family probe
+# (t_token_budget_select already represents selection).
 DRIVER_WINDOW: list[str] = [
     # LLM text-analysis surface (oracle-backed)
     "t_token_count",
     "t_token_budget_select",
-    "t_domain_mix",
     "t_quality_score",
     "t_lang_id_heuristic",
     "t_winnowing_fingerprints",
     # Dedup surface
     "d_exact_dedup",
+    "d_segment_dedup",
     "d_ngram_jaccard_pairs",
     "d_dup_clusters",
     "d_minhash_lsh_neardups",
