@@ -137,3 +137,51 @@ def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "st_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_views
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1, 2
+    ORDER BY purchase_id
+    """,
+)
+def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (:func:`doin_fine_ance__spark.streaming.windows.stream_stream_interval_join`):
+    views attributed to each purchase within a 30-minute lookback.
+
+    The join is an equi-join on user_id with the interval as a
+    residual — per-user event counts are bounded, so no pair
+    explosion; one shuffle on user_id. Inner join: purchases with no
+    attributable view drop out (same as streaming append output).
+    """
+    ev = load_table(spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    v = ev.filter(col("event_type") == "view").select(
+        col("user_id").alias("v_user"), col("ts").alias("view_ts")
+    )
+    p = ev.filter(col("event_type") == "purchase").select(
+        col("event_id").alias("purchase_id"),
+        col("user_id").alias("p_user"),
+        col("ts").alias("purchase_ts"),
+    )
+    return (
+        p.join(
+            v,
+            (col("p_user") == col("v_user"))
+            & (col("view_ts") <= col("purchase_ts"))
+            & (col("view_ts") >= col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy(col("purchase_id"), col("p_user").alias("user_id"))
+        .agg(F.count("*").cast("bigint").alias("n_views"))
+        .orderBy("purchase_id")
+    )

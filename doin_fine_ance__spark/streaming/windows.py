@@ -271,3 +271,43 @@ def stream_incremental_dedup(
         pairs.write.mode("append").parquet(pairs_path)
 
     return docs_stream.writeStream.outputMode("append").foreachBatch(_sink).start()
+
+
+def stream_stream_interval_join(
+    events: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream self-join: pair each purchase with the same user's
+    views from the preceding ``max_delay`` (streaming attribution).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH ends — that is what lets Spark evict join state: a
+    buffered view can be dropped once the purchase-side watermark
+    passes ``view_ts + max_delay``. Without the time-range bound the
+    state store grows with the full stream history. Emits
+    (purchase_id, p_user, purchase_ts, view_ts) pairs in append mode;
+    aggregation (views-per-purchase) is downstream — see the batch
+    twin ``st_interval_join`` for the oracle-checked logical result.
+    """
+    v = (
+        events.filter(col("event_type") == "view")
+        .select(col("user_id").alias("v_user"), col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        events.filter(col("event_type") == "purchase")
+        .select(
+            col("event_id").alias("purchase_id"),
+            col("user_id").alias("p_user"),
+            col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return p.join(
+        v,
+        F.expr(
+            "p_user = v_user AND view_ts <= purchase_ts "
+            f"AND view_ts >= purchase_ts - INTERVAL {max_delay}"
+        ),
+    )

@@ -235,3 +235,74 @@ def test_stream_incremental_dedup_pairs_across_batches(spark, tmp_path):
     assert all(1 in p or 2 in p for p in pairs)  # no unrelated-pair noise
     # the store accumulated every streamed signature
     assert spark.read.parquet(store).count() == 4
+
+
+def test_stream_stream_interval_join_across_batches(spark, tmp_path):
+    """A purchase arriving in a later micro-batch joins views buffered
+    from an earlier batch; the appended pairs equal the batch join."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from doin_fine_ance__spark.streaming.windows import stream_stream_interval_join
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def drop(rows, name):
+        staged = tmp_path / f"_stage_{name}"
+        (
+            spark.createDataFrame(rows, "event_id long, ts_str string, user_id long, event_type string")
+            .withColumn("ts", F.col("ts_str").cast("timestamp"))
+            .select("event_id", "ts", "user_id", "event_type")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(staged))
+        )
+        part = next(p for p in staged.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(str(part), str(src / f"{name}.parquet"))
+
+    # batch1: two views for user 7 (one inside, one outside the 30-min
+    # lookback of the batch2 purchase), and a view for user 8
+    drop(
+        [
+            (1, "2024-01-01 10:00:00", 7, "view"),
+            (2, "2024-01-01 10:20:00", 7, "view"),
+            (3, "2024-01-01 10:25:00", 8, "view"),
+        ],
+        "b1",
+    )
+    # batch2: purchase for user 7 at 10:45 (view 2 attributable, view 1
+    # not: 45 min earlier), purchase for user 9 (no views at all)
+    drop(
+        [
+            (4, "2024-01-01 10:45:00", 7, "purchase"),
+            (5, "2024-01-01 10:50:00", 9, "purchase"),
+        ],
+        "b2",
+    )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    joined = stream_stream_interval_join(stream, "30 minutes", "1 hour")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.purchase_id, r.p_user, r.view_ts.isoformat())
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    assert got == {(4, 7, "2024-01-01T10:20:00")}
