@@ -48,6 +48,7 @@ HEADLINE = [
     "f_feature_engineering",
     "f15_json_extraction",
     "d_exact_dedup",
+    "d_segment_dedup",
     "d_minhash_lsh_neardups",
     "d_simhash_neardups",
     "d_embedding_cosine_neardups",
@@ -57,6 +58,7 @@ HEADLINE = [
     "a_event_funnel",
     "s_cosine_topk_bruteforce",
     "st_session_window",
+    "st_interval_join",
     "t_repetition_filter",
     "d_decontaminate",
     "t_sequence_packing",
