@@ -240,6 +240,7 @@ def segment_dedup(
     text_col: str = "text",
     seg_tokens: int = 10,
     max_docs: int = 3,
+    emit_text: bool = False,
 ) -> DataFrame:
     """Exact segment-level dedup: C4's "remove any three-sentence span
     occurring more than once" (Raffel et al. 2020 §2.2) / RefinedWeb's
@@ -252,7 +253,11 @@ def segment_dedup(
     per non-empty document: ``(id, n_chunks, n_dropped, cleaned_md5)``
     where cleaned_md5 fingerprints the surviving text (md5 of the
     space-joined kept segments in document order; md5('') when
-    everything was boilerplate).
+    everything was boilerplate). With ``emit_text=True`` the last
+    column is instead the rebuilt text itself (``cleaned_text``,
+    lowercased + whitespace-normalized by the tokenization) for
+    pipeline stages that consume the scrubbed corpus rather than
+    fingerprint it.
 
     Scale shape: tokenize + segment are map-only (the per-doc
     higher-order slice runs over ~len/seg_tokens elements, not per
@@ -288,18 +293,18 @@ def segment_dedup(
     seen = chunks.groupBy("chunk").agg(F.count_distinct(col(id_col)).alias("n_docs"))
     marked = chunks.join(seen, "chunk").withColumn("dropped", col("n_docs") > max_docs)
     kept_struct = F.when(~col("dropped"), F.struct("chunk_idx", "chunk"))
+    rebuilt = F.array_join(
+        F.transform(
+            # collect_list skips the NULLs (dropped segments);
+            # array_sort orders by chunk_idx (unique per doc)
+            F.array_sort(F.collect_list(kept_struct)),
+            lambda x: x["chunk"],
+        ),
+        " ",
+    )
+    out = rebuilt.alias("cleaned_text") if emit_text else F.md5(rebuilt).alias("cleaned_md5")
     return marked.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_chunks"),
         F.sum(F.when(col("dropped"), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    # collect_list skips the NULLs (dropped segments);
-                    # array_sort orders by chunk_idx (unique per doc)
-                    F.array_sort(F.collect_list(kept_struct)),
-                    lambda x: x["chunk"],
-                ),
-                " ",
-            )
-        ).alias("cleaned_md5"),
+        out,
     )

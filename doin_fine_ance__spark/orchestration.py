@@ -165,6 +165,11 @@ class LLMPipelineRun:
     jaccard_threshold: float = 0.7
     # kwargs for llm.corpus.repetition_stats (quality-filter thresholds)
     repetition_kwargs: dict = field(default_factory=dict)
+    # segment-level boilerplate scrub (llm.corpus.segment_dedup): cut
+    # token segments shared by more than this many kept docs before the
+    # quality gate. None = stage off (the scrub rebuilds text
+    # lowercased/whitespace-normalized, so it is opt-in).
+    segment_max_docs: int | None = None
     results: dict = field(default_factory=dict)
 
     def _path(self, asset: str) -> str:
@@ -198,13 +203,22 @@ class LLMPipelineRun:
         self.results["corpus"] = kept.count()
 
     def clean_corpus(self, benchmark=None) -> None:
-        """Quality filter + PII scrub (+ optional decontamination vs a
-        benchmark DataFrame) over the deduplicated corpus."""
+        """(Optional segment-boilerplate scrub →) quality filter + PII
+        scrub (+ optional decontamination vs a benchmark DataFrame)
+        over the deduplicated corpus."""
         from pyspark.sql import functions as F
 
-        from .llm.corpus import decontaminate, redact_pii, repetition_stats
+        from .llm.corpus import decontaminate, redact_pii, repetition_stats, segment_dedup
 
         corpus = self.spark.read.parquet(self._path("corpus"))
+        if self.segment_max_docs is not None:
+            # cross-doc boilerplate segments out BEFORE the quality
+            # gate (repetition stats would otherwise score the
+            # boilerplate, not the document)
+            scrub = segment_dedup(
+                corpus, max_docs=self.segment_max_docs, emit_text=True
+            ).select("doc_id", F.col("cleaned_text").alias("text"))
+            corpus = corpus.drop("text").join(scrub, "doc_id")
         keep_ids = (
             repetition_stats(corpus, **self.repetition_kwargs)
             .filter(F.col("keep"))

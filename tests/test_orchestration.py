@@ -218,3 +218,30 @@ def test_training_mix_budget_and_weights(spark, tmp_path):
     assert all(r.source == "srcA" for r in tm)     # srcB weighted out
     assert all(r.cum_tokens <= 300 for r in tm)    # budget respected
     assert 0 < len(tm) < 20                        # strictly cut by budget
+
+
+def test_llm_pipeline_segment_scrub_stage(spark, tmp_path):
+    """With segment_max_docs set, cross-doc boilerplate segments are cut
+    from every clean-corpus doc while unique bodies survive."""
+    from doin_fine_ance__spark.orchestration import LLMPipelineRun
+
+    boiler = " ".join(f"licence{i}" for i in range(10))
+    lenient = dict(
+        max_word_frac=1.0, min_distinct_frac=0.0,
+        min_mean_word_len=0.0, max_mean_word_len=100.0,
+    )
+    docs = spark.createDataFrame(
+        [(i, boiler + " " + " ".join(f"body{i}w{j}" for j in range(10)))
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    run = LLMPipelineRun(
+        spark, str(tmp_path / "wh"), repetition_kwargs=lenient, segment_max_docs=3
+    )
+    run.run(docs)
+    clean = {r.doc_id: r.text for r in
+             spark.read.parquet(str(tmp_path / "wh/llm/clean_corpus")).collect()}
+    assert set(clean) == set(range(5))
+    for i, text in clean.items():
+        assert "licence0" not in text
+        assert text == " ".join(f"body{i}w{j}" for j in range(10))
