@@ -1116,3 +1116,77 @@ def s_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("cosine").desc(), col("vec_id").asc())
         .limit(10)
     )
+
+
+@query(
+    "mm_video_frame_sample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, repeat(md5(CAST(doc_id AS VARCHAR)), 2) AS hx,
+             3 + doc_id % 5 AS n_frames
+      FROM documents
+    ), frames AS (
+      SELECT doc_id, CAST(k AS INT) AS frame_idx, hx
+      FROM base, unnest(range(0, n_frames, 2)) AS u(k)
+    )
+    SELECT doc_id * 1000000 + frame_idx AS media_id,
+           CAST(list_sum(list_transform(range(1, 49),
+                i -> (ascii(substr(hx, CAST(i AS INT), 1)) * (frame_idx + 1)) % 256))
+                AS BIGINT) AS px_sum,
+           CAST(48 AS BIGINT) AS n_px
+    FROM frames ORDER BY media_id
+    """,
+)
+def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video pipeline end-to-end: synthesize → container-encode →
+    distributed frame sampling → per-frame decode + pixel features.
+
+    Each document deterministically synthesizes a tiny video: 3-7
+    frames of 4x4 RGB whose pixel bytes derive from the md5 hex of the
+    doc id (pixel i of frame k = (ascii(hex_i) * (k+1)) % 256), packed
+    through the REAL raw-BMP container codec
+    (llm/multimodal.py::encode_raw_bmp_video). sample_video_frames
+    takes every 2nd frame (every_ms=80 against frame_ms=40); each
+    sampled frame is BMP-decoded back to pixels and reduced to an
+    integer pixel sum. The oracle recomputes the sums analytically
+    from the same definition, so a hash match proves the container
+    round-trip, the sampling stride, the frame-id arithmetic
+    (video_id*1e6+idx) AND the BMP pixel fidelity — the video twin of
+    mm_audio_features.
+    """
+    import numpy as np
+
+    from ..llm.multimodal import MEDIA_SCHEMA, decode_bmp, encode_raw_bmp_video, sample_video_frames
+
+    d = load_table(spark, sf_dir, "documents", ["doc_id"]).select(
+        "doc_id", F.repeat(F.md5(col("doc_id").cast("string")), 2).alias("hx")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did, hx in zip(pdf["doc_id"], pdf["hx"]):
+                b = np.frombuffer(hx[:48].encode("ascii"), dtype=np.uint8).astype(np.int64)
+                n_frames = 3 + int(did) % 5
+                frames = [
+                    ((b * (k + 1)) % 256).astype(np.uint8).reshape(4, 4, 3)
+                    for k in range(n_frames)
+                ]
+                rows.append(
+                    (int(did), "video", "video/x-raw-bmp", 4, 4, 40,
+                     encode_raw_bmp_video(frames, 40))
+                )
+            yield pd.DataFrame(rows, columns=MEDIA_SCHEMA.fieldNames())
+
+    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    sampled = sample_video_frames(media, every_ms=80)
+
+    def feat(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_bmp(r.content).astype(np.int64)
+                rows.append((r.media_id, int(arr.sum()), int(arr.size)))
+            yield pd.DataFrame(rows, columns=["media_id", "px_sum", "n_px"])
+
+    return sampled.mapInPandas(feat, "media_id long, px_sum long, n_px long").orderBy("media_id")
