@@ -1190,3 +1190,67 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "px_sum", "n_px"])
 
     return sampled.mapInPandas(feat, "media_id long, px_sum long, n_px long").orderBy("media_id")
+
+
+@query(
+    "mm_image_resize",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, repeat(md5(CAST(doc_id AS VARCHAR)), 2) AS hx
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           2 AS width, 2 AS height,
+           CAST(list_sum(list_transform(
+                [1,2,3, 7,8,9, 25,26,27, 31,32,33],
+                i -> (ascii(substr(hx, CAST(i AS INT), 1)) * 3) % 256))
+                AS BIGINT) AS px_sum,
+           CAST(12 AS BIGINT) AS n_px
+    FROM base ORDER BY media_id
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image pipeline end-to-end: synthesize → BMP-encode → distributed
+    nearest-neighbor resize → decode + pixel features.
+
+    Each document synthesizes a 4x4 RGB image (pixel byte i =
+    (ascii(md5_hex_i) * 3) % 256), BMP-encodes it, and runs
+    llm/multimodal.py::resize_images down to 2x2. Nearest-neighbor
+    index math is deterministic (yi = arange(2)*4//2 = [0,2], same for
+    xi), so the resized image keeps exactly the pixels at rows/cols
+    {0,2} — the oracle sums those byte positions analytically. A hash
+    match proves BOTH BMP codec directions (resize decodes, resizes,
+    re-encodes; the feature stage decodes again) and the index math.
+    """
+    import numpy as np
+
+    from ..llm.multimodal import MEDIA_SCHEMA, decode_bmp, encode_bmp, resize_images
+
+    d = load_table(spark, sf_dir, "documents", ["doc_id"]).select(
+        "doc_id", F.repeat(F.md5(col("doc_id").cast("string")), 2).alias("hx")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did, hx in zip(pdf["doc_id"], pdf["hx"]):
+                b = np.frombuffer(hx[:48].encode("ascii"), dtype=np.uint8).astype(np.int64)
+                img = ((b * 3) % 256).astype(np.uint8).reshape(4, 4, 3)
+                rows.append((int(did), "image", "image/bmp", 4, 4, 0, encode_bmp(img)))
+            yield pd.DataFrame(rows, columns=MEDIA_SCHEMA.fieldNames())
+
+    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    small = resize_images(media, 2, 2)
+
+    def feat(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_bmp(r.content).astype(np.int64)
+                rows.append((r.media_id, int(r.width), int(r.height), int(arr.sum()), int(arr.size)))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "px_sum", "n_px"])
+
+    return (
+        small.mapInPandas(feat, "media_id long, width int, height int, px_sum long, n_px long")
+        .orderBy("media_id")
+    )

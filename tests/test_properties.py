@@ -194,3 +194,48 @@ def test_redact_pii_is_idempotent(spark, docs):
         once.withColumnRenamed("redacted", "text")
     ).select("doc_id", "redacted")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+# documents as small token sequences over a tiny vocabulary, so random
+# inputs genuinely produce cross-doc repeated segments
+_doc = st.lists(
+    st.sampled_from([f"w{i}" for i in range(6)]), min_size=1, max_size=12
+)
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_segment_dedup_matches_bruteforce(spark, docs):
+    """segment_dedup == a driver-side brute-force re-implementation:
+    same chunking, same distinct-doc threshold, same rebuild."""
+    import hashlib
+    from collections import defaultdict
+
+    from doin_fine_ance__spark.llm.corpus import segment_dedup
+
+    seg, max_docs = 3, 1
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+
+    # brute force
+    chunks = {}  # doc -> [chunk str]
+    for i, toks in enumerate(docs):
+        chunks[i] = [" ".join(toks[s : s + seg]) for s in range(0, len(toks), seg)]
+    docs_per_chunk = defaultdict(set)
+    for i, cs in chunks.items():
+        for c in cs:
+            docs_per_chunk[c].add(i)
+    want = {}
+    for i, cs in chunks.items():
+        kept = [c for c in cs if len(docs_per_chunk[c]) <= max_docs]
+        want[i] = (
+            len(cs),
+            len(cs) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dropped, r.cleaned_md5)
+        for r in segment_dedup(df, seg_tokens=seg, max_docs=max_docs).collect()
+    }
+    assert got == want
