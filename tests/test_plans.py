@@ -172,3 +172,47 @@ def test_repetition_filter_partial_aggregation(spark):
     so the (doc, word) shuffle carries counts, not raw tokens."""
     plan = plan_of(spark, "t_repetition_filter")
     assert "partial_count" in plan or "partial_sum" in plan, plan[:3000]
+
+
+def test_q19_disjunction_pushed_and_no_nested_loop(spark):
+    """OR-of-ANDs residual: the join must stay a hash join on the
+    equi-key, with the per-side disjunct unions pushed into BOTH scans."""
+    plan = plan_of(spark, "q19_disjunctive_predicate_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # Catalyst extracts `quantity between min-of-mins and max-of-maxs`
+    # (and the brand/size union) as scan-level filters
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, plan[:3000]
+    assert "EqualTo(p_brand,Brand#1)" in plan, plan[:3000]
+
+
+def test_q21_self_semi_and_anti_joins(spark):
+    plan = plan_of(spark, "q21_waiting_supplier_shape")
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_q7_twin_nation_dims_broadcast(spark):
+    plan = plan_of(spark, "q7_volume_shipping_pairs")
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    # nation-name disjunction reaches both nation scans
+    assert plan.count("EqualTo(n_name,NATION_3)") >= 2, plan[:4000]
+
+
+def test_segment_dedup_no_cartesian_and_partial_agg(spark):
+    """Frequency count must partial-aggregate before its exchange and
+    the mark join must be a hash join on the segment key."""
+    plan = plan_of(spark, "d_segment_dedup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+def test_interval_join_is_hash_join_on_user(spark):
+    """The stream-stream twin: equi-join on user_id with the interval
+    as residual — never a pure theta join."""
+    plan = plan_of(spark, "st_interval_join")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan), plan[:2000]
