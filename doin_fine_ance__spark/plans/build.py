@@ -126,8 +126,16 @@ def build(wh: Warehouse, full_refresh: bool = False) -> dict[str, int]:
     wh.write(features, "analytics", "int_trxns_features")
     features = wh.read("analytics", "int_trxns_features")
 
+    # Read-mostly marts are month-partitioned (the Spark analog of the
+    # reference's transacted_date b-tree indexes, init_db.py:79-130):
+    # serving/notebook reads filter on date ranges, so writing by
+    # month(transacted_date) turns those into partition-pruned scans.
+    # The `_month` column is storage metadata; model inputs drop it.
     categorized = M.fct_trxns_categorized(features)
-    wh.write(categorized, "analytics", "fct_trxns_categorized")
+    wh.write(
+        _month_col(categorized), "analytics", "fct_trxns_categorized",
+        partition_by="_month",
+    )
 
     user_validated = M.stg_user_validated_categories(
         wh.read("public", "user_categories"), features
@@ -140,7 +148,8 @@ def build(wh: Warehouse, full_refresh: bool = False) -> dict[str, int]:
     validated_path = wh.path("analytics", "fct_validated_trxns")
     if full_refresh or not wh.exists("analytics", "fct_validated_trxns"):
         bootstrap = M.fct_validated_trxns_bootstrap(
-            wh.read("analytics", "fct_trxns_categorized"), user_validated
+            wh.read("analytics", "fct_trxns_categorized").drop("_month"),
+            user_validated,
         )
         atomic_overwrite(bootstrap, validated_path)
     else:
@@ -152,16 +161,22 @@ def build(wh: Warehouse, full_refresh: bool = False) -> dict[str, int]:
     uncategorized = M.fct_trxns_uncategorized(
         features, wh.read("analytics", "fct_validated_trxns")
     )
-    wh.write(uncategorized, "analytics", "fct_trxns_uncategorized")
+    wh.write(
+        _month_col(uncategorized), "analytics", "fct_trxns_uncategorized",
+        partition_by="_month",
+    )
 
     if wh.exists("analytics", "predicted_transactions"):
         preds = M.stg_predictions(wh.read("analytics", "predicted_transactions"))
         wh.write(preds, "analytics", "stg_predictions")
         with_preds = M.fct_trxns_with_predictions(
-            wh.read("analytics", "fct_trxns_uncategorized"),
+            wh.read("analytics", "fct_trxns_uncategorized").drop("_month"),
             wh.read("analytics", "stg_predictions"),
         )
-        wh.write(with_preds, "analytics", "fct_trxns_with_predictions")
+        wh.write(
+            _month_col(with_preds), "analytics", "fct_trxns_with_predictions",
+            partition_by="_month",
+        )
 
     for t in [
         "stg_simplefin",
@@ -179,3 +194,40 @@ def build(wh: Warehouse, full_refresh: bool = False) -> dict[str, int]:
             "analytics", "fct_trxns_with_predictions"
         ).count()
     return counts
+
+
+def register_sql_catalog(wh: Warehouse) -> list[str]:
+    """Expose the warehouse to ``spark.sql`` under the reference's
+    two-schema names: ``public.<table>`` / ``analytics.<table>``.
+
+    The reference's users query Postgres directly (notebooks, FastAPI
+    raw SQL, 3_TEST_COMMANDS.md recipes); this registers every
+    materialized parquet table as an external datasource table in the
+    session catalog so the SAME statements run on Spark —
+    ``spark.sql("SELECT ... FROM analytics.fct_validated_trxns")``.
+    Partitioned marts get RECOVER PARTITIONS, so month pruning shows
+    up as PartitionFilters in query plans. Idempotent: re-running
+    after a rebuild re-points and re-discovers partitions. Returns the
+    fully-qualified names registered.
+    """
+    spark = wh.spark
+    registered: list[str] = []
+    for schema in sorted(os.listdir(wh.root)):
+        schema_dir = os.path.join(wh.root, schema)
+        if not os.path.isdir(schema_dir) or not schema.isidentifier():
+            continue
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{schema}`")
+        for table in sorted(os.listdir(schema_dir)):
+            table_dir = os.path.join(schema_dir, table)
+            if not os.path.isdir(table_dir) or not table.isidentifier():
+                continue
+            fq = f"`{schema}`.`{table}`"
+            spark.sql(f"DROP TABLE IF EXISTS {fq}")
+            spark.sql(f"CREATE TABLE {fq} USING PARQUET LOCATION '{table_dir}'")
+            if any(
+                "=" in e and os.path.isdir(os.path.join(table_dir, e))
+                for e in os.listdir(table_dir)
+            ):
+                spark.sql(f"ALTER TABLE {fq} RECOVER PARTITIONS")
+            registered.append(f"{schema}.{table}")
+    return registered

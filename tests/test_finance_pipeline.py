@@ -200,3 +200,45 @@ def test_predictions_latest_wins_and_join(spark, tmp_path):
     assert rows["TRN-002"].predicted_master_category == "Transportation"
     # TRN-003's latest prediction is UNCERTAIN
     assert rows["TRN-003"].predicted_master_category == "UNCERTAIN"
+
+
+def test_register_sql_catalog_exposes_warehouse_to_spark_sql(spark, tmp_path):
+    """The reference's raw-SQL surface: after registration, the same
+    two-schema statements Postgres users run work via spark.sql, with
+    month-partition pruning visible in the plan."""
+    import contextlib
+    import io
+
+    from doin_fine_ance__spark.plans.build import register_sql_catalog
+
+    FX.write_warehouse_inputs(spark, str(tmp_path))
+    wh = Warehouse(spark, str(tmp_path))
+    build(wh, full_refresh=True)
+    registered = register_sql_catalog(wh)
+    assert "analytics.fct_validated_trxns" in registered
+    assert "public.simplefin" in registered
+
+    n = spark.sql("SELECT COUNT(*) AS n FROM analytics.fct_validated_trxns").first()["n"]
+    assert n == wh.read("analytics", "fct_validated_trxns").count() > 0
+    # a 3_TEST_COMMANDS.md-style statement runs verbatim
+    rows = spark.sql(
+        """
+        SELECT master_category, COUNT(*) AS n
+        FROM analytics.fct_validated_trxns
+        WHERE master_category IS NOT NULL
+        GROUP BY master_category ORDER BY n DESC, master_category
+        """
+    ).collect()
+    assert rows and all(r.n >= 1 for r in rows)
+    # month-partitioned marts prune: PartitionFilters on _month
+    df = spark.sql(
+        "SELECT * FROM analytics.fct_trxns_categorized WHERE _month = '2024-01'"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    assert "PartitionFilters" in buf.getvalue()
+    # idempotent re-registration after a rebuild
+    build(wh, full_refresh=True)
+    register_sql_catalog(wh)
+    assert spark.sql("SELECT COUNT(*) FROM analytics.fct_validated_trxns").first()[0] == n
