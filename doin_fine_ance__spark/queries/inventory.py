@@ -1009,3 +1009,39 @@ def a_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "a_exact_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.5) AS median,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           quantile_cont(o_totalprice, 0.9) AS p90
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def a_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (median/IQR/p90) — the ordered-set
+    aggregate family (percentile_cont WITHIN GROUP).
+
+    Both engines linearly interpolate between adjacent order
+    statistics, and the arithmetic ((1-f)*lo + f*hi on doubles) is
+    IEEE-identical, so the probe is hash-exact. Scale note: Spark's
+    exact `percentile` holds a per-group value multiset — fine for
+    bounded groups like this; at 100 TB with huge groups the default
+    is the approx_percentile sketch already probed (with error-bound
+    tests) by a_approx_distinct_users.
+    """
+    o = load_table(spark, sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("median"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        )
+        .orderBy("o_orderstatus")
+    )
