@@ -475,3 +475,45 @@ def q22_dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("code")
     )
+
+
+@query(
+    "q11_global_threshold_having",
+    oracle="""
+    WITH tot AS (
+      SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM supplier
+    )
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS nation_balance
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey, tot
+    GROUP BY n.n_name, tot.total
+    HAVING SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) > CAST(0.04 AS DECIMAL(3,2)) * CAST(tot.total AS DECIMAL(18,2))
+    ORDER BY nation_balance DESC, nation
+    """,
+)
+def q11_global_threshold_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups gated by a scalar share of the GLOBAL
+    total (HAVING sum(...) > fraction * (SELECT sum(...))).
+
+    No partsupp table, so the value measure is supplier account
+    balance by nation — the plan shape is Q11's: one partial-agg pass
+    builds the per-group sums, the global total is a 1-row broadcast,
+    and the gate is a post-agg filter against it (never a re-scan).
+    Exact-decimal sums both sides of the comparison; the 4% threshold
+    multiplies in decimal so the gate cannot flap on FP rounding.
+    """
+    s = load_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    n = load_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    per_nation = (
+        s.join(F.broadcast(n), col("s_nationkey") == col("n_nationkey"))
+        .groupBy(col("n_name").alias("nation"))
+        .agg(F.sum(_dec("s_acctbal")).alias("bal_dec"))
+    )
+    total = s.agg(F.sum(_dec("s_acctbal")).alias("total_dec"))
+    return (
+        per_nation.join(F.broadcast(total))
+        .filter(col("bal_dec") > lit("0.04").cast("decimal(3,2)") * col("total_dec"))
+        .select("nation", col("bal_dec").cast("double").alias("nation_balance"))
+        .orderBy(col("nation_balance").desc(), "nation")
+    )
