@@ -517,3 +517,44 @@ def q11_global_threshold_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation", col("bal_dec").cast("double").alias("nation_balance"))
         .orderBy(col("nation_balance").desc(), "nation")
     )
+
+
+@query(
+    "q12_shipmode_priority_counts",
+    oracle="""
+    SELECT l.l_linestatus AS linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1 ORDER BY linestatus
+    """,
+)
+def q12_shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: dual conditional counts by class over the
+    orders⨝lineitem join (high- vs low-priority lines per status).
+
+    The testdata has no l_shipmode/commit/receipt dates, so the class
+    column is l_linestatus and the date window is on shipdate — the
+    plan shape is Q12's: one fact-fact equi-join on the order key with
+    BOTH conditional sums folded into a single partial aggregate (one
+    pass, one tiny exchange on the class key).
+    """
+    o = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = load_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"]
+    ).filter((col("l_shipdate") >= _ts("1996-01-01")) & (col("l_shipdate") < _ts("1997-01-01")))
+    is_high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("linestatus")
+    )

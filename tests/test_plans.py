@@ -216,3 +216,23 @@ def test_interval_join_is_hash_join_on_user(spark):
     plan = plan_of(spark, "st_interval_join")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan), plan[:2000]
+
+
+def test_q11_single_pass_conditional_gate(spark):
+    """Global-threshold HAVING: per-group sums in one partial-agg pass,
+    the global total as a broadcast, never a re-scan of supplier."""
+    plan = plan_of(spark, "q11_global_threshold_having")
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_q12_dual_conditional_sums_one_aggregate(spark):
+    """Both class counts fold into a single aggregation pass."""
+    import re
+
+    plan = plan_of(spark, "q12_shipmode_priority_counts")
+    # one partial + one final aggregate, not two separate agg subtrees:
+    # at most 2 shuffle exchanges (agg + final order), counted from the
+    # numbered operator list (the tree section repeats each node)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
