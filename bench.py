@@ -100,6 +100,7 @@ def main() -> None:
     # steady on identical code). The timed numbers then measure the
     # queries, not the JIT.
     warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    cold: list[str] = []
     if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(sf_dir):
         for name in HEADLINE:
             fn = queries.get(name)
@@ -107,8 +108,12 @@ def main() -> None:
                 continue
             try:
                 fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass  # warmup must never fail the bench
+            except Exception as e:  # warmup must never fail the bench, but
+                # a query that errors here runs COLD in the timed loop —
+                # record it so its timing is identifiable as unwarmed.
+                cold.append(name)
+                print(f"# warmup failed for {name}: {type(e).__name__}: {e}",
+                      file=sys.stderr)
         gc.collect()
 
     # Each query is timed REPEAT times (fresh plan each time — re-executing
@@ -152,6 +157,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **({"cold_unwarmed": cold} if cold else {}),
             }
         )
     )

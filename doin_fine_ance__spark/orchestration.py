@@ -215,10 +215,19 @@ class LLMPipelineRun:
             # cross-doc boilerplate segments out BEFORE the quality
             # gate (repetition stats would otherwise score the
             # boilerplate, not the document)
+            # LEFT join + coalesce: segment_dedup drops docs whose text
+            # is empty/whitespace-only (no segments to emit), but the
+            # scrub stage must not change corpus membership — those
+            # docs keep their original text and fall through to the
+            # quality gate like in the stage-off path.
             scrub = segment_dedup(
                 corpus, max_docs=self.segment_max_docs, emit_text=True
-            ).select("doc_id", F.col("cleaned_text").alias("text"))
-            corpus = corpus.drop("text").join(scrub, "doc_id")
+            ).select("doc_id", F.col("cleaned_text").alias("scrubbed_text"))
+            corpus = (
+                corpus.join(scrub, "doc_id", "left")
+                .withColumn("text", F.coalesce("scrubbed_text", "text"))
+                .drop("scrubbed_text")
+            )
         keep_ids = (
             repetition_stats(corpus, **self.repetition_kwargs)
             .filter(F.col("keep"))

@@ -196,6 +196,28 @@ def build(wh: Warehouse, full_refresh: bool = False) -> dict[str, int]:
     return counts
 
 
+def _looks_like_parquet_dir(table_dir: str) -> bool:
+    """True if the directory is a plausible parquet table root: holds a
+    ``*.parquet`` part / ``_SUCCESS`` marker at the top level, or only
+    hive-style ``key=value`` partition subdirectories (checked one
+    level down)."""
+    entries = os.listdir(table_dir)
+    if any(e.endswith(".parquet") or e == "_SUCCESS" for e in entries):
+        return True
+    part_dirs = [
+        e for e in entries
+        if "=" in e and os.path.isdir(os.path.join(table_dir, e))
+    ]
+    for part in part_dirs:
+        sub = os.path.join(table_dir, part)
+        if any(
+            s.endswith(".parquet") or ("=" in s and os.path.isdir(os.path.join(sub, s)))
+            for s in os.listdir(sub)
+        ):
+            return True
+    return False
+
+
 def register_sql_catalog(wh: Warehouse) -> list[str]:
     """Expose the warehouse to ``spark.sql`` under the reference's
     two-schema names: ``public.<table>`` / ``analytics.<table>``.
@@ -220,6 +242,17 @@ def register_sql_catalog(wh: Warehouse) -> list[str]:
         for table in sorted(os.listdir(schema_dir)):
             table_dir = os.path.join(schema_dir, table)
             if not os.path.isdir(table_dir) or not table.isidentifier():
+                continue
+            # paths are interpolated into the LOCATION clause — reject
+            # anything that could break out of the string literal
+            if "'" in table_dir or "\\" in table_dir:
+                raise ValueError(
+                    f"refusing to register table at path with quote/backslash: {table_dir!r}"
+                )
+            # only register dirs that actually hold parquet data (a
+            # stray non-table dir would otherwise become a catalog
+            # entry that fails at query time)
+            if not _looks_like_parquet_dir(table_dir):
                 continue
             fq = f"`{schema}`.`{table}`"
             spark.sql(f"DROP TABLE IF EXISTS {fq}")

@@ -31,80 +31,73 @@ def query(name: str, oracle: str | None = None):
 
 # The external driver verifies the FIRST 50 registered queries against
 # their DuckDB oracles; the rest keep local pytest + tests/oracle.py
-# coverage only. With 84 registered queries, this list pins which 50
-# get a driver correctness row: the LLM-data-pipeline + streaming
-# surface (first-class per the north star — including the round-2
-# corpus-selection and audio operators) and the one-query-per-
-# SURVEY-§2-row inventory set. Three inventory probes whose §2 rows
-# have strong independent coverage ride the tail to make room
-# (o3: same sort+limit machinery as in-window o1/o2; f16: trivial
-# IN-list; a9: exercised by the serving control-center tests and the
-# in-window a8; t_token_count_bpe / t_doc_fingerprint: second variants
-# of capability rows whose primary variant — whitespace token count,
-# winnowing fingerprints — stays in-window) — like every tail query,
-# they stay registered, plan-audited, and oracle-checked by
-# tests/test_inventory_oracle.py. a3/a4 (yearly/quarterly spend) ride
-# IN-window: they were the only §2 rows hash-failing in round 1 with
-# no round-2 driver row to show the canonicalization fix.
-# d_segment_dedup rides in-window over t_domain_mix: the only
-# intra-document dedup capability vs a second selection-family probe
-# (t_token_budget_select already represents selection).
+# coverage only. Round-3 rotation (per VERDICT.md r2 "Next round" #1):
+# the 30 queries that never received a driver CORRECTNESS row in
+# rounds 1-2 (the tpch_extra plan-shape probes, the corpus-prep ops,
+# the incremental/LSH/multimodal/percentile variants, and the
+# rows-only approx-distinct probe) take the head of the window so the
+# union of r1+r2+r3 driver rows covers all 99 registered queries. The
+# remaining 20 slots keep a regression-anchor set spanning each
+# SURVEY-§2 family (agg/window/join/filter/order/union/function/ML)
+# plus one LLM-dedup anchor, all green in r2, so a regression in the
+# core surface still surfaces in the driver gate. Everything out of
+# window stays registered, plan-audited, and oracle-checked by
+# tests/test_inventory_oracle.py + tools/sweep_correctness.py.
 DRIVER_WINDOW: list[str] = [
-    # LLM text-analysis surface (oracle-backed)
-    "t_token_count",
-    "t_token_budget_select",
-    "t_quality_score",
-    "t_lang_id_heuristic",
-    "t_winnowing_fingerprints",
-    # Dedup surface
-    "d_exact_dedup",
-    "d_segment_dedup",
-    "d_ngram_jaccard_pairs",
-    "d_dup_clusters",
-    "d_minhash_lsh_neardups",
-    "d_simhash_neardups",
-    # Similarity search + multimodal
-    "s_cosine_topk_bruteforce",
-    "s_cosine_topk_ivf",
-    "d_embedding_cosine_neardups",
-    "mm_media_features",
-    "mm_audio_features",
-    # Streaming-window batch twins (oracle-backed)
-    "st_tumbling_window",
-    "st_sliding_window",
-    "st_session_window",
-    # Reference-operator inventory (one row per SURVEY §2 operator)
+    # --- never-driver-verified until r3: TPC-H plan-shape probes ---
+    "q7_volume_shipping_pairs",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_revenue_customers",
+    "q11_global_threshold_having",
+    "q12_shipmode_priority_counts",
+    "q15_top_supplier_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicate_join",
+    "q21_waiting_supplier_shape",
+    "q22_dormant_customer_balance",
+    # --- never-driver-verified until r3: corpus-prep operators ---
+    "t_repetition_filter",
+    "t_pii_redaction",
+    "d_decontaminate",
+    "t_sequence_packing",
+    "t_stratified_sample",
+    "t_shuffle_order",
+    "t_domain_mix",
+    # --- never-driver-verified until r3: analysis/dedup/ANN/multimodal/streaming ---
+    "a_approx_distinct_users",
+    "a_exact_percentiles",
+    "t_doc_fingerprint",
+    "t_token_count_bpe",
+    "t_top_tokens",
+    "t_bigram_familiarity",
+    "t_simhash_fingerprints",
+    "d_incremental_neardups",
+    "s_cosine_topk_lsh",
+    "mm_image_resize",
+    "mm_video_frame_sample",
+    "st_interval_join",
+    # --- regression anchors (green driver rows in r2) ---
     "a1_monthly_spend_by_category",
     "a2_monthly_net_change",
-    "a3_yearly_spend_by_category",
-    "a4_quarterly_spend",
     "a5_pivot_month_by_status",
-    "a6_count_total",
-    "a7_distinct_categories",
-    "a8_connection_health_rollup",
-    "a11_class_distribution",
     "a12_cumulative_monthly_net",
     "a13_prediction_stats",
     "w1_latest_import_dedup",
     "w2_rownum_md5_surrogate",
     "w4_w5_reconnection_dedup",
-    "p1_projection_literals",
-    "p3_uncategorized_anti_join",
-    "p4_exclusion_patterns_anti",
-    "p6_dynamic_where_search",
     "j1_mapping_join_disjunctive",
     "j3_override_coalesce_overlay",
     "j8_incremental_anti_append",
-    "j9_latest_import_per_account",
     "j10_nullsafe_equality_join",
+    "p3_uncategorized_anti_join",
+    "p4_exclusion_patterns_anti",
     "o1_pagination_offset",
-    "o2_sort_nulls_last_top",
-    "o5_top5_categories",
     "u1_union_two_sources",
     "f_feature_engineering",
-    "f8_f9_timestamp_conversions",
     "f15_json_extraction",
     "m7_calibration_curve",
+    "d_minhash_lsh_neardups",
 ]
 
 

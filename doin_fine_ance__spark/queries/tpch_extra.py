@@ -481,14 +481,14 @@ def q22_dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_global_threshold_having",
     oracle="""
     WITH tot AS (
-      SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+      SELECT SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS total
       FROM supplier
     )
     SELECT n.n_name AS nation,
            CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS nation_balance
     FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey, tot
     GROUP BY n.n_name, tot.total
-    HAVING SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) > CAST(0.04 AS DECIMAL(3,2)) * CAST(tot.total AS DECIMAL(18,2))
+    HAVING SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) > CAST(0.04 AS DECIMAL(3,2)) * tot.total
     ORDER BY nation_balance DESC, nation
     """,
 )

@@ -286,10 +286,24 @@ def stream_stream_interval_join(
     buffered view can be dropped once the purchase-side watermark
     passes ``view_ts + max_delay``. Without the time-range bound the
     state store grows with the full stream history. Emits
-    (purchase_id, p_user, purchase_ts, view_ts) pairs in append mode;
-    aggregation (views-per-purchase) is downstream — see the batch
-    twin ``st_interval_join`` for the oracle-checked logical result.
+    (purchase_id, p_user, purchase_ts, v_user, view_ts) pairs in
+    append mode; aggregation (views-per-purchase) is downstream — see
+    the batch twin ``st_interval_join`` for the oracle-checked logical
+    result.
     """
+    # max_delay reaches the join bound via INTERVAL syntax — validate
+    # it here so a malformed duration fails with a clear message at
+    # call time, not as a SQL parse error buried in the plan.
+    import re as _re
+
+    if not _re.fullmatch(
+        r"\d+\s+(microsecond|millisecond|second|minute|hour|day|week)s?",
+        max_delay.strip(),
+        _re.IGNORECASE,
+    ):
+        raise ValueError(
+            f"max_delay must look like '<n> <unit>' (e.g. '30 minutes'), got {max_delay!r}"
+        )
     v = (
         events.filter(col("event_type") == "view")
         .select(col("user_id").alias("v_user"), col("ts").alias("view_ts"))
@@ -308,6 +322,6 @@ def stream_stream_interval_join(
         v,
         F.expr(
             "p_user = v_user AND view_ts <= purchase_ts "
-            f"AND view_ts >= purchase_ts - INTERVAL {max_delay}"
+            f"AND view_ts >= purchase_ts - INTERVAL {max_delay.strip()}"
         ),
     )
