@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+from ..operators.checkpoint import materialize
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\d{3}[-.]\d{3}[-.]\d{4}"
 
@@ -287,7 +289,7 @@ def segment_dedup(
     # once (the stream is ~len/seg_tokens rows, 10x smaller than the
     # token stream).
     try:
-        chunks = chunks.localCheckpoint(eager=True)
+        chunks = materialize(chunks)
     except Exception:
         pass  # Spark Connect without checkpoint support: correct, just slower
     seen = chunks.groupBy("chunk").agg(F.count_distinct(col(id_col)).alias("n_docs"))

@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit, pandas_udf
 from pyspark.sql.types import LongType
 
+from ..operators.checkpoint import materialize
+
 # Mersenne prime 2^31-1: chosen so a·x+b (a,b < 2^31, x a 32-bit
 # shingle hash) stays under 2^63 — exact in numpy uint64 arithmetic.
 _P = (1 << 31) - 1
@@ -164,7 +166,11 @@ def band_keys(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", bands: int = 16, k: int | None = None
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    k: int | None = None,
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs per bucket.
 
@@ -180,10 +186,7 @@ def lsh_candidate_pairs(
     # arbitrary subplans — without this the signatures compute twice.
     # At corpus scale this materialization is the signature/band store
     # you would persist anyway (incremental dedup reads exactly it).
-    try:
-        banded = banded.localCheckpoint(eager=True)
-    except Exception:
-        pass  # Spark Connect without checkpoint support: correct, just slower
+    banded = materialize(banded, checkpoint_mode)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -245,7 +248,7 @@ def minhash_near_dups(
     # id_b) and Spark reuses exchanges, not subplans — without this the
     # scan + split + hash runs twice.
     try:
-        toks = toks.localCheckpoint(eager=True)
+        toks = materialize(toks)
     except Exception:
         pass  # Spark Connect without checkpoint support: correct, just slower
     ta = toks.select(col(id_col).alias("id_a"), col("tokens").alias("tok_a"))
@@ -397,6 +400,7 @@ def incremental_near_dups(
     threshold: float = 0.7,
     k: int = 64,
     bands: int = 16,
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """Incremental MinHash dedup against a persistent signature table.
 
@@ -452,6 +456,6 @@ def incremental_near_dups(
 
     # append AFTER the read plan is fixed (parquet re-list would
     # otherwise see the new files mid-query on some filesystems)
-    out = out.localCheckpoint(eager=True)
+    out = materialize(out, checkpoint_mode)
     new_sigs.write.mode("append").parquet(signature_store)
     return out

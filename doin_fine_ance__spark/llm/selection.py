@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
+from ..operators.checkpoint import materialize
+
 
 def global_running_sum(
     df: DataFrame,
@@ -35,6 +37,7 @@ def global_running_sum(
     order_cols: list,
     out_col: str = "running_total",
     num_partitions: int | None = None,
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """Inclusive running sum of ``weight_col`` in the total order given
     by ``order_cols`` — distributed two-pass prefix sum.
@@ -67,10 +70,7 @@ def global_running_sum(
     # The per-partition totals materialize `local` once; checkpoint so
     # the main branch below reuses it instead of recomputing the
     # upstream plan (Spark reuses exchanges, not subplans).
-    try:
-        local = local.localCheckpoint(eager=True)
-    except Exception:
-        pass  # Spark Connect without checkpoint support: correct, just slower
+    local = materialize(local, checkpoint_mode)
     totals = (
         local.groupBy("_pid").agg(F.max("_local_cum").alias("_total")).collect()
     )

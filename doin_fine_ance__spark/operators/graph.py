@@ -51,6 +51,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
+from .checkpoint import materialize
+
 
 def _contract_partitions(sym: DataFrame) -> DataFrame:
     """Map-only local contraction: per-partition min-root resolution.
@@ -108,6 +110,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     edges_per_partition: int = 4_000_000,
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """Return (node, component) where component = min node id reachable.
 
@@ -143,7 +146,7 @@ def connected_components(
     # Materialize the symmetric edge list ONCE: it is joined every
     # iteration (plus the convergence agg), and without this the whole
     # upstream edge-generation plan re-executes per round.
-    sym = sym.localCheckpoint(eager=True)
+    sym = materialize(sym, checkpoint_mode)
     # Size iteration parallelism to the graph (see module docstring);
     # a sparse pair graph collapses to 1 partition.
     n_edges = sym.count()
@@ -161,9 +164,9 @@ def connected_components(
         # the iterative phase (each round costs several join/agg jobs
         # of pure scheduling overhead at this size). Checkpoint so
         # downstream actions don't re-run the contraction.
-        return stars.select(
-            "node", col("nbr").alias("component")
-        ).localCheckpoint(eager=True)
+        return materialize(
+            stars.select("node", col("nbr").alias("component")), checkpoint_mode
+        )
     sym = (
         stars.select(
             F.explode(
@@ -175,10 +178,10 @@ def connected_components(
         )
         .select("e.node", "e.nbr")
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    sym = materialize(sym, checkpoint_mode)
     labels = sym.select("node").distinct().withColumn("component", col("node"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = materialize(labels, checkpoint_mode)
     # labels only ever DECREASE (least of own + neighbor minima), so the
     # label sum is a strictly decreasing convergence witness — one cheap
     # agg per iteration instead of a join-and-count diff.
@@ -206,15 +209,14 @@ def connected_components(
         jump = cand.select(
             col("node").alias("component"), col("component").alias("jump_comp")
         )
-        labels = (
-            cand.join(jump, "component", "left")
-            .select(
+        labels = materialize(
+            cand.join(jump, "component", "left").select(
                 "node",
                 F.least(
                     col("component"), F.coalesce(col("jump_comp"), col("component"))
                 ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_mode,
         )
         new_sum = labels.agg(F.sum("component")).first()[0]
         if new_sum == prev_sum:

@@ -164,7 +164,9 @@ def bulk_categorize(
         for a in assignments
     ]
     update = spark.createDataFrame(rows, schema=USER_CATEGORIES)
-    merge_keyed(spark, user_categories_path, update, "transaction_id")
+    # brief lock-wait: concurrent HTTP override writes serialize like
+    # Postgres row locks instead of failing the request
+    merge_keyed(spark, user_categories_path, update, "transaction_id", timeout=10.0)
     return len(rows)
 
 
@@ -230,4 +232,6 @@ def categorize_transaction(
         now,
     )
     update = spark.createDataFrame([row], schema=USER_CATEGORIES)
-    merge_keyed(spark, user_categories_path, update, "transaction_id")
+    # brief lock-wait: concurrent HTTP override writes serialize like
+    # Postgres row locks instead of failing the request
+    merge_keyed(spark, user_categories_path, update, "transaction_id", timeout=10.0)

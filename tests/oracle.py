@@ -90,9 +90,19 @@ def _pandas_cell(v):
 
 def canonical_pandas(pdf) -> list[tuple]:
     cols = sorted(pdf.columns)
+    # Column-wise access, NOT iterrows(): iterrows upcasts each row to
+    # one common dtype, so a frame with an int64 count next to a
+    # nullable float64 turns the int into 0.0 — and only on the side
+    # that arrived with real numpy dtypes (DuckDB .df()), not on the
+    # object-dtype frame built from Spark Row tuples. That asymmetry
+    # produced fuzz false-positives on empty-input global aggregates.
+    # Per-column iloc keeps each cell at its column's dtype, which
+    # still catches the real r1 failure class (Decimal objects in a
+    # Spark column vs float64 from DuckDB stringify differently).
+    series = [pdf[c] for c in cols]
     out = [
-        tuple(_pandas_cell(row[c]) for c in cols)
-        for _, row in pdf.iterrows()
+        tuple(_pandas_cell(s.iloc[i]) for s in series)
+        for i in range(len(pdf))
     ]
     out.sort()
     return out

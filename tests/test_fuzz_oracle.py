@@ -1,0 +1,48 @@
+"""Differential fuzzing vs DuckDB (VERDICT r2 next-round #2).
+
+Runs the seeded random-pipeline generator of ``tools/fuzz_oracle.py``
+under the dual-gate oracle compare at sf0.001. The full 200-case
+sweep is marked ``fuzz`` (run with ``pytest -m fuzz``); a 24-case
+smoke slice runs in the default suite so generator regressions are
+caught without the full cost.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+from fuzz_oracle import build_case, plan_case  # noqa: E402
+
+from tests.oracle import compare_query  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run_seeds(spark, seeds) -> list[str]:
+    fails = []
+    for seed in seeds:
+        ops = plan_case(seed)
+        fn, sql = build_case(ops)
+        name = f"fuzz_{seed}"
+        ok, detail = compare_query(spark, name, SF_DIR, {name: fn}, {name: sql})
+        if not ok:
+            fails.append(f"seed={seed}: {detail}")
+    return fails
+
+
+def test_fuzz_smoke_slice(spark):
+    fails = _run_seeds(spark, range(24))
+    assert not fails, "\n".join(fails)
+
+
+@pytest.mark.fuzz
+@pytest.mark.parametrize("start", [0, 50, 100, 150])
+def test_fuzz_differential_block(spark, start):
+    fails = _run_seeds(spark, range(start, start + 50))
+    assert not fails, "\n".join(fails)

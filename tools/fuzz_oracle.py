@@ -1,0 +1,653 @@
+"""Differential fuzzer: random operator pipelines vs a DuckDB oracle.
+
+The 98 fixed registry queries are green; this attacks the inputs we
+did NOT hand-write. Each seeded case plans a random pipeline
+(base-table or FK join → filters / computed projections → optional
+group-aggregate → optional HAVING-style filter → optional
+total-order sort+limit) in a two-phase design:
+
+1. ``plan_case(rng)`` chooses a list of serializable ops while
+   tracking the evolving schema — pure planning, no Spark;
+2. ``build_case(ops)`` deterministically compiles the SAME ops into
+   (a) a DataFrame program built from the library's own helpers
+   (``functions.pg``: ilike / pandas_dow / month_trunc /
+   amount_bucket / keyword_flag / pg sort orders) and (b) an
+   equivalent DuckDB SQL string.
+
+Both run on the same parquet and must agree under the dual gate of
+``tests/oracle.py`` (exact-value + pandas-roundtrip driver-hash
+replica). Failures shrink automatically: droppable ops (filters,
+unused projections, sort/limit) are removed one at a time while the
+case still fails, and the minimal op list + SQL + seed are printed —
+rerun any case with ``python tools/fuzz_oracle.py --seed N``.
+
+Dialect traps this deliberately exercises (SURVEY.md §4.3.1): null
+ordering (ASC/DESC nulls placement differs), decimal-exact aggregate
+math (float sum order), Spark rlike vs DuckDB regexp_matches
+(both find-anywhere), ILIKE lowering, Postgres-dow remaps
+(DuckDB dayofweek is 0=Sunday, Spark dayofweek is 1=Sunday), and
+int-width canonicalization (all int outputs cast to BIGINT so the
+pandas gate can't flap on int32/HUGEINT).
+
+Usage:
+    python tools/fuzz_oracle.py [--n 200] [--sf-dir DIR] [--seed N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# ---------------------------------------------------------------- schema
+
+TABLES: dict[str, list[tuple[str, str]]] = {
+    "lineitem": [
+        ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
+        ("l_linenumber", "int"), ("l_quantity", "double"),
+        ("l_extendedprice", "double"), ("l_discount", "double"),
+        ("l_tax", "double"), ("l_returnflag", "str"),
+        ("l_linestatus", "str"), ("l_shipdate", "ts"),
+    ],
+    "orders": [
+        ("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"),
+        ("o_totalprice", "double"), ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ],
+    "customer": [
+        ("c_custkey", "int"), ("c_name", "str"), ("c_nationkey", "int"),
+        ("c_acctbal", "double"), ("c_mktsegment", "str"),
+    ],
+    "part": [
+        ("p_partkey", "int"), ("p_name", "str"), ("p_brand", "str"),
+        ("p_type", "str"), ("p_size", "int"), ("p_retailprice", "double"),
+    ],
+    "supplier": [
+        ("s_suppkey", "int"), ("s_name", "str"), ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "events": [
+        ("event_id", "int"), ("ts", "ts"), ("user_id", "int"),
+        ("event_type", "str"), ("value", "double"), ("props", "str"),
+    ],
+    "documents": [
+        ("doc_id", "int"), ("text", "str"), ("lang", "str"),
+        ("source", "str"), ("n_chars", "int"),
+    ],
+}
+
+# (left_table, right_table, left_key, right_key)
+JOINS = [
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+]
+
+NUM_RANGE: dict[str, tuple[float, float, int]] = {
+    "l_quantity": (1, 50, 0), "l_extendedprice": (1000, 90000, 2),
+    "l_discount": (0.0, 0.1, 2), "l_tax": (0.0, 0.08, 2),
+    "l_orderkey": (1, 6000, 0), "l_partkey": (1, 200, 0),
+    "l_suppkey": (1, 10, 0), "l_linenumber": (1, 7, 0),
+    "o_orderkey": (1, 6000, 0), "o_custkey": (1, 150, 0),
+    "o_totalprice": (1000, 400000, 2),
+    "c_custkey": (1, 150, 0), "c_nationkey": (0, 24, 0),
+    "c_acctbal": (-999, 9999, 2),
+    "p_partkey": (1, 200, 0), "p_size": (1, 50, 0),
+    "p_retailprice": (900, 2000, 2),
+    "s_suppkey": (1, 10, 0), "s_nationkey": (0, 24, 0),
+    "s_acctbal": (-999, 9999, 2),
+    "event_id": (1, 6000, 0), "user_id": (1, 500, 0), "value": (0, 1000, 2),
+    "doc_id": (1, 500, 0), "n_chars": (1, 5000, 0),
+}
+
+STR_VOCAB: dict[str, list[str]] = {
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["O", "F"],
+    "o_orderstatus": ["O", "F", "P"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                        "4-NOT SPECIFIED", "5-LOW"],
+    "c_mktsegment": ["BUILDING", "AUTOMOBILE", "MACHINERY",
+                     "HOUSEHOLD", "FURNITURE"],
+    "event_type": ["signup", "click", "error", "view", "purchase"],
+    "lang": ["en", "de", "zh", "fr", "es"],
+    "source": [f"src{i}" for i in range(20)],
+    "p_brand": [f"Brand#{i}" for i in range(1, 26)],
+    "p_type": ["PROMO", "ECONOMY", "SMALL", "MEDIUM", "LARGE", "STANDARD"],
+}
+
+LIKE_PATTERNS = ["%an%", "%1%", "%or%", "%a_", "_o%", "%er%", "%scan%", "%join%"]
+
+TS_RANGE: dict[str, tuple[int, int]] = {  # (start_year, end_year)
+    "l_shipdate": (1995, 2001), "o_orderdate": (1995, 2001),
+}
+
+KEYWORD_REGEXES = [
+    "hotel|airbnb|inn|resort",
+    "scan|join|sort",
+    "uber|lyft|taxi|bart",
+    "interest",
+    "window|batch|hash",
+]
+
+# low-cardinality columns eligible as raw group keys
+GROUPABLE_KINDS = {"str"}
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _fmt_num(v: float, scale: int) -> str:
+    return str(int(v)) if scale == 0 else repr(round(v, scale))
+
+
+# ---------------------------------------------------------------- planning
+#
+# Each op is a dict {"op": str, ...params}. The plan tracks the live
+# schema as a list of (name, kind); kinds: int double str ts date.
+
+
+def _pick_ts_literal(rng: random.Random, col: str) -> str:
+    if col in TS_RANGE:
+        y0, y1 = TS_RANGE[col]
+        return f"{rng.randint(y0, y1)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d} 00:00:00"
+    # events.ts: January 2024
+    return f"2024-01-{rng.randint(1, 30):02d} {rng.randint(0, 23):02d}:00:00"
+
+
+def _plan_filter(rng: random.Random, cols: list[tuple[str, str]]) -> dict | None:
+    cands = [c for c in cols if c[1] in ("int", "double", "str", "ts")]
+    if not cands:
+        return None
+    name, kind = rng.choice(cands)
+    if kind in ("int", "double") and name in NUM_RANGE:
+        lo, hi, scale = NUM_RANGE[name]
+        lit = _fmt_num(rng.uniform(lo, hi), scale)
+        op = rng.choice(["<", "<=", ">", ">=", "<>"])
+        return {"op": "filter_num", "col": name, "cmp": op, "lit": lit}
+    if kind == "str":
+        if name in STR_VOCAB and rng.random() < 0.6:
+            vals = rng.sample(STR_VOCAB[name],
+                              k=rng.randint(1, min(3, len(STR_VOCAB[name]))))
+            neg = rng.random() < 0.3
+            return {"op": "filter_in", "col": name, "vals": vals, "neg": neg}
+        return {"op": "filter_ilike", "col": name,
+                "pat": rng.choice(LIKE_PATTERNS), "neg": rng.random() < 0.25}
+    if kind == "ts":
+        return {"op": "filter_ts", "col": name,
+                "cmp": rng.choice(["<", ">="]),
+                "lit": _pick_ts_literal(rng, name)}
+    return None
+
+
+def _plan_project(rng: random.Random, cols: list[tuple[str, str]],
+                  counter: list[int]) -> dict | None:
+    kinds = {}
+    for n, k in cols:
+        kinds.setdefault(k, []).append(n)
+    choices = []
+    if "double" in kinds:
+        choices += ["bucket", "arith"]
+    if "ts" in kinds:
+        choices += ["dow", "month"]
+    if "str" in kinds:
+        choices += ["keyword"]
+    if "int" in kinds:
+        choices += ["mod"]
+    if not choices:
+        return None
+    kind = rng.choice(choices)
+    counter[0] += 1
+    new = f"fz{counter[0]}"
+    if kind == "bucket":
+        return {"op": "proj_bucket", "col": rng.choice(kinds["double"]), "as": new}
+    if kind == "arith":
+        a = rng.choice(kinds["double"])
+        b = rng.choice(kinds["double"])
+        form = rng.choice(["mul1m", "add", "abs"])
+        return {"op": "proj_arith", "a": a, "b": b, "form": form, "as": new}
+    if kind == "dow":
+        return {"op": "proj_dow", "col": rng.choice(kinds["ts"]), "as": new}
+    if kind == "month":
+        return {"op": "proj_month", "col": rng.choice(kinds["ts"]), "as": new}
+    if kind == "keyword":
+        return {"op": "proj_keyword", "col": rng.choice(kinds["str"]),
+                "pat": rng.choice(KEYWORD_REGEXES), "as": new}
+    return {"op": "proj_mod", "col": rng.choice(kinds["int"]),
+            "m": rng.choice([3, 5, 7, 11]), "as": new}
+
+
+def _apply_to_schema(op: dict, cols: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Mirror build-time schema effects during planning/shrinking."""
+    o = op["op"]
+    if o.startswith("proj_"):
+        kind = {"proj_bucket": "int", "proj_dow": "int", "proj_keyword": "int",
+                "proj_mod": "int", "proj_month": "date", "proj_arith": "double"}[o]
+        return cols + [(op["as"], kind)]
+    if o == "agg":
+        out = [(g, k) for g, k in cols if g in op["groups"]]
+        return out + [(a["as"], a["kind"]) for a in op["aggs"]]
+    if o == "distinct":
+        return [(n, k) for n, k in cols if n in op["keep"]]
+    return cols
+
+
+def _plan_agg(rng: random.Random, cols: list[tuple[str, str]]) -> dict:
+    groupable = [(n, k) for n, k in cols
+                 if k in GROUPABLE_KINDS or n.startswith("fz")]
+    rng.shuffle(groupable)
+    groups = [n for n, _ in groupable[: rng.randint(0, 2)]]
+    numeric = [n for n, k in cols if k == "double"]
+    anycol = [n for n, _ in cols if n not in groups]
+    aggs = [{"fn": "count_star", "as": "cnt", "kind": "int"}]
+    n_extra = rng.randint(1, 3)
+    for _ in range(n_extra):
+        pick = rng.random()
+        if numeric and pick < 0.45:
+            c = rng.choice(numeric)
+            fn = rng.choice(["sum_dec", "avg_dec", "min", "max"])
+            kind = "double"
+            aggs.append({"fn": fn, "col": c, "as": f"{fn}_{c}", "kind": kind})
+        elif anycol and pick < 0.8:
+            c = rng.choice(anycol)
+            aggs.append({"fn": "count_distinct", "col": c,
+                         "as": f"cd_{c}", "kind": "int"})
+        elif anycol:
+            c, k = rng.choice([(n, k) for n, k in cols if n not in groups])
+            fn = rng.choice(["min", "max"])
+            aggs.append({"fn": fn, "col": c, "as": f"{fn}_{c}", "kind": k})
+    # dedupe output aliases
+    seen, uniq = set(), []
+    for a in aggs:
+        if a["as"] not in seen:
+            seen.add(a["as"])
+            uniq.append(a)
+    return {"op": "agg", "groups": groups, "aggs": uniq}
+
+
+def plan_case(seed: int) -> list[dict]:
+    rng = random.Random(seed)
+    ops: list[dict] = []
+    counter = [0]
+    if rng.random() < 0.45:
+        left, right, lk, rk = rng.choice(JOINS)
+        how = rng.choice(["inner", "inner", "left", "semi", "anti"])
+        right_filter = None
+        if how in ("semi", "anti") or rng.random() < 0.4:
+            right_filter = _plan_filter(rng, TABLES[right])
+        ops.append({"op": "base_join", "left": left, "right": right,
+                    "lk": lk, "rk": rk, "how": how, "rfilter": right_filter})
+        cols = list(TABLES[left])
+        if how in ("inner", "left"):
+            cols += [(n, k) for n, k in TABLES[right] if n != rk]
+    else:
+        t = rng.choice(list(TABLES))
+        ops.append({"op": "base", "table": t})
+        cols = list(TABLES[t])
+
+    for _ in range(rng.randint(1, 4)):
+        op = (_plan_filter(rng, cols) if rng.random() < 0.55
+              else _plan_project(rng, cols, counter))
+        if op is None:
+            continue
+        ops.append(op)
+        cols = _apply_to_schema(op, cols)
+
+    terminal = rng.random()
+    if terminal < 0.55:
+        op = _plan_agg(rng, cols)
+        ops.append(op)
+        cols = _apply_to_schema(op, cols)
+        if rng.random() < 0.4:
+            ops.append({"op": "filter_num", "col": "cnt", "cmp": ">",
+                        "lit": str(rng.randint(0, 3))})
+    elif terminal < 0.75:
+        lowcard = [n for n, k in cols if k in ("str", "date")
+                   or n.startswith("fz")]
+        if lowcard:
+            rng.shuffle(lowcard)
+            ops.append({"op": "distinct", "keep": lowcard[: rng.randint(1, 3)]})
+            cols = _apply_to_schema(ops[-1], cols)
+    if len(cols) > 8:
+        keep = [n for n, _ in cols[:8]]
+        ops.append({"op": "select", "keep": keep})
+        cols = [(n, k) for n, k in cols if n in keep]
+    if rng.random() < 0.35:
+        ops.append({"op": "sort_limit", "n": rng.choice([5, 20, 100]),
+                    "desc": rng.random() < 0.5})
+    return ops
+
+
+# ---------------------------------------------------------------- build
+
+
+def build_case(ops: list[dict]):
+    """Compile an op list into (spark_fn, sql). Deterministic."""
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.functions import pg
+    from doin_fine_ance__spark.sources.testdata import load_table
+
+    def col_expr_sql(op):
+        o = op["op"]
+        if o == "proj_bucket":
+            c = op["col"]
+            return (f"CAST(CASE WHEN {c} IS NULL THEN 5"
+                    f" WHEN abs({c}) <= 10 THEN 0 WHEN abs({c}) <= 50 THEN 1"
+                    f" WHEN abs({c}) <= 100 THEN 2 WHEN abs({c}) <= 500 THEN 3"
+                    f" ELSE 4 END AS INTEGER)")
+        if o == "proj_dow":
+            return f"CAST((dayofweek({op['col']}) + 6) % 7 AS INTEGER)"
+        if o == "proj_month":
+            return f"CAST(date_trunc('month', {op['col']}) AS DATE)"
+        if o == "proj_keyword":
+            return (f"CAST(CASE WHEN regexp_matches(lower(coalesce({op['col']}, '')),"
+                    f" {_q(op['pat'])}) THEN 1 ELSE 0 END AS INTEGER)")
+        if o == "proj_mod":
+            return f"CAST({op['col']} % {op['m']} AS BIGINT)"
+        if o == "proj_arith":
+            a, b = op["a"], op["b"]
+            return {"mul1m": f"({a} * (1.0 - {b}))",
+                    "add": f"({a} + {b})",
+                    "abs": f"abs({a})"}[op["form"]]
+        raise AssertionError(o)
+
+    def col_expr_spark(op):
+        if op["op"] == "proj_bucket":
+            return pg.amount_bucket(op["col"])
+        if op["op"] == "proj_dow":
+            return pg.pandas_dow(op["col"])
+        if op["op"] == "proj_month":
+            return pg.month_trunc(op["col"])
+        if op["op"] == "proj_keyword":
+            return pg.keyword_flag(op["col"], op["pat"])
+        if op["op"] == "proj_mod":
+            return (F.col(op["col"]) % op["m"]).cast("bigint")
+        a, b = F.col(op["a"]), F.col(op["b"])
+        return {"mul1m": a * (F.lit(1.0) - b), "add": a + b,
+                "abs": F.abs(a)}[op["form"]]
+
+    def filter_sql(op):
+        o = op["op"]
+        if o == "filter_num":
+            return f"{op['col']} {op['cmp']} {op['lit']}"
+        if o == "filter_in":
+            lst = ", ".join(_q(v) for v in op["vals"])
+            return f"{op['col']} {'NOT IN' if op['neg'] else 'IN'} ({lst})"
+        if o == "filter_ilike":
+            e = f"lower({op['col']}) LIKE {_q(op['pat'].lower())}"
+            return f"NOT ({e})" if op["neg"] else e
+        if o == "filter_ts":
+            return f"{op['col']} {op['cmp']} TIMESTAMP {_q(op['lit'])}"
+        raise AssertionError(o)
+
+    def filter_spark(op):
+        o = op["op"]
+        c = F.col(op["col"])
+        if o == "filter_num":
+            lit = float(op["lit"]) if "." in op["lit"] else int(op["lit"])
+            return {"<": c < lit, "<=": c <= lit, ">": c > lit,
+                    ">=": c >= lit, "<>": c != lit}[op["cmp"]]
+        if o == "filter_in":
+            e = c.isin(op["vals"])
+            return ~e if op["neg"] else e
+        if o == "filter_ilike":
+            e = pg.ilike(op["col"], op["pat"])
+            return ~e if op["neg"] else e
+        lit = F.lit(op["lit"]).cast("timestamp")
+        return c < lit if op["cmp"] == "<" else c >= lit
+
+    # --- walk the ops, building sql text + a spark-program closure list
+    cols: list[tuple[str, str]] = []
+    sql = ""
+    steps = []  # list of callables df -> df
+
+    base = ops[0]
+    if base["op"] == "base":
+        t = base["table"]
+        cols = list(TABLES[t])
+        sql = f"SELECT * FROM {t}"
+        steps.append(lambda spark, sf, _t=t: load_table(spark, sf, _t))
+    else:
+        left, right, lk, rk, how = (base["left"], base["right"], base["lk"],
+                                    base["rk"], base["how"])
+        rf = base.get("rfilter")
+        rsql = f"SELECT * FROM {right}"
+        if rf:
+            rsql += f" WHERE {filter_sql(rf)}"
+        cols = list(TABLES[left])
+        if how in ("inner", "left"):
+            rcols = [n for n, _ in TABLES[right] if n != rk]
+            cols += [(n, k) for n, k in TABLES[right] if n != rk]
+            outlist = ", ".join(["l.*"] + [f"r.{n}" for n in rcols])
+            kw = "JOIN" if how == "inner" else "LEFT JOIN"
+            sql = (f"SELECT {outlist} FROM {left} l {kw} ({rsql}) r"
+                   f" ON l.{lk} = r.{rk}")
+        else:
+            ex = "EXISTS" if how == "semi" else "NOT EXISTS"
+            sql = (f"SELECT l.* FROM {left} l WHERE {ex}"
+                   f" (SELECT 1 FROM ({rsql}) r WHERE r.{rk} = l.{lk})")
+
+        def _join(spark, sf, _b=base):
+            ldf = load_table(spark, sf, _b["left"])
+            rdf = load_table(spark, sf, _b["right"])
+            if _b.get("rfilter"):
+                rdf = rdf.filter(filter_spark(_b["rfilter"]))
+            howmap = {"inner": "inner", "left": "left",
+                      "semi": "left_semi", "anti": "left_anti"}
+            cond = ldf[_b["lk"]] == rdf[_b["rk"]]
+            j = ldf.join(rdf, cond, howmap[_b["how"]])
+            if _b["how"] in ("inner", "left"):
+                j = j.drop(rdf[_b["rk"]])
+            return j
+
+        steps.append(_join)
+
+    for op in ops[1:]:
+        o = op["op"]
+        if o.startswith("filter_"):
+            sql = f"SELECT * FROM ({sql}) t WHERE {filter_sql(op)}"
+            steps.append(lambda df, _op=op: df.filter(filter_spark(_op)))
+        elif o.startswith("proj_"):
+            sql = f"SELECT t.*, {col_expr_sql(op)} AS {op['as']} FROM ({sql}) t"
+            steps.append(lambda df, _op=op: df.withColumn(_op["as"],
+                                                          col_expr_spark(_op)))
+            cols = _apply_to_schema(op, cols)
+        elif o == "agg":
+            groups, aggs = op["groups"], op["aggs"]
+
+            def agg_sql(a):
+                fn = a["fn"]
+                if fn == "count_star":
+                    return f"CAST(COUNT(*) AS BIGINT) AS {a['as']}"
+                if fn == "count_distinct":
+                    return f"CAST(COUNT(DISTINCT {a['col']}) AS BIGINT) AS {a['as']}"
+                if fn == "sum_dec":
+                    return (f"CAST(SUM(CAST({a['col']} AS DECIMAL(18,2)))"
+                            f" AS DOUBLE) AS {a['as']}")
+                if fn == "avg_dec":
+                    return (f"CAST(SUM(CAST({a['col']} AS DECIMAL(18,2))) AS DOUBLE)"
+                            f" / CAST(COUNT({a['col']}) AS DOUBLE) AS {a['as']}")
+                return f"{fn}({a['col']}) AS {a['as']}"
+
+            sel = ", ".join(list(groups) + [agg_sql(a) for a in aggs])
+            gb = f" GROUP BY {', '.join(groups)}" if groups else ""
+            sql = f"SELECT {sel} FROM ({sql}) t{gb}"
+
+            def _agg(df, _op=op):
+                exprs = []
+                for a in _op["aggs"]:
+                    fn = a["fn"]
+                    if fn == "count_star":
+                        e = F.count(F.lit(1)).cast("bigint")
+                    elif fn == "count_distinct":
+                        e = F.countDistinct(a["col"]).cast("bigint")
+                    elif fn == "sum_dec":
+                        e = F.sum(F.col(a["col"]).cast("decimal(18,2)")).cast("double")
+                    elif fn == "avg_dec":
+                        e = (F.sum(F.col(a["col"]).cast("decimal(18,2)")).cast("double")
+                             / F.count(a["col"]).cast("double"))
+                    elif fn == "min":
+                        e = F.min(a["col"])
+                    else:
+                        e = F.max(a["col"])
+                    exprs.append(e.alias(a["as"]))
+                g = df.groupBy(*_op["groups"]) if _op["groups"] else df.groupBy()
+                return g.agg(*exprs)
+
+            steps.append(_agg)
+            cols = _apply_to_schema(op, cols)
+        elif o == "distinct":
+            keep = [n for n in op["keep"] if n in {c for c, _ in cols}]
+            sql = f"SELECT DISTINCT {', '.join(keep)} FROM ({sql}) t"
+            steps.append(lambda df, _k=keep: df.select(*_k).distinct())
+            cols = [(n, k) for n, k in cols if n in keep]
+        elif o == "select":
+            keep = [n for n in op["keep"] if n in {c for c, _ in cols}]
+            sql = f"SELECT {', '.join(keep)} FROM ({sql}) t"
+            steps.append(lambda df, _k=keep: df.select(*_k))
+            cols = [(n, k) for n, k in cols if n in keep]
+        elif o == "sort_limit":
+            names = [n for n, _ in cols]
+            dirn = "DESC NULLS FIRST" if op["desc"] else "ASC NULLS LAST"
+            ob = ", ".join(f"{n} {dirn}" for n in names)
+            sql = f"SELECT * FROM ({sql}) t ORDER BY {ob} LIMIT {op['n']}"
+
+            def _sort(df, _names=names, _op=op):
+                order = [pg.pg_desc(n) if _op["desc"] else pg.pg_asc(n)
+                         for n in _names]
+                return df.orderBy(*order).limit(_op["n"])
+
+            steps.append(_sort)
+        else:
+            raise AssertionError(o)
+
+    # final canonicalization: every int output → BIGINT on both sides
+    casts_sql, final_names = [], []
+    for n, k in cols:
+        final_names.append(n)
+        casts_sql.append(f"CAST({n} AS BIGINT) AS {n}" if k == "int" else n)
+    sql = f"SELECT {', '.join(casts_sql)} FROM ({sql}) t"
+    int_cols = [n for n, k in cols if k == "int"]
+
+    def _canon(df, _ints=tuple(int_cols), _names=tuple(final_names)):
+        out = df
+        for n in _ints:
+            out = out.withColumn(n, F.col(n).cast("bigint"))
+        return out.select(*_names)
+
+    steps.append(_canon)
+
+    def spark_fn(spark, sf_dir):
+        df = steps[0](spark, sf_dir)
+        for s in steps[1:]:
+            df = s(df)
+        return df
+
+    return spark_fn, sql
+
+
+# ---------------------------------------------------------------- shrink
+
+
+def _droppable(ops: list[dict], i: int) -> bool:
+    op = ops[i]
+    o = op["op"]
+    if o in ("base", "base_join", "agg"):
+        return False
+    if o in ("sort_limit", "distinct", "select") or o.startswith("filter_"):
+        return True
+    if o.startswith("proj_"):
+        added = op["as"]
+        for later in ops[i + 1:]:
+            blob = repr(later)
+            if f"'{added}'" in blob:
+                return False
+        return True
+    return False
+
+
+def shrink(ops: list[dict], still_fails) -> list[dict]:
+    cur = list(ops)
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(cur) - 1, 0, -1):
+            if not _droppable(cur, i):
+                continue
+            trial = cur[:i] + cur[i + 1:]
+            try:
+                if still_fails(trial):
+                    cur = trial
+                    changed = True
+            except Exception:
+                continue
+    return cur
+
+
+# ---------------------------------------------------------------- runner
+
+
+def run_case(spark, con, seed: int, sf_dir: str):
+    """Return (ok, detail, ops, sql) for one seed."""
+    from tests.oracle import compare_query
+
+    ops = plan_case(seed)
+    spark_fn, sql = build_case(ops)
+    name = f"fuzz_{seed}"
+    ok, detail = compare_query(spark, name, sf_dir, {name: spark_fn}, {name: sql})
+    return ok, detail, ops, sql
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="run exactly one seed (prints ops + SQL)")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    args = ap.parse_args()
+
+    from doin_fine_ance__spark.session import get_spark
+    from tests.oracle import duck_connection
+
+    spark = get_spark("fuzz-oracle")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connection(args.sf_dir)
+
+    seeds = [args.seed] if args.seed is not None else range(
+        args.start, args.start + args.n)
+    fails = []
+    for seed in seeds:
+        ok, detail, ops, sql = run_case(spark, con, seed, args.sf_dir)
+        tag = "ok " if ok else "FAIL"
+        print(f"{tag} seed={seed} {detail[:120]}", flush=True)
+        if args.seed is not None:
+            for op in ops:
+                print("   ", op)
+            print("   SQL:", sql)
+        if not ok:
+            def still_fails(trial, _s=seed):
+                fn, s = build_case(trial)
+                from tests.oracle import compare_query
+                k = f"shrink_{_s}"
+                bad, _ = compare_query(spark, k, args.sf_dir, {k: fn}, {k: s})
+                return not bad
+            small = shrink(ops, still_fails)
+            fn, s = build_case(small)
+            print(f"  SHRUNK seed={seed} to {len(small)} ops:")
+            for op in small:
+                print("   ", op)
+            print("   SQL:", s)
+            fails.append(seed)
+    print(f"\n{len(seeds) - len(fails)}/{len(seeds)} green"
+          + (f"; FAILING seeds: {fails}" if fails else ""))
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
