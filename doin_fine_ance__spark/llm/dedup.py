@@ -401,6 +401,7 @@ def incremental_near_dups(
     k: int = 64,
     bands: int = 16,
     checkpoint_mode: str | None = None,
+    store_epoch: int | None = None,
 ) -> DataFrame:
     """Incremental MinHash dedup against a persistent signature table.
 
@@ -423,6 +424,16 @@ def incremental_near_dups(
 
     Determinism: signatures depend only on (text, seed), so the store
     can be rebuilt or extended in any order and matching is stable.
+
+    ``store_epoch`` (streaming recovery contract): when set, the
+    batch's signatures are written to ``epoch=<n>/`` with OVERWRITE
+    instead of appended, and store rows from that same epoch are
+    EXCLUDED from matching — so a micro-batch replayed after a crash
+    (signatures landed, checkpoint commit didn't) sees exactly the
+    pre-crash store, overwrites its own partial write, and emits the
+    same pairs. This is what makes
+    ``streaming.windows.stream_incremental_dedup`` exactly-once
+    end-to-end under restart.
     """
     import os
 
@@ -430,6 +441,10 @@ def incremental_near_dups(
     store_exists = os.path.exists(signature_store)
     if store_exists:
         old_sigs = spark.read.parquet(signature_store)
+        if "epoch" in old_sigs.columns:
+            if store_epoch is not None:
+                old_sigs = old_sigs.filter(col("epoch") != store_epoch)
+            old_sigs = old_sigs.drop("epoch")
         all_sigs = old_sigs.unionByName(new_sigs)
     else:
         all_sigs = new_sigs
@@ -454,8 +469,13 @@ def incremental_near_dups(
         .filter(col("estimated_jaccard") >= threshold)
     )
 
-    # append AFTER the read plan is fixed (parquet re-list would
-    # otherwise see the new files mid-query on some filesystems)
+    # write the store AFTER the read plan is fixed (parquet re-list
+    # would otherwise see the new files mid-query on some filesystems)
     out = materialize(out, checkpoint_mode)
-    new_sigs.write.mode("append").parquet(signature_store)
+    if store_epoch is not None:
+        new_sigs.write.mode("overwrite").parquet(
+            os.path.join(signature_store, f"epoch={int(store_epoch)}")
+        )
+    else:
+        new_sigs.write.mode("append").parquet(signature_store)
     return out

@@ -48,3 +48,33 @@ def count_and_page(
 ) -> tuple[int, DataFrame]:
     """The reference's two-query pattern: total COUNT(*) plus one page."""
     return df.count(), paginate(df, order, limit, offset)
+
+
+def page_with_total(
+    df: DataFrame,
+    order: Sequence[Column],
+    limit: int,
+    offset: int = 0,
+    total_col: str = "__total",
+) -> DataFrame:
+    """Single-pass page + total: every page row carries the filtered
+    total in ``total_col``.
+
+    The reference issues COUNT(*) and the page as two queries
+    (transaction_service.py:205-213) — two full scans of the filtered
+    set. The row-number pagination already pays one global sort pass;
+    an unbounded ``count(*) OVER ()`` rides the SAME window exchange,
+    so one action serves both ("one job per page request"). At 100 TB
+    this halves the serving read amplification.
+
+    Caveat: a page past the end collects zero rows and therefore no
+    total — callers fall back to ``df.count()`` for that (rare) case.
+    """
+    w = Window.orderBy(*order)
+    wt = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn(total_col, F.count(F.lit(1)).over(wt))
+        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+        .drop("__rn")
+    )

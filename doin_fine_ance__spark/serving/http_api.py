@@ -56,6 +56,12 @@ def _jsonable(v):
 
 
 def _rows(df) -> list[dict]:
+    if isinstance(df, list):  # pre-collected single-job page
+        return [
+            {k: _jsonable(v) for k, v in
+             (r if isinstance(r, dict) else r.asDict()).items()}
+            for r in df
+        ]
     return [{k: _jsonable(v) for k, v in r.asDict().items()} for r in df.collect()]
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
 from ..functions.pg import ilike
-from ..operators.pagination import paginate
+from ..operators.pagination import page_with_total, paginate
 from ..schemas import LOW_CONFIDENCE_THRESHOLD, USER_CATEGORIES
 
 # transaction_service.py:196-199 — sort allow-list.
@@ -81,7 +81,9 @@ def _view_mode_predicate(view_mode: str | None) -> Column:
 @dataclass
 class TransactionPage:
     total_count: int
-    transactions: DataFrame
+    # a DataFrame (lazy, two-action path) or pre-collected Rows
+    # (single-job path); http_api._rows handles both
+    transactions: DataFrame | list
 
 
 def get_transactions_filtered(
@@ -94,6 +96,7 @@ def get_transactions_filtered(
     low_confidence_threshold: float = LOW_CONFIDENCE_THRESHOLD,
     sort_by: str | None = None,
     sort_order: str = "desc",
+    single_job: bool = False,
 ) -> TransactionPage:
     """Filter/sort/page compiler (transaction_service.py:137-215).
 
@@ -123,6 +126,16 @@ def get_transactions_filtered(
     )
     order = [direction, col("transaction_id").asc()]
 
+    if single_job:
+        # one action serves page + total (operators/pagination.py:
+        # page_with_total); past-the-end pages fall back to count()
+        rows = page_with_total(filtered, order, limit=limit, offset=offset).collect()
+        total = int(rows[0]["__total"]) if rows else filtered.count()
+        slim = [
+            {k: v for k, v in r.asDict().items() if k != "__total"}
+            for r in rows
+        ]
+        return TransactionPage(total_count=total, transactions=slim)
     total = filtered.count()
     page = paginate(filtered, order, limit=limit, offset=offset)
     return TransactionPage(total_count=total, transactions=page)

@@ -239,26 +239,20 @@ def stream_upsert_sink(agg: DataFrame, path: str, key_cols: list[str]):
     )
 
 
-def stream_incremental_dedup(
-    docs_stream: DataFrame,
-    signature_store: str,
-    pairs_path: str,
-    threshold: float = 0.7,
+def incremental_dedup_sink(
+    signature_store: str, pairs_path: str, threshold: float = 0.7
 ):
-    """Streaming corpus ingestion with incremental near-dup detection.
+    """Build the idempotent foreachBatch function for
+    :func:`stream_incremental_dedup` (exposed so recovery semantics
+    are directly testable by invoking it with a repeated epoch_id).
 
-    foreachBatch composition of the batch operator
-    (:func:`..llm.dedup.incremental_near_dups`): each micro-batch of
-    documents is MinHash-signed once, banded against the persistent
-    signature store (banded-new × bucket-pruned store — per-batch cost
-    scales with the batch, never the corpus), matched pairs are
-    appended to ``pairs_path``, and the batch's signatures are
-    appended to the store. Retried epochs re-match against a store
-    that already holds their signatures; self-pairs are excluded by
-    the candidate join, so replays cannot pair a doc with itself.
-
-    This is the 100 TB ingestion shape: the stream IS the pipeline —
-    no nightly full-corpus recompute.
+    Idempotence under epoch replay — BOTH writes are keyed by epoch:
+    pairs go to ``pairs_path/epoch=<n>/`` with OVERWRITE, and
+    signatures go to ``signature_store/epoch=<n>/`` with OVERWRITE
+    while matching EXCLUDES the replayed epoch's store rows
+    (``store_epoch`` contract of ``incremental_near_dups``). A crash
+    anywhere between first write and checkpoint commit therefore
+    replays to the identical end state — exactly-once pair emission.
     """
     from ..llm.dedup import incremental_near_dups
 
@@ -266,11 +260,52 @@ def stream_incremental_dedup(
         if batch_df.isEmpty():
             return
         pairs = incremental_near_dups(
-            batch_df.sparkSession, batch_df, signature_store, threshold=threshold
+            batch_df.sparkSession,
+            batch_df,
+            signature_store,
+            threshold=threshold,
+            store_epoch=int(epoch_id),
         )
-        pairs.write.mode("append").parquet(pairs_path)
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_path}/epoch={int(epoch_id)}"
+        )
 
-    return docs_stream.writeStream.outputMode("append").foreachBatch(_sink).start()
+    return _sink
+
+
+def stream_incremental_dedup(
+    docs_stream: DataFrame,
+    signature_store: str,
+    pairs_path: str,
+    threshold: float = 0.7,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming corpus ingestion with incremental near-dup detection.
+
+    foreachBatch composition of the batch operator
+    (:func:`..llm.dedup.incremental_near_dups`): each micro-batch of
+    documents is MinHash-signed once, banded against the persistent
+    signature store (banded-new × bucket-pruned store — per-batch cost
+    scales with the batch, never the corpus), matched pairs land in
+    ``pairs_path/epoch=*/``, and the batch's signatures in
+    ``signature_store/epoch=*/`` — both per-epoch OVERWRITE, so a
+    replayed micro-batch (crash between write and checkpoint commit)
+    converges to the same state instead of double-appending; read the
+    pairs with ``spark.read.parquet(pairs_path)`` (epoch becomes a
+    partition column). Pass ``checkpoint_dir`` to make the stream
+    restartable: a restarted query resumes from the committed offset
+    and replays at most the uncommitted epoch.
+
+    This is the 100 TB ingestion shape: the stream IS the pipeline —
+    no nightly full-corpus recompute.
+    """
+    w = (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(incremental_dedup_sink(signature_store, pairs_path, threshold))
+    )
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
 
 
 def stream_stream_interval_join(

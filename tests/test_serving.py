@@ -153,3 +153,22 @@ def test_connection_health_rollup(spark, wh):
     names = {k[1] for k in keys}
     assert "Savings Account (1234)" not in names
     assert "Savings Account" in names
+
+
+def test_single_job_page_matches_two_action_page(overlay):
+    two = get_transactions_filtered(overlay, limit=10, offset=3)
+    one = get_transactions_filtered(overlay, limit=10, offset=3, single_job=True)
+    assert one.total_count == two.total_count
+    ids_two = [r["transaction_id"] for r in two.transactions.collect()]
+    ids_one = [r["transaction_id"] for r in one.transactions]
+    assert ids_one == ids_two
+    assert all("__total" not in r for r in one.transactions)
+
+
+def test_single_job_page_past_the_end_falls_back(overlay):
+    two = get_transactions_filtered(overlay, limit=10, offset=10_000)
+    one = get_transactions_filtered(
+        overlay, limit=10, offset=10_000, single_job=True
+    )
+    assert one.total_count == two.total_count > 0
+    assert one.transactions == []

@@ -306,3 +306,106 @@ def test_stream_stream_interval_join_across_batches(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ssj_out").collect()
     }
     assert got == {(4, 7, "2024-01-01T10:20:00")}
+
+
+def test_stream_incremental_dedup_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart recovery (VERDICT r2 next-round #6): stop the
+    foreachBatch incremental-dedup stream after the first micro-batch,
+    restart against the same checkpoint dir, and assert the pair set
+    equals the single-run result with no duplicates — exactly-once."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from doin_fine_ance__spark.streaming.windows import stream_incremental_dedup
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    base = "pack my box with five dozen liquor jugs every day " * 8
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def drop(rows, name):
+        import shutil
+
+        (
+            spark.createDataFrame(rows, schema)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / f"_stage_{name}"))
+        )
+        pq = next((tmp_path / f"_stage_{name}").glob("*.parquet"))
+        shutil.copy(pq, src / f"{name}.parquet")
+
+    store = str(tmp_path / "sigstore")
+    pairs_path = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream_def = lambda: (  # noqa: E731
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+
+    # run 1: only batch file b1 exists; process it, then KILL the query
+    drop([(1, base), (90, "totally disjoint vocabulary here friends " * 9)], "b1")
+    q1 = stream_incremental_dedup(
+        stream_def(), store, pairs_path, threshold=0.6, checkpoint_dir=ckpt
+    )
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()  # simulated crash/shutdown mid-stream
+
+    # more data lands while the stream is down
+    drop([(2, base + " extra tail"), (91, "other unrelated words only " * 9)], "b2")
+
+    # run 2: restart from the SAME checkpoint — resumes at the
+    # committed offset, must not reprocess b1
+    q2 = stream_incremental_dedup(
+        stream_def(), store, pairs_path, threshold=0.6, checkpoint_dir=ckpt
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(pairs_path).select("id_a", "id_b").collect()
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert pairs.count((1, 2)) == 1, f"duplicate emission: {pairs}"
+    assert set(pairs) == {(1, 2)}
+    # store holds each streamed signature exactly once
+    sigs = spark.read.parquet(store)
+    assert sigs.count() == 4
+    assert sigs.select("doc_id").distinct().count() == 4
+
+
+def test_incremental_dedup_sink_epoch_replay_idempotent(spark, tmp_path):
+    """Deterministic replay: invoking the sink twice with the SAME
+    epoch_id (crash after writes, before checkpoint commit) converges
+    to the identical store + pair state instead of double-appending."""
+    from doin_fine_ance__spark.streaming.windows import incremental_dedup_sink
+
+    store = str(tmp_path / "sigstore")
+    pairs_path = str(tmp_path / "pairs")
+    sink = incremental_dedup_sink(store, pairs_path, threshold=0.6)
+
+    base = "sphinx of black quartz judge my vow repeatedly " * 8
+    b1 = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    b2 = spark.createDataFrame([(2, base + " tail")], ["doc_id", "text"])
+
+    sink(b1, 0)
+    sink(b2, 1)
+    once_pairs = sorted(
+        tuple(r) for r in
+        spark.read.parquet(pairs_path).select("id_a", "id_b").collect()
+    )
+    once_store = spark.read.parquet(store).count()
+
+    sink(b2, 1)  # replayed epoch
+    replay_pairs = sorted(
+        tuple(r) for r in
+        spark.read.parquet(pairs_path).select("id_a", "id_b").collect()
+    )
+    assert replay_pairs == once_pairs == [(1, 2)]
+    assert spark.read.parquet(store).count() == once_store == 2
