@@ -18,11 +18,17 @@ from doin_fine_ance__spark.sources.testdata import TESTDATA_TABLES
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        # driver testdata ships single-file parquet; Spark-written
+        # derivatives (tools/make_scale_data.py) are directories of
+        # part files — glob those for DuckDB
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
     return con
 
 

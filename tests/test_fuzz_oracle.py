@@ -42,7 +42,7 @@ def test_fuzz_smoke_slice(spark):
 
 
 @pytest.mark.fuzz
-@pytest.mark.parametrize("start", [0, 50, 100, 150])
+@pytest.mark.parametrize("start", [0, 50, 100, 150, 200])
 def test_fuzz_differential_block(spark, start):
     fails = _run_seeds(spark, range(start, start + 50))
     assert not fails, "\n".join(fails)

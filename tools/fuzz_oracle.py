@@ -121,6 +121,19 @@ STR_VOCAB: dict[str, list[str]] = {
 
 LIKE_PATTERNS = ["%an%", "%1%", "%or%", "%a_", "_o%", "%er%", "%scan%", "%join%"]
 
+# per-table unique key (window-fragment total order within partitions);
+# FK joins to a unique right key never fan out, so the LEFT table's key
+# stays unique through base_join
+UNIQ_KEY: dict[str, list[str]] = {
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+}
+
 TS_RANGE: dict[str, tuple[int, int]] = {  # (start_year, end_year)
     "l_shipdate": (1995, 2001), "o_orderdate": (1995, 2001),
 }
@@ -184,6 +197,30 @@ def _plan_filter(rng: random.Random, cols: list[tuple[str, str]]) -> dict | None
     return None
 
 
+def _plan_window(rng: random.Random, cols: list[tuple[str, str]],
+                 uniq: list[str], counter: list[int]) -> dict | None:
+    """Windowed projection: rank/row_number/lag partitioned by a
+    low-cardinality column, ordered by the table's unique key (total
+    order => deterministic cross-engine)."""
+    names = {n for n, _ in cols}
+    if not uniq or not all(k in names for k in uniq):
+        return None
+    parts = [n for n, k in cols if k == "str" and n in STR_VOCAB]
+    part = rng.choice(parts) if parts and rng.random() < 0.8 else None
+    fn = rng.choice(["row_number", "rank", "lag"])
+    valcol = None
+    if fn == "lag":
+        nums = [n for n, k in cols if k in ("int", "double")]
+        if not nums:
+            return None
+        valcol = rng.choice(nums)
+    counter[0] += 1
+    return {"op": "proj_window", "fn": fn, "part": part, "order": list(uniq),
+            "col": valcol, "as": f"fz{counter[0]}",
+            "kind": ("int" if fn != "lag"
+                     else dict(cols)[valcol])}
+
+
 def _plan_project(rng: random.Random, cols: list[tuple[str, str]],
                   counter: list[int]) -> dict | None:
     kinds = {}
@@ -224,6 +261,8 @@ def _plan_project(rng: random.Random, cols: list[tuple[str, str]],
 def _apply_to_schema(op: dict, cols: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """Mirror build-time schema effects during planning/shrinking."""
     o = op["op"]
+    if o == "proj_window":
+        return cols + [(op["as"], op["kind"])]
     if o.startswith("proj_"):
         kind = {"proj_bucket": "int", "proj_dow": "int", "proj_keyword": "int",
                 "proj_mod": "int", "proj_month": "date", "proj_arith": "double"}[o]
@@ -273,7 +312,8 @@ def plan_case(seed: int) -> list[dict]:
     rng = random.Random(seed)
     ops: list[dict] = []
     counter = [0]
-    if rng.random() < 0.45:
+    start = rng.random()
+    if start < 0.40:
         left, right, lk, rk = rng.choice(JOINS)
         how = rng.choice(["inner", "inner", "left", "semi", "anti"])
         right_filter = None
@@ -282,16 +322,36 @@ def plan_case(seed: int) -> list[dict]:
         ops.append({"op": "base_join", "left": left, "right": right,
                     "lk": lk, "rk": rk, "how": how, "rfilter": right_filter})
         cols = list(TABLES[left])
+        uniq = list(UNIQ_KEY.get(left, []))
         if how in ("inner", "left"):
             cols += [(n, k) for n, k in TABLES[right] if n != rk]
+    elif start < 0.55:
+        # UNION ALL of the same table under two filters (duplicates
+        # allowed — the compare is multiset); a row matching both
+        # filters must appear twice on BOTH engines
+        t = rng.choice(list(TABLES))
+        f1 = _plan_filter(rng, TABLES[t])
+        f2 = _plan_filter(rng, TABLES[t])
+        if f1 is None or f2 is None:
+            ops.append({"op": "base", "table": t})
+        else:
+            ops.append({"op": "base_union", "table": t, "f1": f1, "f2": f2})
+        cols = list(TABLES[t])
+        uniq = []  # union duplicates the key
     else:
         t = rng.choice(list(TABLES))
         ops.append({"op": "base", "table": t})
         cols = list(TABLES[t])
+        uniq = list(UNIQ_KEY.get(t, []))
 
     for _ in range(rng.randint(1, 4)):
-        op = (_plan_filter(rng, cols) if rng.random() < 0.55
-              else _plan_project(rng, cols, counter))
+        pick = rng.random()
+        if pick < 0.50:
+            op = _plan_filter(rng, cols)
+        elif pick < 0.85:
+            op = _plan_project(rng, cols, counter)
+        else:
+            op = _plan_window(rng, cols, uniq, counter)
         if op is None:
             continue
         ops.append(op)
@@ -412,6 +472,19 @@ def build_case(ops: list[dict]):
         cols = list(TABLES[t])
         sql = f"SELECT * FROM {t}"
         steps.append(lambda spark, sf, _t=t: load_table(spark, sf, _t))
+    elif base["op"] == "base_union":
+        t = base["table"]
+        cols = list(TABLES[t])
+        sql = (f"SELECT * FROM {t} WHERE {filter_sql(base['f1'])}"
+               f" UNION ALL SELECT * FROM {t} WHERE {filter_sql(base['f2'])}")
+
+        def _union(spark, sf, _b=base):
+            src = load_table(spark, sf, _b["table"])
+            return src.filter(filter_spark(_b["f1"])).unionByName(
+                src.filter(filter_spark(_b["f2"]))
+            )
+
+        steps.append(_union)
     else:
         left, right, lk, rk, how = (base["left"], base["right"], base["lk"],
                                     base["rk"], base["how"])
@@ -452,6 +525,32 @@ def build_case(ops: list[dict]):
         if o.startswith("filter_"):
             sql = f"SELECT * FROM ({sql}) t WHERE {filter_sql(op)}"
             steps.append(lambda df, _op=op: df.filter(filter_spark(_op)))
+        elif o == "proj_window":
+            part_sql = f"PARTITION BY {op['part']} " if op["part"] else ""
+            order_sql = ", ".join(op["order"])
+            if op["fn"] == "lag":
+                wexpr = f"lag({op['col']}, 1) OVER ({part_sql}ORDER BY {order_sql})"
+            else:
+                wexpr = f"{op['fn']}() OVER ({part_sql}ORDER BY {order_sql})"
+                wexpr = f"CAST({wexpr} AS BIGINT)"
+            sql = f"SELECT t.*, {wexpr} AS {op['as']} FROM ({sql}) t"
+
+            def _win(df, _op=op):
+                from pyspark.sql import Window
+
+                w = (Window.partitionBy(_op["part"]) if _op["part"]
+                     else Window.partitionBy())
+                w = w.orderBy(*[F.col(k).asc() for k in _op["order"]])
+                if _op["fn"] == "lag":
+                    e = F.lag(_op["col"], 1).over(w)
+                elif _op["fn"] == "rank":
+                    e = F.rank().over(w).cast("bigint")
+                else:
+                    e = F.row_number().over(w).cast("bigint")
+                return df.withColumn(_op["as"], e)
+
+            steps.append(_win)
+            cols = _apply_to_schema(op, cols)
         elif o.startswith("proj_"):
             sql = f"SELECT t.*, {col_expr_sql(op)} AS {op['as']} FROM ({sql}) t"
             steps.append(lambda df, _op=op: df.withColumn(_op["as"],
