@@ -33,8 +33,8 @@ def _dec(c) -> F.Column:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price,
            COUNT(*) AS count_order
@@ -61,8 +61,33 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(qty).cast("double").alias("sum_qty"),
         F.sum(price).cast("double").alias("sum_base_price"),
-        F.sum(price * (lit(1) - disc)).cast("double").alias("sum_disc_price"),
-        F.sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("double").alias("sum_charge"),
+        F.round(F.sum(price * (lit(1) - disc)), 2).cast("double")
+        .alias("sum_disc_price"),
+        # tight factor casts keep the TRIPLE product inside decimal
+        # precision 38 on both engines: (12,2)x(5,2)x(5,2) -> (24,6)
+        # EXACT. With the default (18,2) casts Spark's second multiply
+        # needs precision 58, so allowPrecisionLoss rounds each row at
+        # scale 6 while DuckDB stays exact - invisible at sf0.1, a
+        # last-ulp double drift at sf1 (caught by the scale rehearsal).
+        # (the literal 1 must be decimal(3,2) too: an int literal is
+        # decimal(10,0), which re-inflates the factor precision)
+        # The 6-scale exact sum needs 17 significant digits at sf1 -
+        # more than a double holds - and Spark's BigDecimal.doubleValue
+        # vs DuckDB's hugeint/10^6 conversion round the unrepresentable
+        # tail differently (1-ulp flap). So round() the money sums to
+        # scale 2 (the TPC-H output semantic) BEFORE the double cast:
+        # 13-14 significant digits convert identically on both engines.
+        # round(), NOT a decimal(38,2) downcast: both engines round()
+        # half away from zero, but DuckDB's decimal->decimal CAST
+        # truncates where Spark's rounds HALF_UP.
+        F.round(
+            F.sum(
+                col("l_extendedprice").cast("decimal(12,2)")
+                * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
+                * (lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(4,2)"))
+            ),
+            2,
+        ).cast("double").alias("sum_charge"),
         (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
         (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
         F.count("*").alias("count_order"),
