@@ -121,11 +121,17 @@ STR_VOCAB: dict[str, list[str]] = {
 
 LIKE_PATTERNS = ["%an%", "%1%", "%or%", "%a_", "_o%", "%er%", "%scan%", "%join%"]
 
-# per-table unique key (window-fragment total order within partitions);
-# FK joins to a unique right key never fan out, so the LEFT table's key
-# stays unique through base_join
+# per-table total-order key for window fragments. NOTE the driver's
+# synthetic lineitem does NOT honor TPC-H uniqueness — (l_orderkey,
+# l_linenumber) has duplicate groups (found by fuzz seeds 78/234), so
+# lineitem orders by EVERY column: full-duplicate ties then carry
+# identical rows and any tie resolution yields the same window-output
+# multiset. FK joins to a unique right key never fan out, so the LEFT
+# table's key stays valid through base_join.
 UNIQ_KEY: dict[str, list[str]] = {
-    "lineitem": ["l_orderkey", "l_linenumber"],
+    "lineitem": ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
     "orders": ["o_orderkey"],
     "customer": ["c_custkey"],
     "part": ["p_partkey"],
@@ -527,7 +533,8 @@ def build_case(ops: list[dict]):
             steps.append(lambda df, _op=op: df.filter(filter_spark(_op)))
         elif o == "proj_window":
             part_sql = f"PARTITION BY {op['part']} " if op["part"] else ""
-            order_sql = ", ".join(op["order"])
+            # Spark asc = NULLS FIRST; DuckDB asc default = NULLS LAST
+            order_sql = ", ".join(f"{c} NULLS FIRST" for c in op["order"])
             if op["fn"] == "lag":
                 wexpr = f"lag({op['col']}, 1) OVER ({part_sql}ORDER BY {order_sql})"
             else:
