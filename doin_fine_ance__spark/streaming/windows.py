@@ -219,10 +219,17 @@ def stateful_first_seen(
     )
 
 
-def stream_upsert_sink(agg: DataFrame, path: str, key_cols: list[str]):
+def stream_upsert_sink(
+    agg: DataFrame,
+    path: str,
+    key_cols: list[str],
+    checkpoint_dir: str | None = None,
+):
     """foreachBatch keyed-merge sink: each micro-batch upserts its rows
     into the parquet table (exactly-once per key under retries because
-    the merge is idempotent)."""
+    the merge is idempotent — a replayed epoch re-merges the same keyed
+    rows to the same end state). Pass ``checkpoint_dir`` to make the
+    stream restartable from its committed offset."""
     from ..operators.upsert import merge_keyed
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -232,11 +239,10 @@ def stream_upsert_sink(agg: DataFrame, path: str, key_cols: list[str]):
         keyed = batch_df.withColumn(merged_key, F.concat_ws("§", *key_cols))
         merge_keyed(batch_df.sparkSession, path, keyed, merged_key)
 
-    return (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(_sink)
-        .start()
-    )
+    w = agg.writeStream.outputMode("update").foreachBatch(_sink)
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
 
 
 def incremental_dedup_sink(

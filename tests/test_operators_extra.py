@@ -397,3 +397,71 @@ def test_connected_components_random_graph_matches_networkless_oracle(spark):
     assert got == want
     # small-graph exact path agrees with the iterative path
     assert want == {r.node: r.component for r in connected_components(edges).collect()}
+
+
+def test_streaming_upsert_sink_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart the keyed-merge stream against its checkpoint:
+    the restarted query resumes at the committed offset, the window row
+    converges to the full-count state, and no duplicate keys appear."""
+    from doin_fine_ance__spark.streaming.windows import (
+        stream_upsert_sink,
+        tumbling_counts,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    out_path = str(tmp_path / "agg_table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(rows, name):
+        staged = tmp_path / f"_s_{name}"
+        (
+            spark.createDataFrame(rows, ["event_id", "ts_str", "event_type", "value"])
+            .select(
+                "event_id",
+                F.col("ts_str").cast("timestamp").alias("ts"),
+                "event_type",
+                "value",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(staged))
+        )
+        import shutil
+
+        part = next(p for p in staged.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(str(part), str(src_dir / f"{name}.parquet"))
+
+    def start():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("event_id long, ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src_dir))
+        )
+        return stream_upsert_sink(
+            tumbling_counts(stream, window="5 minutes", watermark="10 minutes"),
+            out_path,
+            ["window_start", "event_type"],
+            checkpoint_dir=ckpt,
+        )
+
+    drop([(1, "2024-01-01 10:00:10", "a", 1.0),
+          (2, "2024-01-01 10:01:00", "a", 2.0)], "b1")
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()  # simulated crash/shutdown
+
+    drop([(3, "2024-01-01 10:02:00", "a", 3.0)], "b2")
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(out_path).collect()
+    # one row per (window, type) key — restart merged, never duplicated
+    assert len(rows) == 1
+    assert rows[0].n == 3 and rows[0].event_type == "a"
