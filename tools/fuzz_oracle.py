@@ -79,6 +79,16 @@ TABLES: dict[str, list[tuple[str, str]]] = {
     ],
 }
 
+# 3-table chains: (t1, t2, k1, k2, t3, k3src, k3) — t1 joins t2 on
+# k1=k2, then k3src (a t1 column) joins t3 on k3src=k3. FK targets are
+# unique keys, so t1's row count (and unique key) is preserved.
+JOINS3 = [
+    ("lineitem", "orders", "l_orderkey", "o_orderkey",
+     "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey",
+     "supplier", "l_suppkey", "s_suppkey"),
+]
+
 # (left_table, right_table, left_key, right_key)
 JOINS = [
     ("lineitem", "orders", "l_orderkey", "o_orderkey"),
@@ -319,7 +329,15 @@ def plan_case(seed: int) -> list[dict]:
     ops: list[dict] = []
     counter = [0]
     start = rng.random()
-    if start < 0.40:
+    if start < 0.12:
+        t1, t2, k1, k2, t3, k3src, k3 = rng.choice(JOINS3)
+        ops.append({"op": "base_join3", "t1": t1, "t2": t2, "k1": k1,
+                    "k2": k2, "t3": t3, "k3src": k3src, "k3": k3})
+        cols = list(TABLES[t1])
+        cols += [(n, k) for n, k in TABLES[t2] if n != k2]
+        cols += [(n, k) for n, k in TABLES[t3] if n != k3]
+        uniq = list(UNIQ_KEY.get(t1, []))
+    elif start < 0.40:
         left, right, lk, rk = rng.choice(JOINS)
         how = rng.choice(["inner", "inner", "left", "semi", "anti"])
         right_filter = None
@@ -478,6 +496,35 @@ def build_case(ops: list[dict]):
         cols = list(TABLES[t])
         sql = f"SELECT * FROM {t}"
         steps.append(lambda spark, sf, _t=t: load_table(spark, sf, _t))
+    elif base["op"] == "base_join3":
+        t1, t2, k1, k2 = base["t1"], base["t2"], base["k1"], base["k2"]
+        t3, k3src, k3 = base["t3"], base["k3src"], base["k3"]
+        cols = list(TABLES[t1])
+        m_cols = [n for n, _ in TABLES[t2] if n != k2]
+        r_cols = [n for n, _ in TABLES[t3] if n != k3]
+        cols += [(n, k) for n, k in TABLES[t2] if n != k2]
+        cols += [(n, k) for n, k in TABLES[t3] if n != k3]
+        outlist = ", ".join(
+            ["l.*"] + [f"m.{n}" for n in m_cols] + [f"r.{n}" for n in r_cols]
+        )
+        src_alias = "l" if k3src in {n for n, _ in TABLES[t1]} else "m"
+        sql = (f"SELECT {outlist} FROM {t1} l"
+               f" JOIN {t2} m ON l.{k1} = m.{k2}"
+               f" JOIN {t3} r ON {src_alias}.{k3src} = r.{k3}")
+
+        def _join3(spark, sf, _b=base):
+            t1df = load_table(spark, sf, _b["t1"])
+            t2df = load_table(spark, sf, _b["t2"])
+            t3df = load_table(spark, sf, _b["t3"])
+            j = t1df.join(t2df, t1df[_b["k1"]] == t2df[_b["k2"]]).drop(
+                t2df[_b["k2"]]
+            )
+            j = j.join(t3df, j[_b["k3src"]] == t3df[_b["k3"]]).drop(
+                t3df[_b["k3"]]
+            )
+            return j
+
+        steps.append(_join3)
     elif base["op"] == "base_union":
         t = base["table"]
         cols = list(TABLES[t])
