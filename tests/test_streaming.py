@@ -409,3 +409,73 @@ def test_incremental_dedup_sink_epoch_replay_idempotent(spark, tmp_path):
     )
     assert replay_pairs == once_pairs == [(1, 2)]
     assert spark.read.parquet(store).count() == once_store == 2
+
+
+def test_stateful_first_seen_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState recovery: stop the stream after batch 1,
+    restart on the SAME checkpoint, then send a key from batch 1 again
+    — the restored per-key state must suppress it (proving the state
+    store, not just the source offset, recovered)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from doin_fine_ance__spark.streaming.windows import stateful_first_seen
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    out = str(tmp_path / "first_seen")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop_batch(rows, name):
+        staged = tmp_path / f"_stage_{name}"
+        (
+            spark.createDataFrame(rows, ["event_id", "ts_str"])
+            .withColumn("ts", F.col("ts_str").cast("timestamp"))
+            .select("event_id", "ts")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(staged))
+        )
+        part = next(p for p in staged.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(str(part), str(src_dir / f"{name}.parquet"))
+
+    def start():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src_dir))
+        )
+        return (
+            stateful_first_seen(stream, key_col="event_id")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    drop_batch([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:01:00")], "b1")
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()  # simulated crash
+
+    # while down: key 2 repeats (must be suppressed by RESTORED state),
+    # key 3 is new
+    drop_batch([(2, "2024-01-01 10:10:00"), (3, "2024-01-01 10:11:00")], "b2")
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(out).collect()
+    keys = sorted(r.key for r in rows)
+    assert keys == [1, 2, 3], rows  # each key exactly once
+    by_key = {r.key: int(r.first_ts) for r in rows}
+    # key 2's surviving row is its FIRST occurrence (10:01:00 UTC as
+    # epoch seconds), not the 10:10:00 replay
+    assert by_key[2] == 1704103260
