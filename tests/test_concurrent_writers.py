@@ -105,3 +105,39 @@ def test_lock_cleaned_up_after_failure(spark, tmp_path):
     # lock dir must be gone — next writer proceeds
     merge_keyed(spark, path, _df(spark, [(1, "a")]), "transaction_id")
     assert spark.read.parquet(path).count() == 1
+
+
+def test_concurrent_categorize_requests_serialize(spark, tmp_path):
+    """Two simultaneous HTTP-style override writes: the serving path
+    polls the table lock (timeout=10 s), so both requests succeed
+    serialized — like Postgres row locks — and both rows land."""
+    import datetime as dt
+
+    from doin_fine_ance__spark.serving.transactions import (
+        categorize_transaction,
+    )
+
+    path = str(tmp_path / "user_categories")
+    now = dt.datetime(2026, 8, 14, 12, 0, 0)
+    errors: list[BaseException] = []
+
+    def write(txn_id, cat):
+        try:
+            categorize_transaction(
+                spark, path, txn_id, cat, updated_by="t", now=now
+            )
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=write, args=(f"TRN-{i}", "Groceries"))
+        for i in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    rows = spark.read.parquet(path).collect()
+    assert {r.transaction_id for r in rows} == {"TRN-0", "TRN-1", "TRN-2"}
+    assert all(r.master_category == "Groceries" for r in rows)
