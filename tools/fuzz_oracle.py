@@ -296,7 +296,15 @@ def _plan_agg(rng: random.Random, cols: list[tuple[str, str]]) -> dict:
                  if k in GROUPABLE_KINDS or n.startswith("fz")]
     rng.shuffle(groupable)
     groups = [n for n, _ in groupable[: rng.randint(0, 2)]]
-    numeric = [n for n, k in cols if k == "double"]
+    # decimal-cast aggregates (sum_dec/avg_dec) only over RAW parquet
+    # doubles: their stored values are clean 2-dp quantities, so
+    # CAST(x AS DECIMAL(18,2)) is exact on both engines. A COMPUTED
+    # double (proj_arith product) has >2 meaningful decimal digits and
+    # the engines' double->decimal conversions round boundary values
+    # differently (Spark: shortest-decimal-repr HALF_UP; DuckDB: exact
+    # binary expansion) — found by fuzz seed 995. min/max/
+    # count_distinct compare raw doubles exactly and stay safe.
+    numeric = [n for n, k in cols if k == "double" and n in NUM_RANGE]
     anycol = [n for n, _ in cols if n not in groups]
     aggs = [{"fn": "count_star", "as": "cnt", "kind": "int"}]
     n_extra = rng.randint(1, 3)
