@@ -485,6 +485,14 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     only as an independent oracle probe). The oracle recomputes the
     SAME signatures/bands in SQL from the fixed PERM_COEFFS, so the
     match is by construction, not by LSH recall luck.
+
+    Oracle scale bound: the recursive CTE is the one oracle in the
+    registry that cannot follow the engine up the scale ladder — at
+    the sf1 rehearsal's 14.1 M-edge pair graph (101x sf0.1: replica
+    cliques grow quadratically) it runs for hours while the Spark
+    side finishes in ~13 s (partition-local contraction + pointer
+    doubling scales with edges, SQL transitive closure with
+    paths). Hash-verified at sf0.001/0.01; rows-only beyond.
     """
     from ..operators.graph import dedup_keepers
 
