@@ -8,8 +8,13 @@ lines 14-35) + a filter/sort/pagination compiler
 
 Serving reads hit *materialized* marts (the reference re-runs a
 5-view-deep chain in Postgres per request — its acknowledged debt,
-TODO.md:12). Count+page still runs as the reference's two queries; on
-a cluster the filtered frame is cached between them.
+TODO.md:12). Unlike the reference's separate COUNT(*) + page queries,
+count and page run as ONE Spark job via ``page_with_total`` (see
+``get_transactions_filtered``): a window ``count(*) OVER ()`` rides the
+page scan, so the total arrives with the rows. The only fallback is a
+page requested past the end — no rows means no ``__total`` column
+value, and the caller falls back to a ``df.count()`` (a second job in
+exactly that rare case; reference page caps make it cosmetic).
 """
 
 from __future__ import annotations
