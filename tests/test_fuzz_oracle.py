@@ -1,7 +1,10 @@
-"""Differential fuzzing vs DuckDB (VERDICT r2 next-round #2).
+"""Differential fuzzing vs DuckDB (VERDICT r2 #2, extended r4 per
+VERDICT r3 #2: fan-out joins, EXCEPT/INTERSECT, IS NULL / null
+literals, NULLIF/COALESCE, COUNT(col), per-column nulls-first/last
+sorts).
 
 Runs the seeded random-pipeline generator of ``tools/fuzz_oracle.py``
-under the dual-gate oracle compare at sf0.001. The full 200-case
+under the dual-gate oracle compare at sf0.001. The full 500-case
 sweep is marked ``fuzz`` (run with ``pytest -m fuzz``); a 24-case
 smoke slice runs in the default suite so generator regressions are
 caught without the full cost.
@@ -42,7 +45,7 @@ def test_fuzz_smoke_slice(spark):
 
 
 @pytest.mark.fuzz
-@pytest.mark.parametrize("start", [0, 50, 100, 150, 200])
+@pytest.mark.parametrize("start", list(range(0, 500, 50)))
 def test_fuzz_differential_block(spark, start):
     fails = _run_seeds(spark, range(start, start + 50))
     assert not fails, "\n".join(fails)

@@ -52,3 +52,132 @@ def test_no_row_at_a_time_python_udfs(spark):
         f"pickled row-at-a-time Python UDFs in: {offenders} "
         "(use pandas_udf / mapInPandas instead)"
     )
+
+
+# ---------------------------------------------------------------- skew
+#
+# VERDICT r3 next-round #3: prove the skew machinery earns its keep on
+# a Zipfian key distribution (one hot key owning ~30% of the fact
+# side), DETERMINISTICALLY — shuffle-layout row counts, not wall-clock
+# (this box's CPU-steal bursts make timing asserts flaky; the recorded
+# wall-time comparison lives in tools/skew_rehearsal.py -> SKEW JSON).
+
+
+def _skewed_frames(spark):
+    """80k-row fact with key 'HOT' on ~30% of rows, rest uniform over
+    400 cold keys; 401-key dim."""
+    from pyspark.sql import functions as F
+
+    n = 80_000
+    base = spark.range(n)
+    fact = base.select(
+        F.when(F.col("id") % 10 < 3, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 400).cast("string")))
+        .alias("key"),
+        (F.col("id") % 97).cast("double").alias("val"),
+    )
+    dim = spark.createDataFrame(
+        [("HOT", "hot")] + [(f"k{i}", f"c{i}") for i in range(400)],
+        "key string, label string",
+    )
+    return fact, dim
+
+
+def test_salted_join_balances_hot_key_shuffle(spark):
+    """The shuffle layout a plain key-partitioned join would use puts
+    ~30% of rows in one task; the salted layout caps every task near
+    uniform. Measured via spark_partition_id() after an explicit
+    hash repartition on the respective join keys (what the join's
+    exchange does), so the assert is AQE- and timing-independent."""
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.operators.skew import salted_join
+
+    fact, dim = _skewed_frames(spark)
+    n = fact.count()
+
+    def max_task_share(df, *keys):
+        sizes = (
+            df.repartition(32, *[F.col(k) for k in keys])
+            .groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        return sizes / n
+
+    plain = max_task_share(fact, "key")
+    assert plain >= 0.29, f"hot key should serialize one task, got {plain:.3f}"
+
+    salted = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(8)).cast("int"),
+    )
+    balanced = max_task_share(salted, "key", "_salt")
+    # 30%/8 = 3.75% per salted sub-key; allow generous collision slack
+    assert balanced <= 0.12, (
+        f"salted shuffle still skewed: max task share {balanced:.3f}"
+    )
+
+    # and the salted join is row-identical to the plain join
+    a = salted_join(fact, dim, "key", salt_buckets=8)
+    b = fact.join(dim, "key")
+    assert a.count() == n and b.count() == n
+    diff = a.groupBy("key", "label").count().exceptAll(
+        b.groupBy("key", "label").count()
+    )
+    assert diff.count() == 0
+
+
+def test_lsh_candidates_stay_subquadratic_under_clique(spark):
+    """A near-duplicate clique holding ~10% of the corpus lands in one
+    LSH bucket per band — the worst case for banded dedup. The
+    candidate set must stay ~= the clique's own pairs (the honest
+    lower bound for pairwise output semantics), NOT n^2 over the
+    corpus: candidates / C(n,2) << 1 while candidates >= C(clique,2).
+    """
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    n, clique = 600, 60
+    boiler = (
+        "this website uses cookies to improve your experience we assume "
+        "you are ok with this but you can opt out if you wish privacy "
+        "policy terms of service all rights reserved "
+    ) * 2
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < clique,
+            F.concat(F.lit(boiler), F.lit("doc token "), F.col("id").cast("string")),
+        )
+        .otherwise(
+            # genuinely distinct shingle sets: hex digests only, no
+            # shared natural-language prefix (a common prefix would
+            # make these docs REAL near-dups of each other)
+            F.concat_ws(
+                " ",
+                F.sha2(F.col("id").cast("string"), 256),
+                F.sha2(F.concat(F.lit("a"), F.col("id").cast("string")), 256),
+                F.sha2(F.concat(F.lit("b"), F.col("id").cast("string")), 256),
+            )
+        )
+        .alias("text"),
+    )
+    sigs = minhash_signatures(docs, k=64)
+    cands = lsh_candidate_pairs(sigs, bands=16, k=64)
+    n_cand = cands.count()
+    clique_pairs = clique * (clique - 1) // 2
+    all_pairs = n * (n - 1) // 2
+    assert n_cand >= int(clique_pairs * 0.9), (
+        f"clique under-detected: {n_cand} < {clique_pairs}"
+    )
+    # banding must not degenerate to all-pairs: the non-clique 90% of
+    # the corpus contributes (almost) nothing
+    assert n_cand <= clique_pairs + 0.01 * all_pairs, (
+        f"candidate set quadratic in corpus: {n_cand} of {all_pairs}"
+    )

@@ -29,6 +29,18 @@ math (float sum order), Spark rlike vs DuckDB regexp_matches
 int-width canonicalization (all int outputs cast to BIGINT so the
 pandas gate can't flap on int32/HUGEINT).
 
+Round-4 grammar extensions (VERDICT r3 next-round #2) attack the
+join/set-op/null surface the r1-r3 grammar avoided: fan-out joins on
+NON-unique right keys (one left row multiplies), left/semi/anti joins
+against filtered right sides, EXCEPT / EXCEPT ALL / INTERSECT /
+INTERSECT ALL, IS [NOT] NULL and `col = NULL` three-valued-logic
+predicates, NULLIF/COALESCE null fountains and plugs, COUNT(col) vs
+COUNT(*) over nullable columns, and total-order sorts with direction
+AND nulls placement chosen per column (the exact fragment where Spark
+asc = NULLS FIRST diverges from DuckDB/Postgres asc = NULLS LAST).
+The planner tracks which columns CAN be null (left-join right side,
+lag, NULLIF) and biases null probes toward them.
+
 Usage:
     python tools/fuzz_oracle.py [--n 200] [--sf-dir DIR] [--seed N]
 """
@@ -89,12 +101,21 @@ JOINS3 = [
      "supplier", "l_suppkey", "s_suppkey"),
 ]
 
-# (left_table, right_table, left_key, right_key)
+# (left_table, right_table, left_key, right_key, right_key_unique).
+# The first four are FK→unique-key (row count preserved, left key
+# survives); the rest are FAN-OUT joins — the right key is NOT unique,
+# so one left row multiplies and the output is a multiset with no
+# usable unique key (VERDICT r3 #2: the r1-r3 grammar only exercised
+# the FK-unique direction).
 JOINS = [
-    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
-    ("lineitem", "part", "l_partkey", "p_partkey"),
-    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
-    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey", True),
+    ("lineitem", "part", "l_partkey", "p_partkey", True),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey", True),
+    ("orders", "customer", "o_custkey", "c_custkey", True),
+    ("orders", "lineitem", "o_orderkey", "l_orderkey", False),
+    ("part", "lineitem", "p_partkey", "l_partkey", False),
+    ("supplier", "lineitem", "s_suppkey", "l_suppkey", False),
+    ("customer", "orders", "c_custkey", "o_custkey", False),
 ]
 
 NUM_RANGE: dict[str, tuple[float, float, int]] = {
@@ -188,10 +209,29 @@ def _pick_ts_literal(rng: random.Random, col: str) -> str:
     return f"2024-01-{rng.randint(1, 30):02d} {rng.randint(0, 23):02d}:00:00"
 
 
-def _plan_filter(rng: random.Random, cols: list[tuple[str, str]]) -> dict | None:
+def _plan_filter(
+    rng: random.Random,
+    cols: list[tuple[str, str]],
+    nullable: frozenset[str] = frozenset(),
+) -> dict | None:
     cands = [c for c in cols if c[1] in ("int", "double", "str", "ts")]
     if not cands:
         return None
+    # IS [NOT] NULL — biased toward columns that CAN be null (left-join
+    # right side, lag, NULLIF outputs); on never-null columns it is a
+    # trivially-full/empty but still legal differential probe.
+    null_cands = [c for c in cands if c[0] in nullable]
+    if null_cands and rng.random() < 0.30:
+        name, _ = rng.choice(null_cands)
+        return {"op": "filter_null", "col": name, "neg": rng.random() < 0.5}
+    if rng.random() < 0.05:
+        name, _ = rng.choice(cands)
+        return {"op": "filter_null", "col": name, "neg": rng.random() < 0.5}
+    # null-literal comparison: `col = NULL` is NULL → WHERE drops every
+    # row on both engines (three-valued logic parity probe).
+    if rng.random() < 0.04:
+        name, _ = rng.choice(cands)
+        return {"op": "filter_null_lit", "col": name}
     name, kind = rng.choice(cands)
     if kind in ("int", "double") and name in NUM_RANGE:
         lo, hi, scale = NUM_RANGE[name]
@@ -238,10 +278,20 @@ def _plan_window(rng: random.Random, cols: list[tuple[str, str]],
 
 
 def _plan_project(rng: random.Random, cols: list[tuple[str, str]],
-                  counter: list[int]) -> dict | None:
+                  counter: list[int],
+                  nullable: frozenset[str] = frozenset()) -> dict | None:
     kinds = {}
     for n, k in cols:
         kinds.setdefault(k, []).append(n)
+    # NULLIF targets: str-vocab columns (literal picked from the vocab
+    # so it actually fires) or small-range ints. Doubles excluded on
+    # purpose — float equality as a null trigger is a flakiness trap,
+    # not a dialect probe.
+    nullif_str = [n for n in kinds.get("str", []) if n in STR_VOCAB]
+    nullif_int = [n for n in kinds.get("int", [])
+                  if n in NUM_RANGE and NUM_RANGE[n][1] - NUM_RANGE[n][0] <= 30]
+    coalesce_cands = [(n, k) for n, k in cols
+                      if n in nullable and k in ("int", "double", "str")]
     choices = []
     if "double" in kinds:
         choices += ["bucket", "arith"]
@@ -251,6 +301,10 @@ def _plan_project(rng: random.Random, cols: list[tuple[str, str]],
         choices += ["keyword"]
     if "int" in kinds:
         choices += ["mod"]
+    if nullif_str or nullif_int:
+        choices += ["nullif"]
+    if coalesce_cands:
+        choices += ["coalesce", "coalesce"]
     if not choices:
         return None
     kind = rng.choice(choices)
@@ -270,6 +324,25 @@ def _plan_project(rng: random.Random, cols: list[tuple[str, str]],
     if kind == "keyword":
         return {"op": "proj_keyword", "col": rng.choice(kinds["str"]),
                 "pat": rng.choice(KEYWORD_REGEXES), "as": new}
+    if kind == "nullif":
+        if nullif_str and (not nullif_int or rng.random() < 0.6):
+            c = rng.choice(nullif_str)
+            return {"op": "proj_nullif", "col": c, "kind": "str",
+                    "lit": rng.choice(STR_VOCAB[c]), "as": new}
+        c = rng.choice(nullif_int)
+        lo, hi, _ = NUM_RANGE[c]
+        return {"op": "proj_nullif", "col": c, "kind": "int",
+                "lit": str(rng.randint(int(lo), int(hi))), "as": new}
+    if kind == "coalesce":
+        c, k = rng.choice(coalesce_cands)
+        if k == "str":
+            lit = rng.choice(STR_VOCAB[c]) if c in STR_VOCAB else "zz"
+        elif c in NUM_RANGE:
+            lo, hi, scale = NUM_RANGE[c]
+            lit = _fmt_num(rng.uniform(lo, hi), scale)
+        else:
+            lit = "0"
+        return {"op": "proj_coalesce", "col": c, "kind": k, "lit": lit, "as": new}
     return {"op": "proj_mod", "col": rng.choice(kinds["int"]),
             "m": rng.choice([3, 5, 7, 11]), "as": new}
 
@@ -277,7 +350,7 @@ def _plan_project(rng: random.Random, cols: list[tuple[str, str]],
 def _apply_to_schema(op: dict, cols: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """Mirror build-time schema effects during planning/shrinking."""
     o = op["op"]
-    if o == "proj_window":
+    if o in ("proj_window", "proj_nullif", "proj_coalesce"):
         return cols + [(op["as"], op["kind"])]
     if o.startswith("proj_"):
         kind = {"proj_bucket": "int", "proj_dow": "int", "proj_keyword": "int",
@@ -291,7 +364,8 @@ def _apply_to_schema(op: dict, cols: list[tuple[str, str]]) -> list[tuple[str, s
     return cols
 
 
-def _plan_agg(rng: random.Random, cols: list[tuple[str, str]]) -> dict:
+def _plan_agg(rng: random.Random, cols: list[tuple[str, str]],
+              nullable: frozenset[str] = frozenset()) -> dict:
     groupable = [(n, k) for n, k in cols
                  if k in GROUPABLE_KINDS or n.startswith("fz")]
     rng.shuffle(groupable)
@@ -306,11 +380,18 @@ def _plan_agg(rng: random.Random, cols: list[tuple[str, str]]) -> dict:
     # count_distinct compare raw doubles exactly and stay safe.
     numeric = [n for n, k in cols if k == "double" and n in NUM_RANGE]
     anycol = [n for n, _ in cols if n not in groups]
+    null_cands = [n for n in anycol if n in nullable]
     aggs = [{"fn": "count_star", "as": "cnt", "kind": "int"}]
     n_extra = rng.randint(1, 3)
     for _ in range(n_extra):
         pick = rng.random()
-        if numeric and pick < 0.45:
+        # COUNT(col) skips NULLs — only interesting when the column can
+        # actually hold them, so it is gated on the nullable set.
+        if null_cands and pick < 0.25:
+            c = rng.choice(null_cands)
+            aggs.append({"fn": "count_col", "col": c,
+                         "as": f"cc_{c}", "kind": "int"})
+        elif numeric and pick < 0.45:
             c = rng.choice(numeric)
             fn = rng.choice(["sum_dec", "avg_dec", "min", "max"])
             kind = "double"
@@ -336,8 +417,9 @@ def plan_case(seed: int) -> list[dict]:
     rng = random.Random(seed)
     ops: list[dict] = []
     counter = [0]
+    nullable: set[str] = set()  # columns that can hold NULL at this point
     start = rng.random()
-    if start < 0.12:
+    if start < 0.10:
         t1, t2, k1, k2, t3, k3src, k3 = rng.choice(JOINS3)
         ops.append({"op": "base_join3", "t1": t1, "t2": t2, "k1": k1,
                     "k2": k2, "t3": t3, "k3src": k3src, "k3": k3})
@@ -346,7 +428,7 @@ def plan_case(seed: int) -> list[dict]:
         cols += [(n, k) for n, k in TABLES[t3] if n != k3]
         uniq = list(UNIQ_KEY.get(t1, []))
     elif start < 0.40:
-        left, right, lk, rk = rng.choice(JOINS)
+        left, right, lk, rk, runiq = rng.choice(JOINS)
         how = rng.choice(["inner", "inner", "left", "semi", "anti"])
         right_filter = None
         if how in ("semi", "anti") or rng.random() < 0.4:
@@ -354,10 +436,21 @@ def plan_case(seed: int) -> list[dict]:
         ops.append({"op": "base_join", "left": left, "right": right,
                     "lk": lk, "rk": rk, "how": how, "rfilter": right_filter})
         cols = list(TABLES[left])
-        uniq = list(UNIQ_KEY.get(left, []))
         if how in ("inner", "left"):
             cols += [(n, k) for n, k in TABLES[right] if n != rk]
-    elif start < 0.55:
+            if how == "left":
+                # right side of a LEFT join is the null fountain
+                nullable.update(n for n, _ in TABLES[right] if n != rk)
+        if runiq:
+            uniq = list(UNIQ_KEY.get(left, []))
+        else:
+            # fan-out join: left key multiplies, so no subset of the
+            # left columns is unique — but ordering by EVERY output
+            # column is still a valid window total order (ties are
+            # full-duplicate rows, so any tie-break yields the same
+            # window-output multiset)
+            uniq = [n for n, _ in cols]
+    elif start < 0.52:
         # UNION ALL of the same table under two filters (duplicates
         # allowed — the compare is multiset); a row matching both
         # filters must appear twice on BOTH engines
@@ -370,6 +463,24 @@ def plan_case(seed: int) -> list[dict]:
             ops.append({"op": "base_union", "table": t, "f1": f1, "f2": f2})
         cols = list(TABLES[t])
         uniq = []  # union duplicates the key
+    elif start < 0.64:
+        # EXCEPT / INTERSECT (and the ALL variants) of two filtered
+        # projections of the same table — the set-op surface the r1-r3
+        # grammar never emitted (VERDICT r3 #2). DISTINCT variants make
+        # the projection a unique key; ALL variants only ever tie on
+        # full-duplicate rows, so `keep` works as the window order
+        # either way.
+        t = rng.choice(list(TABLES))
+        names = [n for n, _ in TABLES[t]]
+        keep = rng.sample(names, k=rng.randint(2, min(4, len(names))))
+        f1 = _plan_filter(rng, TABLES[t])
+        f2 = _plan_filter(rng, TABLES[t])
+        kind = rng.choice(["except", "except_all", "intersect", "intersect_all"])
+        ops.append({"op": "base_setop", "table": t, "keep": keep,
+                    "f1": f1, "f2": f2, "kind": kind})
+        by_name = dict(TABLES[t])
+        cols = [(n, by_name[n]) for n in keep]
+        uniq = list(keep)
     else:
         t = rng.choice(list(TABLES))
         ops.append({"op": "base", "table": t})
@@ -379,21 +490,31 @@ def plan_case(seed: int) -> list[dict]:
     for _ in range(rng.randint(1, 4)):
         pick = rng.random()
         if pick < 0.50:
-            op = _plan_filter(rng, cols)
+            op = _plan_filter(rng, cols, frozenset(nullable))
         elif pick < 0.85:
-            op = _plan_project(rng, cols, counter)
+            op = _plan_project(rng, cols, counter, frozenset(nullable))
         else:
             op = _plan_window(rng, cols, uniq, counter)
         if op is None:
             continue
         ops.append(op)
         cols = _apply_to_schema(op, cols)
+        o = op["op"]
+        if o == "proj_nullif" or (o == "proj_window" and op["fn"] == "lag"):
+            nullable.add(op["as"])
+        elif o == "filter_null" and op["neg"]:
+            nullable.discard(op["col"])  # IS NOT NULL proves it non-null
 
     terminal = rng.random()
     if terminal < 0.55:
-        op = _plan_agg(rng, cols)
+        op = _plan_agg(rng, cols, frozenset(nullable))
         ops.append(op)
         cols = _apply_to_schema(op, cols)
+        # min/max propagate NULL only if every grouped value is NULL;
+        # everything else (counts, decimal sums over raw columns) is
+        # non-null — reset the tracker accordingly
+        nullable = {a["as"] for a in op["aggs"]
+                    if a.get("col") in nullable and a["fn"] in ("min", "max")}
         if rng.random() < 0.4:
             ops.append({"op": "filter_num", "col": "cnt", "cmp": ">",
                         "lit": str(rng.randint(0, 3))})
@@ -408,9 +529,17 @@ def plan_case(seed: int) -> list[dict]:
         keep = [n for n, _ in cols[:8]]
         ops.append({"op": "select", "keep": keep})
         cols = [(n, k) for n, k in cols if n in keep]
-    if rng.random() < 0.35:
+    if rng.random() < 0.40:
+        # total-order sort with per-column direction AND nulls
+        # placement chosen independently — the exact fragment surface
+        # where Spark (asc = NULLS FIRST) and DuckDB/Postgres (asc =
+        # NULLS LAST) defaults diverge, so both sides must pin it
+        names = [n for n, _ in cols]
+        rng.shuffle(names)
+        specs = [{"col": n, "desc": rng.random() < 0.5,
+                  "nf": rng.random() < 0.5} for n in names]
         ops.append({"op": "sort_limit", "n": rng.choice([5, 20, 100]),
-                    "desc": rng.random() < 0.5})
+                    "specs": specs})
     return ops
 
 
@@ -441,6 +570,12 @@ def build_case(ops: list[dict]):
                     f" {_q(op['pat'])}) THEN 1 ELSE 0 END AS INTEGER)")
         if o == "proj_mod":
             return f"CAST({op['col']} % {op['m']} AS BIGINT)"
+        if o == "proj_nullif":
+            lit = _q(op["lit"]) if op["kind"] == "str" else op["lit"]
+            return f"NULLIF({op['col']}, {lit})"
+        if o == "proj_coalesce":
+            lit = _q(op["lit"]) if op["kind"] == "str" else op["lit"]
+            return f"COALESCE({op['col']}, {lit})"
         if o == "proj_arith":
             a, b = op["a"], op["b"]
             return {"mul1m": f"({a} * (1.0 - {b}))",
@@ -459,6 +594,18 @@ def build_case(ops: list[dict]):
             return pg.keyword_flag(op["col"], op["pat"])
         if op["op"] == "proj_mod":
             return (F.col(op["col"]) % op["m"]).cast("bigint")
+        if op["op"] == "proj_nullif":
+            lit = op["lit"] if op["kind"] == "str" else int(op["lit"])
+            c = F.col(op["col"])
+            return F.when(c == F.lit(lit), F.lit(None)).otherwise(c)
+        if op["op"] == "proj_coalesce":
+            if op["kind"] == "str":
+                lit = F.lit(op["lit"])
+            elif "." in op["lit"]:
+                lit = F.lit(float(op["lit"]))
+            else:
+                lit = F.lit(int(op["lit"]))
+            return F.coalesce(F.col(op["col"]), lit)
         a, b = F.col(op["a"]), F.col(op["b"])
         return {"mul1m": a * (F.lit(1.0) - b), "add": a + b,
                 "abs": F.abs(a)}[op["form"]]
@@ -475,6 +622,11 @@ def build_case(ops: list[dict]):
             return f"NOT ({e})" if op["neg"] else e
         if o == "filter_ts":
             return f"{op['col']} {op['cmp']} TIMESTAMP {_q(op['lit'])}"
+        if o == "filter_null":
+            return f"{op['col']} IS {'NOT ' if op['neg'] else ''}NULL"
+        if o == "filter_null_lit":
+            # three-valued logic: `col = NULL` is NULL, WHERE drops all
+            return f"{op['col']} = NULL"
         raise AssertionError(o)
 
     def filter_spark(op):
@@ -490,6 +642,10 @@ def build_case(ops: list[dict]):
         if o == "filter_ilike":
             e = pg.ilike(op["col"], op["pat"])
             return ~e if op["neg"] else e
+        if o == "filter_null":
+            return c.isNotNull() if op["neg"] else c.isNull()
+        if o == "filter_null_lit":
+            return c == F.lit(None)
         lit = F.lit(op["lit"]).cast("timestamp")
         return c < lit if op["cmp"] == "<" else c >= lit
 
@@ -546,6 +702,28 @@ def build_case(ops: list[dict]):
             )
 
         steps.append(_union)
+    elif base["op"] == "base_setop":
+        t, keep, kind = base["table"], base["keep"], base["kind"]
+        by_name = dict(TABLES[t])
+        cols = [(n, by_name[n]) for n in keep]
+        sel = ", ".join(keep)
+        w1 = f" WHERE {filter_sql(base['f1'])}" if base.get("f1") else ""
+        w2 = f" WHERE {filter_sql(base['f2'])}" if base.get("f2") else ""
+        kw = {"except": "EXCEPT", "except_all": "EXCEPT ALL",
+              "intersect": "INTERSECT", "intersect_all": "INTERSECT ALL"}[kind]
+        sql = (f"SELECT {sel} FROM {t}{w1}"
+               f" {kw} SELECT {sel} FROM {t}{w2}")
+
+        def _setop(spark, sf, _b=base):
+            src = load_table(spark, sf, _b["table"])
+            a = src.filter(filter_spark(_b["f1"])) if _b.get("f1") else src
+            b = src.filter(filter_spark(_b["f2"])) if _b.get("f2") else src
+            a, b = a.select(*_b["keep"]), b.select(*_b["keep"])
+            return {"except": a.subtract, "except_all": a.exceptAll,
+                    "intersect": a.intersect,
+                    "intersect_all": a.intersectAll}[_b["kind"]](b)
+
+        steps.append(_setop)
     else:
         left, right, lk, rk, how = (base["left"], base["right"], base["lk"],
                                     base["rk"], base["how"])
@@ -625,6 +803,8 @@ def build_case(ops: list[dict]):
                 fn = a["fn"]
                 if fn == "count_star":
                     return f"CAST(COUNT(*) AS BIGINT) AS {a['as']}"
+                if fn == "count_col":
+                    return f"CAST(COUNT({a['col']}) AS BIGINT) AS {a['as']}"
                 if fn == "count_distinct":
                     return f"CAST(COUNT(DISTINCT {a['col']}) AS BIGINT) AS {a['as']}"
                 if fn == "sum_dec":
@@ -645,6 +825,8 @@ def build_case(ops: list[dict]):
                     fn = a["fn"]
                     if fn == "count_star":
                         e = F.count(F.lit(1)).cast("bigint")
+                    elif fn == "count_col":
+                        e = F.count(F.col(a["col"])).cast("bigint")
                     elif fn == "count_distinct":
                         e = F.countDistinct(a["col"]).cast("bigint")
                     elif fn == "sum_dec":
@@ -673,14 +855,34 @@ def build_case(ops: list[dict]):
             steps.append(lambda df, _k=keep: df.select(*_k))
             cols = [(n, k) for n, k in cols if n in keep]
         elif o == "sort_limit":
-            names = [n for n, _ in cols]
-            dirn = "DESC NULLS FIRST" if op["desc"] else "ASC NULLS LAST"
-            ob = ", ".join(f"{n} {dirn}" for n in names)
+            # per-column direction + nulls placement, pinned explicitly
+            # on BOTH sides (Spark asc defaults NULLS FIRST, DuckDB
+            # NULLS LAST — never rely on either default). Specs cover
+            # every column at plan time, so the order is total modulo
+            # full-duplicate rows and LIMIT is deterministic.
+            live = {n for n, _ in cols}
+            specs = [s for s in op["specs"] if s["col"] in live]
+            # keep the order TOTAL even if shrinking changed the live
+            # column set: append any uncovered column with a pinned
+            # direction so LIMIT stays deterministic
+            covered = {s["col"] for s in specs}
+            specs += [{"col": n, "desc": False, "nf": True}
+                      for n, _ in cols if n not in covered]
+            ob = ", ".join(
+                f"{s['col']} {'DESC' if s['desc'] else 'ASC'}"
+                f" NULLS {'FIRST' if s['nf'] else 'LAST'}"
+                for s in specs)
             sql = f"SELECT * FROM ({sql}) t ORDER BY {ob} LIMIT {op['n']}"
 
-            def _sort(df, _names=names, _op=op):
-                order = [pg.pg_desc(n) if _op["desc"] else pg.pg_asc(n)
-                         for n in _names]
+            def _sort(df, _specs=specs, _op=op):
+                order = []
+                for s in _specs:
+                    c = F.col(s["col"])
+                    order.append(
+                        (c.desc_nulls_first() if s["nf"] else c.desc_nulls_last())
+                        if s["desc"]
+                        else (c.asc_nulls_first() if s["nf"] else c.asc_nulls_last())
+                    )
                 return df.orderBy(*order).limit(_op["n"])
 
             steps.append(_sort)

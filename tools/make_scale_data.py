@@ -21,8 +21,21 @@ Key handling per table:
 - embeddings: id shifted, vectors kept — K× identical neighborhoods
   stress top-k tie handling at scale.
 
+``--skew`` (VERDICT r3 next-round #3) turns the uniform replication
+into the Zipfian shape a real 100 TB corpus has:
+- lineitem: ~30 % of all lines are reassigned to ONE hot supplier
+  (l_suppkey = 1, which exists in every replica set since supplier
+  keys start at 1) — a plain shuffle join on l_suppkey serializes
+  one reducer, salted/broadcast plans do not;
+- documents: every 10th doc_id becomes a NEAR-duplicate of one fixed
+  boilerplate paragraph (per-doc id token appended, so shingle sets
+  differ slightly) — one ~10 % clique that lands in a single LSH
+  bucket per band, the worst case for banded dedup.
+FK integrity and row counts are unchanged; only value distributions
+move.
+
 Usage: python tools/make_scale_data.py [--out /tmp/sf1] [--copies 10]
-       [--src /root/testdata/sf0.1]
+       [--src /root/testdata/sf0.1] [--skew]
 """
 
 from __future__ import annotations
@@ -58,6 +71,10 @@ def main() -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sf1")
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--skew", action="store_true",
+                    help="Zipfian shape: hot supplier owns ~30%% of "
+                         "lineitem; ~10%% of documents form one "
+                         "near-duplicate clique")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -102,6 +119,36 @@ def main() -> int:
         out = replicas[0]
         for r in replicas[1:]:
             out = out.unionByName(r)
+        if args.skew and table == "lineitem":
+            # deterministic per-row choice (hash of the line identity),
+            # ~30% of ALL lines land on supplier 1
+            out = out.withColumn(
+                "l_suppkey",
+                F.when(
+                    F.pmod(F.xxhash64("l_orderkey", "l_linenumber",
+                                      "l_partkey"), F.lit(10)) < 3,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.col("l_suppkey")),
+            )
+        if args.skew and table == "documents":
+            # one giant near-dup clique: every 10th doc becomes the
+            # boilerplate paragraph + its own id token (so the clique
+            # members are near- not byte-duplicates)
+            boiler = (
+                "this website uses cookies to improve your experience "
+                "we assume you are ok with this but you can opt out if "
+                "you wish privacy policy terms of service all rights "
+                "reserved copyright contact us about careers sitemap "
+                "subscribe to our newsletter for the latest updates "
+            ) * 2
+            out = out.withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 10 == 0,
+                    F.concat(F.lit(boiler), F.lit("doc token "),
+                             F.col("doc_id").cast("string")),
+                ).otherwise(F.col("text")),
+            ).withColumn("n_chars", F.length("text").cast("long"))
         out.write.mode("overwrite").parquet(
             os.path.join(args.out, f"{table}.parquet")
         )
