@@ -3,10 +3,18 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+``--sf1 [--sf1-dir DIR] [--out FILE]`` (VERDICT r3 next-round #4)
+additionally runs the same headline set at the sf1 scale rehearsal
+(default ``/dev/shm/sf1``, built by ``tools/make_scale_data.py``) and
+writes the JSON to FILE (default ``BENCH_sf1.json``) so the
+round-over-round scale numbers live in a committed artifact, not a
+README anecdote. The driver's no-arg invocation is unchanged.
 """
 
 from __future__ import annotations
 
+import argparse
 import gc
 import json
 import os
@@ -69,12 +77,7 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    queries, _ = load_registry()
-    spark = get_spark("doin-fine-ance-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+def run_bench(spark, queries, sf_dir: str) -> dict:
 
     # warm the JVM + parquet footers + Python/Arrow worker pool once so
     # per-query numbers measure the query, not session startup. The
@@ -149,18 +152,46 @@ def main() -> None:
             gc.collect()
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                **({"cold_unwarmed": cold} if cold else {}),
-            }
-        )
-    )
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "").replace(
+        "skew", "") or 0.1)
+    return {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **({"cold_unwarmed": cold} if cold else {}),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf1", action="store_true",
+                    help="also bench the sf1 scale rehearsal and write "
+                         "the JSON to --out")
+    ap.add_argument("--sf1-dir", default="/dev/shm/sf1")
+    ap.add_argument("--out", default="BENCH_sf1.json")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    queries, _ = load_registry()
+    spark = get_spark("doin-fine-ance-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    result = run_bench(spark, queries, sf_dir)
+    print(json.dumps(result))
+
+    if args.sf1:
+        if not os.path.isdir(args.sf1_dir):
+            print(f"# --sf1: {args.sf1_dir} missing — run "
+                  f"tools/make_scale_data.py first", file=sys.stderr)
+            sys.exit(2)
+        sf1 = run_bench(spark, queries, args.sf1_dir)
+        with open(args.out, "w") as f:
+            json.dump(sf1, f, indent=1)
+            f.write("\n")
+        print(f"# sf1: {sf1['value']}s over {len(sf1['queries'])} queries "
+              f"-> {args.out}", file=sys.stderr)
     spark.stop()
 
 

@@ -7,7 +7,11 @@ and insert-only incremental append (fct_validated_trxns.sql). Without
 Delta jars in this environment, MERGE is emulated as
 anti-join + union + atomic directory swap — the classic pure-Parquet
 CDC pattern. The write is staged to a temp dir and renamed so readers
-never see a half-written table.
+never see a half-written table. For PROVABLE snapshot isolation (a
+reader pinned to a version while a writer commits, incl. filesystems
+without atomic directory rename), layer `operators/snapshot.py`'s
+versioned manifest on top — it takes this module's table_write_lock,
+so the two compose.
 
 Scale note: upsert rewrites the table; on a date-partitioned 100 TB
 layout you'd restrict the rewrite to partitions containing matched
