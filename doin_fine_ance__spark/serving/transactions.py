@@ -9,12 +9,11 @@ lines 14-35) + a filter/sort/pagination compiler
 Serving reads hit *materialized* marts (the reference re-runs a
 5-view-deep chain in Postgres per request — its acknowledged debt,
 TODO.md:12). Unlike the reference's separate COUNT(*) + page queries,
-count and page run as ONE Spark job via ``page_with_total`` (see
-``get_transactions_filtered``): a window ``count(*) OVER ()`` rides the
-page scan, so the total arrives with the rows. The only fallback is a
-page requested past the end — no rows means no ``__total`` column
-value, and the caller falls back to a ``df.count()`` (a second job in
-exactly that rare case; reference page caps make it cosmetic).
+count and page run as ONE Spark job via ``collect_page_with_total``
+(see ``get_transactions_filtered``): a window ``count(*) OVER ()``
+rides the page scan, and an ``__rn == 1`` sentinel row carries the
+total even when the requested page is past the end — one job per page
+request in every case.
 """
 
 from __future__ import annotations
@@ -27,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
 from ..functions.pg import ilike
-from ..operators.pagination import page_with_total, paginate
+from ..operators.pagination import collect_page_with_total, paginate
 from ..schemas import LOW_CONFIDENCE_THRESHOLD, USER_CATEGORIES
 
 # transaction_service.py:196-199 — sort allow-list.
@@ -132,14 +131,11 @@ def get_transactions_filtered(
     order = [direction, col("transaction_id").asc()]
 
     if single_job:
-        # one action serves page + total (operators/pagination.py:
-        # page_with_total); past-the-end pages fall back to count()
-        rows = page_with_total(filtered, order, limit=limit, offset=offset).collect()
-        total = int(rows[0]["__total"]) if rows else filtered.count()
-        slim = [
-            {k: v for k, v in r.asDict().items() if k != "__total"}
-            for r in rows
-        ]
+        # one action serves page + total, INCLUDING past-the-end pages
+        # (the rn==1 sentinel carries the total when the page is empty)
+        total, slim = collect_page_with_total(
+            filtered, order, limit=limit, offset=offset
+        )
         return TransactionPage(total_count=total, transactions=slim)
     total = filtered.count()
     page = paginate(filtered, order, limit=limit, offset=offset)

@@ -165,10 +165,38 @@ def test_single_job_page_matches_two_action_page(overlay):
     assert all("__total" not in r for r in one.transactions)
 
 
-def test_single_job_page_past_the_end_falls_back(overlay):
+def test_single_job_page_past_the_end_still_returns_total(overlay):
+    # the rn==1 sentinel carries the total; no second count() job
     two = get_transactions_filtered(overlay, limit=10, offset=10_000)
     one = get_transactions_filtered(
         overlay, limit=10, offset=10_000, single_job=True
     )
     assert one.total_count == two.total_count > 0
     assert one.transactions == []
+
+
+def test_collect_page_with_total_edges(spark):
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.operators.pagination import (
+        collect_page_with_total,
+    )
+
+    df = spark.range(25).select(F.col("id"))
+    order = [F.col("id").asc()]
+    # first page: sentinel row is also a page row — no duplication
+    total, page = collect_page_with_total(df, order, limit=10, offset=0)
+    assert total == 25
+    assert [r["id"] for r in page] == list(range(10))
+    # past the end: total still exact, page empty
+    total, page = collect_page_with_total(df, order, limit=10, offset=100)
+    assert (total, page) == (25, [])
+    # empty input: zero total without any fallback
+    total, page = collect_page_with_total(
+        df.filter(F.col("id") < 0), order, limit=10, offset=0
+    )
+    assert (total, page) == (0, [])
+    # helper columns never leak
+    total, page = collect_page_with_total(df, order, limit=3, offset=20)
+    assert [r["id"] for r in page] == [20, 21, 22]
+    assert all(set(r) == {"id"} for r in page)
