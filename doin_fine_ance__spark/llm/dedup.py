@@ -215,6 +215,46 @@ def minhash_near_dups(
     Jaccard ≥ threshold; LSH only bounds the candidate set, so the
     output has no false positives (and recall governed by (k, bands)).
     """
+    return _verified_pairs(docs, id_col, text_col, threshold, k, bands, "jaccard")
+
+
+def minhash_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    k: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Asymmetric near-inclusion detection: containment over LSH candidates.
+
+    containment(A, B) = |A∩B| / min(|A|, |B|) — high when one document's
+    token set sits (almost) inside the other's, the quote/boilerplate/
+    nested-document case Jaccard under-scores (a 50-token doc embedded
+    in a 500-token doc has Jaccard ≤ 0.1 but containment 1.0). Returns
+    (id_a, id_b, containment ≥ threshold), exact on the candidate set.
+
+    Recall caveat, stated because it is the known limitation: MinHash
+    collisions track JACCARD, so a tiny-in-huge inclusion may never
+    share a band; unbiased containment candidate generation needs
+    partitioned-by-set-size banding (LSH Ensemble, Zhu et al.,
+    VLDB 2016). This operator is the verify-side measure swap on the
+    standard banding — the production compromise when one LSH index
+    serves both measures — and the oracle recomputes the identical
+    pipeline, so correctness does not ride on recall.
+    """
+    return _verified_pairs(docs, id_col, text_col, threshold, k, bands, "containment")
+
+
+def _verified_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    k: int,
+    bands: int,
+    measure: str,
+) -> DataFrame:
     sigs = minhash_signatures(docs, id_col, text_col, k)
     cands = lsh_candidate_pairs(sigs, id_col, bands, k=k)
     # Pin verify parallelism: the candidate list is BYTE-small but each
@@ -254,12 +294,15 @@ def minhash_near_dups(
     ta = toks.select(col(id_col).alias("id_a"), col("tokens").alias("tok_a"))
     tb = toks.select(col(id_col).alias("id_b"), col("tokens").alias("tok_b"))
     inter = F.size(F.array_intersect("tok_a", "tok_b"))
-    union = F.size("tok_a") + F.size("tok_b") - inter
+    if measure == "containment":
+        denom = F.least(F.size("tok_a"), F.size("tok_b"))
+    else:
+        denom = F.size("tok_a") + F.size("tok_b") - inter
     return (
         cands.join(ta, "id_a")
         .join(tb, "id_b")
-        .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
-        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", (inter.cast("double") / denom).alias(measure))
+        .filter(col(measure) >= threshold)
     )
 
 

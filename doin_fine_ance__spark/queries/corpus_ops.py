@@ -329,3 +329,45 @@ def d_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     return segment_dedup(d, "doc_id", "text", seg_tokens=10, max_docs=3).orderBy("doc_id")
+
+
+@query(
+    "d_duplicate_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ), wins AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts) - 8 + 2),
+                                   i -> md5(array_to_string(list_slice(ts, i, i + 7), ' ')))) AS wkey
+      FROM toks WHERE len(ts) >= 8
+    ), freq AS (
+      SELECT wkey, COUNT(DISTINCT doc_id) AS n_docs FROM wins GROUP BY wkey
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+           CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_ratio
+    FROM wins w JOIN freq f USING (wkey)
+    GROUP BY w.doc_id ORDER BY w.doc_id
+    """,
+)
+def d_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window duplicated-span stats (Lee et al.
+    2022 exact-substring dedup, measurement pass): every 8-token
+    window at every position, windows present in ≥2 distinct docs are
+    duplicated spans; per-doc (n_windows, n_dup_windows, dup_ratio).
+
+    Complements d_segment_dedup (non-overlapping cut at fixed
+    alignment — misses shared spans at different offsets) and the
+    doc-level passes. Two narrow shuffles (window-hash freq, per-doc
+    rollup); only md5 keys shuffle, never window text. See
+    llm/corpus.py::duplicate_spans.
+    """
+    from ..llm.corpus import duplicate_spans
+
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_spans(d, "doc_id", "text", k=8, min_docs=2).orderBy("doc_id")

@@ -23,12 +23,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
 from ..llm.ann import ann_topk_ivf, ann_topk_lsh
-from ..llm.dedup import PERM_COEFFS, minhash_near_dups, simhash64, simhash_near_dups
+from ..llm.dedup import (
+    PERM_COEFFS,
+    minhash_containment_pairs,
+    minhash_near_dups,
+    simhash64,
+    simhash_near_dups,
+)
 from ..sources.testdata import load_table
 from . import query
 
 
-def _minhash_pairs_cte(threshold: float, k: int = 64, bands: int = 16, n: int = 5) -> str:
+def _minhash_pairs_cte(
+    threshold: float, k: int = 64, bands: int = 16, n: int = 5, measure: str = "jaccard"
+) -> str:
     """Generate the DuckDB CTE chain computing the EXACT MinHash-LSH
     pipeline of :func:`doin_fine_ance__spark.llm.dedup.minhash_near_dups`.
 
@@ -37,7 +45,9 @@ def _minhash_pairs_cte(threshold: float, k: int = 64, bands: int = 16, n: int = 
     coefficients (PERM_COEFFS), same band hashing, same exact token-
     Jaccard verification — so the oracle matches by construction, not
     by hoping LSH recall is 1. Yields a chain ending in
-    ``mh_pairs(id_a, id_b, jaccard)``.
+    ``mh_pairs(id_a, id_b, <measure>)`` where measure is ``jaccard``
+    (intersection/union) or ``containment`` (intersection/min-size,
+    mirroring :func:`llm.dedup.minhash_containment_pairs`).
     """
     p = (1 << 31) - 1
     r = k // bands
@@ -51,11 +61,17 @@ def _minhash_pairs_cte(threshold: float, k: int = 64, bands: int = 16, n: int = 
         )
         for bi in range(bands)
     )
-    jac = (
-        "CAST(length(list_intersect(ta.tokens, tb.tokens)) AS DOUBLE)"
-        " / (length(ta.tokens) + length(tb.tokens)"
-        " - length(list_intersect(ta.tokens, tb.tokens)))"
-    )
+    if measure == "containment":
+        jac = (
+            "CAST(length(list_intersect(ta.tokens, tb.tokens)) AS DOUBLE)"
+            " / least(length(ta.tokens), length(tb.tokens))"
+        )
+    else:
+        jac = (
+            "CAST(length(list_intersect(ta.tokens, tb.tokens)) AS DOUBLE)"
+            " / (length(ta.tokens) + length(tb.tokens)"
+            " - length(list_intersect(ta.tokens, tb.tokens)))"
+        )
     return f"""
     mh_norm AS (
       SELECT doc_id, regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g') AS t
@@ -84,7 +100,7 @@ def _minhash_pairs_cte(threshold: float, k: int = 64, bands: int = 16, n: int = 
              list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tokens
       FROM documents
     ), mh_pairs AS (
-      SELECT c.id_a, c.id_b, {jac} AS jaccard
+      SELECT c.id_a, c.id_b, {jac} AS {measure}
       FROM mh_cands c
       JOIN mh_toks ta ON c.id_a = ta.doc_id
       JOIN mh_toks tb ON c.id_b = tb.doc_id
@@ -656,6 +672,32 @@ def d_minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     return minhash_near_dups(d, threshold=0.7)
+
+
+@query(
+    "d_minhash_containment",
+    oracle="WITH "
+    + _minhash_pairs_cte(0.9, measure="containment")
+    + """
+    SELECT id_a, id_b, containment FROM mh_pairs
+    ORDER BY id_a, id_b
+    """,
+)
+def d_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-inclusion pairs: containment ≥ 0.9 over LSH buckets.
+
+    The quote/boilerplate/nested-document case exact-Jaccard dedup
+    under-scores: a short doc whose token set sits inside a long doc
+    has tiny Jaccard but containment ≈ 1. Same banded candidate
+    generation as d_minhash_lsh_neardups (one shuffle, no O(n²)
+    stage), verify-side measure swapped to |A∩B| / min(|A|,|B|) —
+    see llm/dedup.py::minhash_containment_pairs for the recall caveat
+    (unbiased containment LSH needs size-partitioned banding, LSH
+    Ensemble, Zhu et al. VLDB 2016). Oracle recomputes the identical
+    signatures/bands/measure in SQL.
+    """
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return minhash_containment_pairs(d, threshold=0.9).orderBy("id_a", "id_b")
 
 
 @query(

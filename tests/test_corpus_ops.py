@@ -211,3 +211,30 @@ def test_segment_dedup_drops_planted_boilerplate(spark):
     assert (r.n_chunks, r.n_dropped) == (2, 0)  # 15 tokens -> 10+5 segments
     solo = " ".join(f"solo{j}" for j in range(15))
     assert r.cleaned_md5 == hashlib.md5(solo.encode()).hexdigest()
+
+
+def test_duplicate_spans_overlapping_windows(spark):
+    """A shared 8-token run is caught at EVERY alignment: two docs
+    embedding the same span at different offsets both report exactly
+    one duplicated window; a doc with no shared run reports zero; a
+    doc shorter than the window emits no row."""
+    from doin_fine_ance__spark.llm.corpus import duplicate_spans
+
+    span = " ".join(f"shared{j}" for j in range(8))
+    rows = [
+        (1, span + " " + " ".join(f"a{j}" for j in range(4))),   # span at pos 0
+        (2, " ".join(f"b{j}" for j in range(3)) + " " + span),   # span at pos 3
+        (3, " ".join(f"c{j}" for j in range(12))),               # unique doc
+        (4, "too short"),                                        # < 8 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicate_spans(df, k=8, min_docs=2).collect()}
+
+    assert set(out) == {1, 2, 3}  # doc 4 has no window
+    # doc 1: 12 tokens -> 5 windows, only the exact span window is shared
+    assert (out[1].n_windows, out[1].n_dup_windows) == (5, 1)
+    assert out[1].dup_ratio == 1 / 5
+    # doc 2: 11 tokens -> 4 windows; the span sits at the LAST alignment
+    assert (out[2].n_windows, out[2].n_dup_windows) == (4, 1)
+    assert (out[3].n_windows, out[3].n_dup_windows) == (5, 0)
+    assert out[3].dup_ratio == 0.0

@@ -516,3 +516,28 @@ def test_quality_filter_threshold(spark):
     model = train_quality_classifier(df)
     kept = quality_filter(model, df.select("doc_id", "text"), min_prob=0.5)
     assert sorted(r.doc_id for r in kept.collect()) == list(range(20))
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark):
+    """A short doc nested inside a long doc scores containment 1.0; the
+    symmetric near-identical pair scores high under both measures; and
+    every emitted containment is >= the pair's Jaccard by construction."""
+    from doin_fine_ance__spark.llm.dedup import minhash_containment_pairs, minhash_near_dups
+
+    short = " ".join(f"w{j}" for j in range(30))
+    long_ = short + " " + " ".join(f"extra{j}" for j in range(10))
+    near = short + " w999"  # near-identical to `short`
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, near)], "doc_id long, text string"
+    )
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in minhash_containment_pairs(df, threshold=0.8).collect()}
+    jacc = {(r.id_a, r.id_b): r.jaccard
+            for r in minhash_near_dups(df, threshold=0.8).collect()}
+
+    assert cont[(1, 2)] == 1.0           # strict token-set inclusion
+    assert (1, 2) not in jacc            # Jaccard 30/40 = 0.75 < 0.8
+    assert cont[(1, 3)] == 1.0 and jacc[(1, 3)] >= 0.8
+    for pair, c in cont.items():
+        if pair in jacc:
+            assert c >= jacc[pair]
