@@ -74,6 +74,10 @@ HEADLINE = [
     "t_domain_mix",
     "mm_audio_features",
     "t_bigram_familiarity",
+    # round 4 additions (kept at the tail so the r1-r3 overlap set is
+    # a stable prefix for round-over-round comparison)
+    "d_minhash_containment",
+    "d_duplicate_spans",
 ]
 
 

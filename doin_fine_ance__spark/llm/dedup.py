@@ -284,13 +284,17 @@ def _verified_pairs(
             )
         ).alias("tokens"),
     )
-    # Tokenize ONCE: toks feeds both join branches (ta on id_a, tb on
-    # id_b) and Spark reuses exchanges, not subplans — without this the
-    # scan + split + hash runs twice.
-    try:
-        toks = materialize(toks)
-    except Exception:
-        pass  # Spark Connect without checkpoint support: correct, just slower
+    # Tokenize ONCE via persist(), NOT localCheckpoint: both stop the
+    # scan + split + hash running twice (toks feeds the ta and tb join
+    # branches, and Spark reuses exchanges, not subplans), but a
+    # checkpoint replaces the plan with a stats-less RDD, which forces
+    # the planner into two sort-merge joins of the (potentially huge)
+    # candidate list. persist() keeps the child's size statistics, so
+    # a small token store broadcasts — the verify becomes two map-side
+    # hash joins — while a corpus-scale store still gets the
+    # shuffle-on-id SMJ it needs (at the sf1 rehearsal the SMJ path
+    # sorts the 27M-row candidate list twice just to verify it).
+    toks = toks.persist()
     ta = toks.select(col(id_col).alias("id_a"), col("tokens").alias("tok_a"))
     tb = toks.select(col(id_col).alias("id_b"), col("tokens").alias("tok_b"))
     inter = F.size(F.array_intersect("tok_a", "tok_b"))

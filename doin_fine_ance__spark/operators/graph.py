@@ -120,44 +120,38 @@ def connected_components(
     ``edges_per_partition`` bounds contraction-task memory (4M edge
     rows ≈ 64 MB of int64 pairs; the vectorized resolve peaks around
     4× that — comfortably inside a normal executor task). When the
-    whole symmetrized edge list fits ONE such partition, the local
-    contraction already IS the exact answer, so the iterative phase
-    (join+agg jobs whose per-round scheduling cost dwarfs the data at
-    small scale) is skipped entirely; tests pin the at-scale iterative
-    path by passing a tiny value.
+    whole edge list fits ONE such partition, the local contraction
+    already IS the exact answer, so the iterative phase (join+agg jobs
+    whose per-round scheduling cost dwarfs the data at small scale) is
+    skipped entirely; tests pin the at-scale iterative path by passing
+    a tiny value.
     """
-    # Symmetrize in ONE pass over the edges: a union of the edge list
-    # with its own swap would put the upstream edge-generation plan
-    # (e.g. the MinHash candidate join feeding d_dup_clusters) into the
-    # DAG twice and execute it twice; explode(array(fwd, rev)) scans it
-    # once.
-    sym = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(col(src).alias("node"), col(dst).alias("nbr")),
-                    F.struct(col(dst).alias("node"), col(src).alias("nbr")),
-                )
-            ).alias("e")
-        )
-        .select("e.node", "e.nbr")
-        .distinct()
-    )
-    # Materialize the symmetric edge list ONCE: it is joined every
-    # iteration (plus the convergence agg), and without this the whole
-    # upstream edge-generation plan re-executes per round.
-    sym = materialize(sym, checkpoint_mode)
-    # Size iteration parallelism to the graph (see module docstring);
+    # Phase 1 consumes the RAW edge list: a union-find unions {a, b}
+    # regardless of edge direction, so symmetrizing before contraction
+    # would double the data (and the materialized bytes) for zero
+    # connectivity gain — only the phase-2 neighbor-min join needs
+    # both directions, and it runs on the CONTRACTED stars, which are
+    # re-symmetrized below. Deduping is also unnecessary:
+    # np.minimum.at folds duplicate edges inside the contraction, so
+    # repeated input pairs cost bytes, never correctness (pair
+    # generators like LSH already emit distinct id_a < id_b rows).
+    raw = edges.select(col(src).alias("node"), col(dst).alias("nbr"))
+    # Materialize ONCE: the edge list feeds the sizing count and the
+    # contraction, and without lineage truncation the whole upstream
+    # edge-generation plan (e.g. the MinHash candidate join feeding
+    # d_dup_clusters) re-executes per downstream job.
+    raw = materialize(raw, checkpoint_mode)
+    # Size contraction parallelism to the graph (see module docstring);
     # a sparse pair graph collapses to 1 partition.
-    n_edges = sym.count()
+    n_edges = raw.count()
     parts = max(
-        1, min(sym.rdd.getNumPartitions(), int(n_edges // edges_per_partition) + 1)
+        1, min(raw.rdd.getNumPartitions(), int(n_edges // edges_per_partition) + 1)
     )
-    if parts < sym.rdd.getNumPartitions():
-        sym = sym.coalesce(parts)
+    if parts < raw.rdd.getNumPartitions():
+        raw = raw.coalesce(parts)
     # Phase 1: collapse each partition's local components to stars,
-    # then re-symmetrize so label minima flow both ways in phase 2.
-    stars = _contract_partitions(sym)
+    # then symmetrize so label minima flow both ways in phase 2.
+    stars = _contract_partitions(raw)
     if parts == 1:
         # One partition saw EVERY edge, so local roots are global
         # components — return the star edges as the labels and skip
