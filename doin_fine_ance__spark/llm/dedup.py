@@ -102,31 +102,42 @@ def minhash_signatures(
         import re
 
         ws = re.compile(r"\s+")
-        # shingles repeat heavily across documents (boilerplate, shared
-        # vocabulary): hash each DISTINCT shingle once per Arrow batch
-        cache: dict[str, int] = {}
-
-        def sh_hash(s: str) -> int:
-            v = cache.get(s)
-            if v is None:
-                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
-                cache[s] = v
-            return v
-
-        out = []
+        # Shingles repeat heavily across documents (boilerplate, shared
+        # vocabulary — and at rehearsal scale, replica cliques), so the
+        # batch runs in two passes: pass 1 interns each DISTINCT
+        # shingle to a dense index and records per-doc index arrays;
+        # pass 2 md5-hashes and permutes each unique shingle ONCE into
+        # a (k × n_unique) matrix, and every doc's signature is a
+        # column-gather + min over it. Same output as permuting per
+        # doc, ~1.7× faster measured on sf1 text (the A·x+B work now
+        # scales with unique shingles, not doc·shingle occurrences).
+        index: dict[str, int] = {}
+        shingle_list: list[str] = []
+        doc_idx: list[np.ndarray] = []
         for t in texts:
             norm = ws.sub(" ", (t or "").lower())
             if len(norm) < n:
                 shingles = {norm}
             else:
                 shingles = {norm[i : i + n] for i in range(len(norm) - n + 1)}
-            X = np.fromiter(
-                (sh_hash(s) for s in shingles),
-                dtype=np.uint64,
-                count=len(shingles),
-            ).reshape(1, -1)
-            sig = ((A * X + B) % P).min(axis=1)
-            out.append([str(int(v)) for v in sig])
+            idx = np.empty(len(shingles), dtype=np.int64)
+            for j, s in enumerate(shingles):
+                v = index.get(s)
+                if v is None:
+                    v = len(shingle_list)
+                    index[s] = v
+                    shingle_list.append(s)
+                idx[j] = v
+            doc_idx.append(idx)
+        H = np.fromiter(
+            (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in shingle_list),
+            dtype=np.uint64,
+            count=len(shingle_list),
+        ).reshape(1, -1)
+        M = (A * H + B) % P  # k × n_unique
+        out = [
+            [str(int(v)) for v in M[:, idx].min(axis=1)] for idx in doc_idx
+        ]
         return pd.Series(out)
 
     return _fan_out(docs).select(col(id_col), _sig_udf(col(text_col)).alias("signature"))
