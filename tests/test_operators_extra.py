@@ -465,3 +465,38 @@ def test_streaming_upsert_sink_restart_exactly_once(spark, tmp_path):
     # one row per (window, type) key — restart merged, never duplicated
     assert len(rows) == 1
     assert rows[0].n == 3 and rows[0].event_type == "a"
+
+
+def test_connected_components_clique_contraction_reduces_to_stars(spark):
+    """A dense clique (the skewed-corpus near-dup case: one group owns
+    a large share of all pairs) must collapse in phase 1: the
+    contracted star graph carries O(nodes x partitions) edges, never
+    O(edges), so the iterative phase runs on data orders of magnitude
+    smaller than the input. Also pins correctness on the clique +
+    bystander-edge mix."""
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.operators.graph import (
+        _contract_partitions,
+        connected_components,
+    )
+
+    n = 80  # clique pairs: 3160 edges over 8 partitions
+    clique = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    extra = [(1000 + i, 1001 + i) for i in range(20)]  # disjoint chain
+    edges = spark.createDataFrame(clique + extra, "src long, dst long").repartition(8)
+
+    raw = edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+    stars = _contract_partitions(raw)
+    n_stars = stars.count()
+    # each partition emits at most one star edge per node it saw:
+    # bounded by nodes x partitions (101 x 8), nowhere near 3180 edges
+    assert n_stars <= (n + 21) * 8
+    assert n_stars < len(clique)
+
+    cc = {
+        r.node: r.component
+        for r in connected_components(edges, edges_per_partition=256).collect()
+    }
+    assert all(cc[i] == 0 for i in range(n))
+    assert all(cc[1000 + i] == 1000 for i in range(21))

@@ -1,0 +1,113 @@
+"""WARC ingestion: stdlib-built archives through the binaryFile +
+mapInPandas reader, HTTP payload split, tag scrub, parquet landing."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from doin_fine_ance__spark.sources.warc import (
+    read_warc,
+    split_http_payload,
+    strip_html_tags,
+    warc_to_parquet,
+)
+
+HTML = (
+    b"<html><head><style>b{color:red}</style></head>"
+    b"<body><h1>Title &amp; more</h1><script>var x=1;</script>"
+    b"<p>Hello   world</p></body></html>"
+)
+HTTP = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + HTML
+
+
+def _record(rec_id: str, rtype: str, uri: str, payload: bytes) -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        f"Content-Type: application/http\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def _archive() -> bytes:
+    return (
+        _record("aaa", "warcinfo", "", b"software: test\r\n")
+        + _record("bbb", "response", "http://example.com/a", HTTP)
+        + _record("ccc", "response", "http://example.com/b", b"\x00\x01binary\xff")
+    )
+
+
+def test_read_warc_plain_and_multimember_gz(spark, tmp_path):
+    (tmp_path / "seg0.warc").write_bytes(_archive())
+    # Common Crawl shape: one gzip member per record, concatenated
+    gz = b"".join(
+        gzip.compress(r)
+        for r in [
+            _record("ddd", "response", "http://example.com/c", HTTP),
+            _record("eee", "request", "http://example.com/c", b"GET /c\r\n"),
+        ]
+    )
+    (tmp_path / "seg1.warc.gz").write_bytes(gz)
+
+    records, skipped = read_warc(spark, str(tmp_path) + "/*")
+    rows = {r.record_id: r for r in records.collect()}
+    assert skipped.count() == 0
+    assert len(rows) == 5
+    r = rows["<urn:uuid:bbb>"]
+    assert r.warc_type == "response"
+    assert r.target_uri == "http://example.com/a"
+    assert r.content_length == len(HTTP) and bytes(r.payload) == HTTP
+    assert bytes(rows["<urn:uuid:ccc>"].payload) == b"\x00\x01binary\xff"
+    assert rows["<urn:uuid:ddd>"].src_file.endswith("seg1.warc.gz")
+
+
+def test_read_warc_resyncs_after_corrupt_bytes(spark, tmp_path):
+    good = _record("bbb", "response", "http://example.com/a", HTTP)
+    (tmp_path / "bad.warc").write_bytes(b"GARBAGE\r\nnot a record\r\n\r\n" + good)
+    records, _ = read_warc(spark, str(tmp_path / "bad.warc"))
+    got = records.collect()
+    assert [r.record_id for r in got] == ["<urn:uuid:bbb>"]
+
+
+def test_read_warc_max_file_bytes_quarantines(spark, tmp_path):
+    (tmp_path / "big.warc").write_bytes(_archive())
+    records, skipped = read_warc(spark, str(tmp_path / "big.warc"), max_file_bytes=10)
+    assert records.count() == 0
+    sk = skipped.collect()
+    assert len(sk) == 1 and sk[0].path.endswith("big.warc")
+
+
+def test_split_http_payload_exact_bytes_and_status(spark, tmp_path):
+    (tmp_path / "seg.warc").write_bytes(_archive())
+    records, _ = read_warc(spark, str(tmp_path / "seg.warc"))
+    out = {r.record_id: r for r in split_http_payload(records).collect()}
+    http = out["<urn:uuid:bbb>"]
+    assert http.http_status == 200
+    assert bytes(http.body) == HTML  # byte-exact through the latin-1 bridge
+    raw = out["<urn:uuid:ccc>"]  # non-HTTP payload passes through whole
+    assert raw.http_status is None
+    assert bytes(raw.body) == b"\x00\x01binary\xff"
+
+
+def test_strip_html_tags_drops_script_style_unescapes(spark):
+    df = spark.createDataFrame([(HTML.decode(),)], "html string")
+    txt = df.select(strip_html_tags(F.col("html")).alias("t")).first().t
+    assert txt == "Title & more Hello world"
+    assert "var x" not in txt and "color:red" not in txt
+
+
+def test_warc_to_parquet_round_trip(spark, tmp_path):
+    (tmp_path / "seg.warc").write_bytes(_archive())
+    out = warc_to_parquet(
+        spark, str(tmp_path / "seg.warc"), str(tmp_path / "pq")
+    )
+    assert out.count() == 3
+    back = {r.record_id: bytes(r.payload) for r in out.collect()}
+    assert back["<urn:uuid:bbb>"] == HTTP
