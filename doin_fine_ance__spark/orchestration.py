@@ -170,6 +170,13 @@ class LLMPipelineRun:
     # quality gate. None = stage off (the scrub rebuilds text
     # lowercased/whitespace-normalized, so it is opt-in).
     segment_max_docs: int | None = None
+    # duplicated-span gate (llm.corpus.duplicate_spans): drop docs
+    # whose fraction of overlapping 8-token windows shared with other
+    # docs exceeds this — a doc that is MOSTLY cross-doc boilerplate
+    # should not reach the quality gate at all (the segment scrub cuts
+    # shared spans out of otherwise-unique docs; this gate removes
+    # docs with nothing else in them). None = stage off.
+    max_dup_span_ratio: float | None = None
     results: dict = field(default_factory=dict)
 
     def _path(self, asset: str) -> str:
@@ -208,9 +215,24 @@ class LLMPipelineRun:
         over the deduplicated corpus."""
         from pyspark.sql import functions as F
 
-        from .llm.corpus import decontaminate, redact_pii, repetition_stats, segment_dedup
+        from .llm.corpus import (
+            decontaminate,
+            duplicate_spans,
+            redact_pii,
+            repetition_stats,
+            segment_dedup,
+        )
 
         corpus = self.spark.read.parquet(self._path("corpus"))
+        if self.max_dup_span_ratio is not None:
+            # mostly-boilerplate docs out first (docs shorter than one
+            # window emit no stats row and are never dropped here)
+            too_dup = (
+                duplicate_spans(corpus)
+                .filter(F.col("dup_ratio") > self.max_dup_span_ratio)
+                .select("doc_id")
+            )
+            corpus = corpus.join(too_dup, "doc_id", "left_anti")
         if self.segment_max_docs is not None:
             # cross-doc boilerplate segments out BEFORE the quality
             # gate (repetition stats would otherwise score the

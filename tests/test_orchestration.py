@@ -245,3 +245,33 @@ def test_llm_pipeline_segment_scrub_stage(spark, tmp_path):
     for i, text in clean.items():
         assert "licence0" not in text
         assert text == " ".join(f"body{i}w{j}" for j in range(10))
+
+
+def test_clean_corpus_dup_span_gate_drops_boilerplate_docs(spark, tmp_path):
+    """With max_dup_span_ratio set, a doc that is pure cross-doc
+    boilerplate is dropped before the quality gate, while docs that
+    merely CONTAIN the shared span (plus unique bodies) survive."""
+    from doin_fine_ance__spark.orchestration import LLMPipelineRun
+
+    span = " ".join(f"boiler{i}" for i in range(8))
+    lenient = dict(
+        max_word_frac=1.0, min_distinct_frac=0.0,
+        min_mean_word_len=0.0, max_mean_word_len=100.0,
+    )
+    docs = spark.createDataFrame(
+        [(0, span),  # 100% duplicated windows -> dropped
+         (1, span)]  # its twin -> dropped
+        + [(2 + i, span + " " + " ".join(f"body{i}w{j}" for j in range(24)))
+           for i in range(2)],  # mostly-unique docs -> kept
+        "doc_id long, text string",
+    )
+    run = LLMPipelineRun(
+        spark, str(tmp_path / "wh"), jaccard_threshold=0.99,
+        repetition_kwargs=lenient, max_dup_span_ratio=0.5,
+    )
+    run.run(docs)
+    clean = sorted(
+        r.doc_id for r in
+        spark.read.parquet(str(tmp_path / "wh/llm/clean_corpus")).collect()
+    )
+    assert clean == [2, 3]
