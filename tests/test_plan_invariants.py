@@ -1,7 +1,8 @@
 """Global plan invariants across EVERY registered query.
 
 tests/test_plans.py pins specific shapes for the headline queries;
-this sweep enforces the two unconditional scale rules on all 99:
+this sweep enforces the two unconditional scale rules on every
+registered query (101 as of round 4):
 
 - **No CartesianProduct.** A cross product anywhere is a 100 TB
   non-starter; every pair-generation stage must be banded/bucketed/
