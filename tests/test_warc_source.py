@@ -111,3 +111,45 @@ def test_warc_to_parquet_round_trip(spark, tmp_path):
     assert out.count() == 3
     back = {r.record_id: bytes(r.payload) for r in out.collect()}
     assert back["<urn:uuid:bbb>"] == HTTP
+
+
+def test_warc_to_corpus_pipeline_end_to_end(spark, tmp_path):
+    """Crawl-to-corpus seam: WARC archive → HTTP split → tag scrub →
+    documents-shaped frame → near-dup pipeline. Proves the new source
+    feeds the existing dedup/quality operators without adapters."""
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.llm.dedup import minhash_near_dups
+
+    def page(i: int, body_words: str) -> bytes:
+        html = (
+            f"<html><body><h1>Page {i}</h1><p>{body_words}</p></body></html>"
+        ).encode()
+        return _record(
+            f"p{i}", "response", f"http://example.com/{i}",
+            b"HTTP/1.1 200 OK\r\n\r\n" + html,
+        )
+
+    dup = " ".join(f"same{j}" for j in range(30))
+    archive = b"".join(
+        [page(0, dup), page(1, dup)]  # near-dup pair (identical body)
+        + [page(2 + i, " ".join(f"uniq{i}w{j}" for j in range(30)))
+           for i in range(3)]
+    )
+    (tmp_path / "crawl.warc").write_bytes(archive)
+
+    from doin_fine_ance__spark.sources.warc import read_warc, split_http_payload, strip_html_tags
+
+    records, _ = read_warc(spark, str(tmp_path / "crawl.warc"))
+    docs = (
+        split_http_payload(records)
+        .filter(F.col("http_status") == 200)
+        .select(
+            # deterministic ids from the crawl's own uris
+            F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+            strip_html_tags(F.decode(F.col("body"), "UTF-8")).alias("text"),
+        )
+    )
+    pairs = minhash_near_dups(docs, threshold=0.7).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
+    assert pairs[0].jaccard > 0.9  # same body, differing "Page i" header
