@@ -78,6 +78,7 @@ HEADLINE = [
     # a stable prefix for round-over-round comparison)
     "d_minhash_containment",
     "d_duplicate_spans",
+    "d_span_scrub",
 ]
 
 

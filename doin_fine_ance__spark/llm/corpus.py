@@ -374,3 +374,96 @@ def duplicate_spans(
             / F.count("*")
         ).alias("dup_ratio"),
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+    emit_text: bool = False,
+) -> DataFrame:
+    """Span surgery: cut every cross-document duplicated k-token span.
+
+    The removal half of Lee et al. 2022 (:func:`duplicate_spans` is
+    the measurement half): a token position is REMOVED when any
+    duplicated window covers it — i.e. the union of [i, i+k) over
+    every window i whose md5 occurs in ≥ ``min_docs`` distinct
+    documents. Overlapping duplicated windows merge naturally (the
+    covered-position set is a DISTINCT, not an interval algebra).
+
+    Returns one row per non-empty document:
+    ``(id, n_tokens, n_removed, cleaned_md5|cleaned_text)`` — md5 of
+    the space-joined surviving tokens in document order (md5('') when
+    everything was duplicated); docs shorter than one window have no
+    windows, lose nothing, and pass through whole. The rebuilt text is
+    lowercased/whitespace-normalized by the tokenization, same
+    convention as :func:`segment_dedup`.
+
+    Scale shape: window hashing is map-only; window frequencies are
+    ONE partial-agg shuffle on the hash; covered positions explode
+    only DUPLICATED windows (≤ k rows each, bounded by k × dup
+    windows, nowhere near the token stream for a mostly-clean
+    corpus); the rebuild aggregates each document's own tokens. No
+    global sort, no driver state.
+    """
+    toks = _words(F.coalesce(col(text_col), lit("")))
+    base = docs.select(col(id_col), toks.alias("ts")).filter(F.size("ts") > 0)
+    try:
+        base = materialize(base)
+    except Exception:
+        pass  # Spark Connect without checkpoint support: correct, just slower
+    wins = base.filter(F.size("ts") >= k).select(
+        col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(lit(0), F.size("ts") - k),
+                lambda s: F.md5(F.array_join(F.slice("ts", s + 1, k), " ")),
+            )
+        ).alias("pos", "wkey"),
+    )
+    try:
+        wins = materialize(wins)
+    except Exception:
+        pass
+    freq = wins.groupBy("wkey").agg(F.count_distinct(col(id_col)).alias("n_docs"))
+    covered = (
+        wins.join(freq.filter(col("n_docs") >= min_docs), "wkey")
+        .select(
+            col(id_col),
+            F.explode(F.sequence(col("pos"), col("pos") + (k - 1))).alias("tokpos"),
+        )
+        .distinct()
+    )
+    tokens = base.select(
+        col(id_col), F.posexplode("ts").alias("tokpos", "tok")
+    )
+    kept = tokens.join(covered, [id_col, "tokpos"], "left_anti")
+    kept_agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tokpos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("_rebuilt"),
+        F.count("*").cast("bigint").alias("_n_kept"),
+    )
+    out_col = (
+        F.coalesce(col("_rebuilt"), lit("")).alias("cleaned_text")
+        if emit_text
+        else F.md5(F.coalesce(col("_rebuilt"), lit(""))).alias("cleaned_md5")
+    )
+    # LEFT join: a fully-duplicated doc has no kept tokens (no kept_agg
+    # row) but must still report, with the empty fingerprint.
+    return (
+        base.select(col(id_col), F.size("ts").cast("bigint").alias("n_tokens"))
+        .join(kept_agg, id_col, "left")
+        .select(
+            col(id_col),
+            col("n_tokens"),
+            (col("n_tokens") - F.coalesce(col("_n_kept"), lit(0))).cast("bigint").alias("n_removed"),
+            out_col,
+        )
+    )

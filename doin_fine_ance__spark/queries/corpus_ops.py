@@ -371,3 +371,57 @@ def d_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     return duplicate_spans(d, "doc_id", "text", k=8, min_docs=2).orderBy("doc_id")
+
+
+@query(
+    "d_span_scrub",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ), base AS (
+      SELECT doc_id, ts FROM toks WHERE len(ts) > 0
+    ), wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(list_slice(ts, i, i + 7), ' ')) AS wkey
+      FROM base, unnest(range(1, len(ts) - 8 + 2)) AS u(i)
+      WHERE len(ts) >= 8
+    ), freq AS (
+      SELECT wkey FROM wins GROUP BY wkey HAVING COUNT(DISTINCT doc_id) >= 2
+    ), covered AS (
+      SELECT DISTINCT w.doc_id, CAST(p AS BIGINT) AS tokpos
+      FROM wins w JOIN freq f USING (wkey), unnest(range(w.pos, w.pos + 8)) AS c(p)
+    ), tokens AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS tokpos, ts[i] AS tok
+      FROM base, unnest(range(1, len(ts) + 1)) AS t(i)
+    ), kept AS (
+      SELECT t.doc_id, t.tokpos, t.tok
+      FROM tokens t ANTI JOIN covered c USING (doc_id, tokpos)
+    ), rebuilt AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY tokpos) AS _rebuilt,
+             CAST(COUNT(*) AS BIGINT) AS _n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.ts) AS BIGINT) AS n_tokens,
+           CAST(len(b.ts) - coalesce(r._n_kept, 0) AS BIGINT) AS n_removed,
+           md5(coalesce(r._rebuilt, '')) AS cleaned_md5
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def d_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span surgery (Lee et al. 2022 removal half): every token
+    covered by a cross-doc duplicated 8-token window is cut; per-doc
+    (n_tokens, n_removed, md5 of the rebuilt text). The fingerprint
+    proves windowing, coverage union, and reassembly order against an
+    independent SQL recomputation — see
+    llm/corpus.py::remove_duplicate_spans for the scale shape.
+    """
+    from ..llm.corpus import remove_duplicate_spans
+
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return remove_duplicate_spans(d, "doc_id", "text", k=8, min_docs=2).orderBy("doc_id")

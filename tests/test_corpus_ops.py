@@ -238,3 +238,42 @@ def test_duplicate_spans_overlapping_windows(spark):
     assert (out[2].n_windows, out[2].n_dup_windows) == (4, 1)
     assert (out[3].n_windows, out[3].n_dup_windows) == (5, 0)
     assert out[3].dup_ratio == 0.0
+
+
+def test_remove_duplicate_spans_surgery(spark):
+    """Covered-position semantics: two docs sharing an 8-token run at
+    different offsets lose exactly those 8 tokens each (the union of
+    overlapping duplicated windows, not per-window repeats); a unique
+    doc is untouched; an all-duplicate doc fingerprints as md5('');
+    a short doc passes through whole."""
+    import hashlib
+
+    from doin_fine_ance__spark.llm.corpus import remove_duplicate_spans
+
+    span = " ".join(f"shared{j}" for j in range(8))
+    uniq1 = " ".join(f"a{j}" for j in range(4))
+    uniq2 = " ".join(f"b{j}" for j in range(3))
+    rows = [
+        (1, span + " " + uniq1),     # span at pos 0 -> keeps uniq1
+        (2, uniq2 + " " + span),     # span at pos 3 -> keeps uniq2
+        (3, span),                   # nothing but the span
+        (4, " ".join(f"c{j}" for j in range(12))),  # unique, untouched
+        (5, "too short"),            # < 8 tokens: no windows, kept whole
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, k=8, min_docs=2).collect()}
+
+    assert (out[1].n_tokens, out[1].n_removed) == (12, 8)
+    assert out[1].cleaned_md5 == hashlib.md5(uniq1.encode()).hexdigest()
+    assert (out[2].n_tokens, out[2].n_removed) == (11, 8)
+    assert out[2].cleaned_md5 == hashlib.md5(uniq2.encode()).hexdigest()
+    assert (out[3].n_tokens, out[3].n_removed) == (8, 8)
+    assert out[3].cleaned_md5 == hashlib.md5(b"").hexdigest()
+    assert (out[4].n_tokens, out[4].n_removed) == (12, 0)
+    assert (out[5].n_tokens, out[5].n_removed) == (2, 0)
+    assert out[5].cleaned_md5 == hashlib.md5(b"too short").hexdigest()
+
+    # emit_text variant rebuilds the surviving tokens
+    txt = {r.doc_id: r.cleaned_text
+           for r in remove_duplicate_spans(df, k=8, min_docs=2, emit_text=True).collect()}
+    assert txt[1] == uniq1 and txt[2] == uniq2 and txt[3] == ""
