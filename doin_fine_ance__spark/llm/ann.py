@@ -289,3 +289,158 @@ def ann_topk_lsh(
         ).alias("cosine"),
     )
     return scored.orderBy(col("cosine").desc(), col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the memory tier
+# ---------------------------------------------------------------------------
+#
+# IVF and hyperplane LSH above prune WHICH vectors a query touches; PQ
+# compresses WHAT is stored: dim float32 (256 B at dim=64) becomes m
+# uint8 codes (m bytes), letting a 100 TB embedding corpus keep its
+# whole searchable representation in cluster memory. Codebooks train
+# driver-side on a bounded deterministic sample (faiss practice — the
+# sample, not the corpus, bounds training cost); ENCODING, the
+# corpus-sized stage, is one map-only Arrow pass; search is
+# asymmetric-distance (ADC): the query builds an m x k dot-product
+# table against the codebooks (tiny, on the driver) and every stored
+# vector scores as m table lookups — no float vectors move at query
+# time. Scores approximate the INNER PRODUCT; feed unit-normalized
+# embeddings for cosine ranking.
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train m per-block codebooks of k centroids each (numpy Lloyd's,
+    L2, deterministic every-nth init on an ``orderBy(id)`` sample).
+    Returns an (m, k, dim/m) float64 ndarray. dim must divide by m."""
+    import numpy as np
+
+    import hashlib
+
+    rows = (
+        embeddings.orderBy(id_col)
+        .select(id_col, vec_col)
+        .limit(sample_size)
+        .collect()
+    )
+    # Deterministic but DECORRELATED init order: stride-sampling the
+    # id order picks every n/k-th row, and real corpora are often
+    # periodic in id (round-robin sources, replicated shards) — a
+    # stride that divides the period inits every centroid from one
+    # mode. Hash-shuffling the sample first keeps determinism and
+    # breaks any id structure.
+    rows.sort(key=lambda r: hashlib.md5(str(r[id_col]).encode()).hexdigest())
+    X = np.array([list(map(float, r[vec_col])) for r in rows])
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = np.empty((m, k, sub))
+    for b in range(m):
+        Xb = X[:, b * sub : (b + 1) * sub]
+        C = Xb[:k].copy()
+        for _ in range(iters):
+            d2 = ((Xb[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for j in range(k):
+                pts = Xb[assign == j]
+                if len(pts):
+                    C[j] = pts.mean(0)
+        books[b] = C
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only PQ encoding: (id, codes array<int>) — codes[b] is the
+    L2-nearest codebook centroid of the b-th subvector block. The one
+    corpus-sized stage; Arrow-vectorized, no shuffle."""
+    import numpy as np
+
+    m, k, sub = codebooks.shape
+    flat = codebooks.reshape(m * k, sub)
+    bnorm2 = (codebooks**2).sum(-1)  # (m, k)
+    B = codebooks
+
+    @pandas_udf("array<int>")
+    def _enc(vecs: pd.Series) -> pd.Series:
+        X = np.array([list(map(float, v)) for v in vecs])
+        if not len(X):
+            return pd.Series([], dtype=object)
+        n = len(X)
+        codes = np.empty((n, m), dtype=np.int32)
+        for b in range(m):
+            Xb = X[:, b * sub : (b + 1) * sub]
+            # argmin ||x-c||^2 = argmin (|c|^2 - 2 x·c); |x|^2 constant
+            d = bnorm2[b][None, :] - 2.0 * (Xb @ B[b].T)
+            codes[:, b] = d.argmin(1)
+        return pd.Series([list(map(int, c)) for c in codes])
+
+    return embeddings.select(col(id_col), _enc(col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    rerank_with: DataFrame | None = None,
+    rerank_factor: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over PQ codes: score(x) = Σ_b table[b][codes[b]] with
+    table[b][j] = q_b · c_bj — approximate inner product, computed as
+    m table lookups per stored vector (map-only) followed by a
+    TakeOrderedAndProject. Ties break on id for determinism.
+
+    ADC score error is on the order of the quantization distortion, so
+    within a tight neighborhood PQ ranks coarsely — production systems
+    therefore retrieve a ``k × rerank_factor`` candidate set by ADC
+    and re-score JUST those against the full vectors. Pass the
+    original embeddings as ``rerank_with`` to get that second stage:
+    the exact pass touches k·factor rows (a broadcast semi-join
+    against the candidate ids), never the corpus.
+    """
+    import numpy as np
+
+    m, kk, sub = codebooks.shape
+    q = np.asarray(query_vec, dtype=float)
+    T = np.empty((m, kk))
+    for b in range(m):
+        T[b] = codebooks[b] @ q[b * sub : (b + 1) * sub]
+
+    @pandas_udf("double")
+    def _score(cs: pd.Series) -> pd.Series:
+        C = np.array([list(c) for c in cs], dtype=np.int64)
+        if not len(C):
+            return pd.Series([], dtype=float)
+        return pd.Series(T[np.arange(m)[None, :], C].sum(1))
+
+    n_cand = k if rerank_with is None else max(k, k * rerank_factor)
+    cand = (
+        codes.select(col(id_col), _score(col("codes")).alias("score"))
+        .orderBy(col("score").desc(), col(id_col))
+        .limit(n_cand)
+    )
+    if rerank_with is None:
+        return cand
+    qarr = F.array(*[lit(float(v)) for v in query_vec])
+    exact = rerank_with.join(
+        F.broadcast(cand.select(id_col)), id_col, "left_semi"
+    ).select(
+        col(id_col), _dot(col(vec_col), qarr).alias("score")
+    )
+    return exact.orderBy(col("score").desc(), col(id_col)).limit(k)
