@@ -79,6 +79,7 @@ HEADLINE = [
     "d_minhash_containment",
     "d_duplicate_spans",
     "d_span_scrub",
+    "d_semantic_dedup",
 ]
 
 

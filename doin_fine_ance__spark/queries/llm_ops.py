@@ -1304,3 +1304,80 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         small.mapInPandas(feat, "media_id long, width int, height int, px_sum long, n_px long")
         .orderBy("media_id")
     )
+
+
+@query(
+    "d_semantic_dedup",
+    oracle="""
+    WITH quant AS (
+      SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS q
+      FROM embeddings
+    ), samp AS (
+      SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn
+      FROM quant ORDER BY vec_id LIMIT 128
+    ), cents AS (
+      SELECT CAST((rn - 1) / 8 AS INT) AS list_id, q AS c
+      FROM samp WHERE (rn - 1) % 8 = 0
+    ), assigned AS (
+      SELECT vec_id, q, list_id FROM (
+        SELECT v.vec_id, v.q, c.list_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {vc} DESC, c.list_id ASC) AS rnk
+        FROM quant v CROSS JOIN cents c
+      ) WHERE rnk = 1
+    ), dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.list_id = b.list_id AND b.vec_id < a.vec_id AND {ab} >= 0.35
+    )
+    SELECT a.vec_id, a.list_id, (d.vec_id IS NULL) AS keep
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    ORDER BY a.vec_id
+    """.format(
+        vc=_IVF_COSINE.format(a="v.q", b="c.c"),
+        ab=_IVF_COSINE.format(a="a.q", b="b.q"),
+    ),
+)
+def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, drop all but
+    one of each within-cluster semantic-duplicate group.
+
+    The embedding-space analog of MinHash dedup — catches paraphrases
+    and re-encodings that share no tokens. Corpus is bucketed into 16
+    stride-sampled centroid cells (the deterministic IVF assignment of
+    s_cosine_topk_ivf, bit-identical across engines on quantized
+    integer dot products); inside each cell every vector with a
+    LOWER-id neighbor at cosine ≥ 0.35 is marked dropped (greedy
+    keep-first — deterministic, no transitive closure). Pairwise work
+    is per-CELL Gram matrices in applyInPandas, never corpus-wide; at
+    100 TB the cell count scales with the corpus (SemDeDup uses ~10k
+    clusters) so each Gram stays bounded — exactly this code with a
+    bigger centroid list. Threshold 0.35 reflects the synthetic
+    gaussian corpus (cf. d_embedding_cosine_neardups).
+    """
+    import numpy as np
+
+    from ..llm.ann import ivf_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    quant = e.select("vec_id", _quantize(col("embedding")).alias("q"))
+    sample = quant.orderBy("vec_id").limit(128).collect()
+    centroids = [[float(x) for x in r.q] for r in sample[::8]][:16]
+    assigned = ivf_assign(quant, centroids, vec_col="q")
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["q"]])
+        n = np.sqrt((E * E).sum(axis=1))
+        n[n == 0.0] = 1.0
+        # same op order as the oracle: dot / (sqrt * sqrt)
+        S = (E @ E.T) / (n[:, None] * n[None, :])
+        has_lower_dup = np.tril(S >= 0.35, -1).any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "list_id": pdf["list_id"], "keep": ~has_lower_dup}
+        )
+
+    out = assigned.groupBy("list_id").applyInPandas(
+        prune, "vec_id long, list_id int, keep boolean"
+    )
+    return out.orderBy("vec_id")

@@ -594,3 +594,52 @@ def test_pq_recall_and_compression(spark):
     # determinism
     assert rr == [r.vec_id for r in
                   pq_topk(codes, books, query, k=10, rerank_with=df).collect()]
+
+
+def test_semantic_dedup_prunes_planted_group(spark):
+    """Three near-identical embeddings collapse to their lowest id;
+    distinct vectors all survive; output covers every vector exactly
+    once with a cluster id."""
+    import math
+    import random
+
+    import numpy as np
+
+    from doin_fine_ance__spark.llm.ann import ivf_assign
+
+    rng = random.Random(5)
+    dim = 16
+
+    def unit(v):
+        nv = math.sqrt(sum(x * x for x in v))
+        return [x / nv for x in v]
+
+    base = unit([rng.gauss(0, 1) for _ in range(dim)])
+    rows = [(i, unit([rng.gauss(0, 1) for _ in range(dim)])) for i in range(20)]
+    # planted semantic-duplicate group: ids 100, 101, 102 ~ same vector
+    for j in range(3):
+        rows.append((100 + j, unit([x + rng.gauss(0, 0.01) for x in base])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    sample = df.orderBy("vec_id").limit(23).collect()
+    centroids = [[float(x) for x in r.embedding] for r in sample[::8]][:3]
+    assigned = ivf_assign(df, centroids)
+
+    import pandas as pd
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        n = np.sqrt((E * E).sum(axis=1))
+        n[n == 0.0] = 1.0
+        S = (E @ E.T) / (n[:, None] * n[None, :])
+        has_lower = np.tril(S >= 0.95, -1).any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "keep": ~has_lower}
+        )
+
+    out = {r.vec_id: r.keep for r in assigned.groupBy("list_id").applyInPandas(
+        prune, "vec_id long, keep boolean").collect()}
+    assert len(out) == 23
+    assert out[100] and not out[101] and not out[102]  # keep-first greedy
+    assert all(out[i] for i in range(20))  # random gaussians are not dups
