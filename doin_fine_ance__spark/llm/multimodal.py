@@ -404,3 +404,92 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=AUDIO_FEATURES_SCHEMA.fieldNames())
 
     return media.repartition("media_id").mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def image_ahash64(media: DataFrame) -> DataFrame:
+    """Per-image 64-bit average hash (aHash): (media_id, ahash long).
+
+    The standard cheap perceptual fingerprint (LAION-scale image dedup
+    starts here before any embedding model): decode via the codec
+    registry, grayscale (integer 299/587/114 luma — deterministic, no
+    float), nearest-neighbor downscale to 8×8, threshold each cell
+    against the 64-cell mean. Near-identical images (small noise,
+    re-encode, minor crop) agree on most bits; unrelated images differ
+    on ~32. Map-only Arrow pass — pixels never leave the executor,
+    only the 8-byte hash.
+    """
+    import numpy as np
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("ahash", LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.array([299, 587, 114], dtype=np.int64)
+        bit_vals = (1 << np.arange(63, -1, -1)).astype(np.uint64)
+        for pdf in batches:
+            hashes = []
+            for mime, content in zip(pdf["mime"], pdf["content"]):
+                decode, _ = _require(IMAGE_DECODERS, mime, "image_ahash64")
+                rgb = decode(content).astype(np.int64)
+                luma = (rgb @ weights) // 1000  # (H, W) integer grayscale
+                small = _resize_nearest(
+                    luma[:, :, None].astype(np.uint8).repeat(3, axis=2), 8, 8
+                )[:, :, 0].astype(np.int64)
+                bits = (small.reshape(-1) >= small.mean()).astype(np.uint64)
+                hashes.append(int((bits * bit_vals).sum().astype(np.int64)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "ahash": hashes}
+            )
+
+    return media.mapInPandas(kernel, schema=out_schema)
+
+
+def image_neardup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Perceptual near-duplicate image pairs via aHash + the SimHash
+    pigeonhole machinery: hashes within ``max_hamming`` bits share at
+    least one exact 16-bit chunk (for max_hamming ≤ 6 < 4 chunks), so
+    candidates come from 4 chunk-bucket joins — never all pairs — and
+    an exact popcount verify filters them. Returns
+    (id_a, id_b, hamming). Same scale shape as text SimHash dedup."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col, lit
+
+    sigs = image_ahash64(media).withColumnRenamed("ahash", "simhash")
+    chunks = sigs.select(
+        col("media_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        lit(i).alias("chunk_idx"),
+                        F.shiftright(col("simhash"), i * 16)
+                        .bitwiseAND(lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(col("media_id"), "simhash", col("c.chunk_idx"), col("c.chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (col("a.chunk_idx") == col("b.chunk_idx"))
+            & (col("a.chunk") == col("b.chunk"))
+            & (col("a.media_id") < col("b.media_id")),
+        )
+        .select(
+            col("a.media_id").alias("id_a"),
+            col("b.media_id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -643,3 +643,52 @@ def test_semantic_dedup_prunes_planted_group(spark):
     assert len(out) == 23
     assert out[100] and not out[101] and not out[102]  # keep-first greedy
     assert all(out[i] for i in range(20))  # random gaussians are not dups
+
+
+def test_image_ahash_neardup_pairs(spark):
+    """Perceptual image dedup on synthetic BMPs: a noisy copy of an
+    image pairs with its original at small Hamming distance; unrelated
+    patterns do not pair; hashes are deterministic."""
+    import random
+
+    import numpy as np
+
+    from doin_fine_ance__spark.llm.multimodal import (
+        encode_bmp,
+        image_ahash64,
+        image_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+
+    def gradient(seed):
+        r = np.random.RandomState(seed)
+        base = np.linspace(0, 255, 32, dtype=np.uint8)
+        img = np.zeros((32, 32, 3), np.uint8)
+        img[:, :, 0] = base[None, :]
+        img[:, :, 1] = base[:, None]
+        img[:, :, 2] = r.randint(0, 255)
+        return img
+
+    img_a = gradient(1)
+    noisy = img_a.astype(np.int16) + rng.randint(-6, 7, img_a.shape)
+    img_a2 = noisy.clip(0, 255).astype(np.uint8)      # near-dup of a
+    img_b = gradient(2)[::-1, :, :].copy()            # reversed: different layout
+    checker = (np.indices((32, 32)).sum(0) % 2 * 255).astype(np.uint8)
+    img_c = np.stack([checker] * 3, axis=2)           # unrelated pattern
+
+    rows = [
+        (i, "image", "image/bmp", 32, 32, 0, bytearray(encode_bmp(im)))
+        for i, im in enumerate([img_a, img_a2, img_b, img_c])
+    ]
+    from doin_fine_ance__spark.llm.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in image_neardup_pairs(media, max_hamming=6).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 6
+    assert all(p == (0, 1) for p in pairs), pairs  # nothing else pairs
+
+    h1 = sorted((r.media_id, r.ahash) for r in image_ahash64(media).collect())
+    h2 = sorted((r.media_id, r.ahash) for r in image_ahash64(media).collect())
+    assert h1 == h2  # deterministic
