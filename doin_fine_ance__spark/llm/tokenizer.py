@@ -203,3 +203,70 @@ def apply_bpe(
         col(id_col),
         _encode(col(text_col)).alias("tokens"),
     ).withColumn("n_tokens", F.size("tokens").cast("bigint"))
+
+
+def make_training_examples(
+    tokens: DataFrame,
+    seq_len: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    eos: str = "<eos>",
+) -> DataFrame:
+    """Tokenized docs → fixed-length training examples (GPT-style
+    concat-then-chunk): documents are shuffled deterministically into
+    shards (md5, the pack_sequences permutation), each shard's token
+    streams are concatenated with one ``eos`` after every document,
+    and the stream is cut into consecutive ``seq_len`` windows; the
+    final partial window of each shard is dropped (standard practice).
+    Returns ``(shard, example_id, tokens)`` with every row exactly
+    ``seq_len`` tokens.
+
+    Scale shape — no shard-sized group ever materializes: per-DOC
+    start offsets come from a prefix-sum window over doc-level rows
+    (partitioned by shard, parallelism = n_shards, same discipline as
+    pack_sequences); then tokens posexplode to absolute positions and
+    examples assemble by ``(shard, position ÷ seq_len)`` — each group
+    is exactly seq_len tokens, so the assembly shuffle is uniform by
+    construction. The token-level explode is the honest cost of
+    materializing training data; everything else is doc-level.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(col(id_col).cast("string"))
+    with_eos = F.concat(col(tokens_col), F.array(lit(eos)))
+    base = tokens.select(
+        col(id_col),
+        with_eos.alias("_t"),
+        (F.conv(F.substring(key, 1, 4), 16, 10).cast("bigint") % n_shards)
+        .cast("int")
+        .alias("shard"),
+        key.alias("_ord"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(F.size("_t")).over(w), lit(0).cast("bigint"))
+    # the offset MUST resolve before the explode: in a single select
+    # Spark plans the Generate under the Window, making the prefix sum
+    # run over token rows instead of document rows
+    offsets = base.select("shard", start.alias("_start"), "_t")
+    placed = offsets.select(
+        "shard",
+        "_start",
+        F.posexplode("_t").alias("_pos", "_tok"),
+    ).select(
+        "shard",
+        ((col("_start") + col("_pos")) / seq_len).cast("bigint").alias("example_id"),
+        (col("_start") + col("_pos")).alias("_abs"),
+        "_tok",
+    )
+    assembled = placed.groupBy("shard", "example_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_abs", "_tok"))),
+            lambda x: x["_tok"],
+        ).alias("tokens")
+    )
+    return assembled.filter(F.size("tokens") == seq_len)

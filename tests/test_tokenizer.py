@@ -86,3 +86,43 @@ def test_apply_bpe_empty_and_unseen(spark):
     out = {r.doc_id: r for r in apply_bpe(probe, merges).collect()}
     assert out[0].n_tokens == 0 and out[1].n_tokens == 0
     assert out[2].n_tokens >= 2  # unseen chars fall back to characters
+
+
+def test_make_training_examples_matches_reference(spark):
+    """Distributed concat-then-chunk equals the driver-side reference:
+    per shard, md5-ordered docs concatenated with one <eos> each, cut
+    into exact seq_len windows, last partial dropped."""
+    import hashlib
+
+    from doin_fine_ance__spark.llm.tokenizer import make_training_examples
+
+    rows = [(i, [f"t{i}_{j}" for j in range(3 + i % 5)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    seq_len, n_shards = 16, 4
+
+    got = {}
+    out = make_training_examples(df, seq_len, n_shards=n_shards).collect()
+    for r in out:
+        assert len(r.tokens) == seq_len
+        got[(r.shard, r.example_id)] = list(r.tokens)
+
+    # driver-side reference
+    def md5(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    want = {}
+    for shard in range(n_shards):
+        docs = sorted(
+            (r for r in rows if int(md5(r[0])[:4], 16) % n_shards == shard),
+            key=lambda r: md5(r[0]),
+        )
+        stream = []
+        for _, toks in docs:
+            stream.extend(toks)
+            stream.append("<eos>")
+        for e in range(len(stream) // seq_len):
+            want[(shard, e)] = stream[e * seq_len : (e + 1) * seq_len]
+
+    assert got == want
+    # every shard's stream is fully covered except the dropped tail
+    assert len(got) == sum(len(v) == seq_len for v in want.values())
