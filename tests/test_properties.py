@@ -239,3 +239,57 @@ def test_segment_dedup_matches_bruteforce(spark, docs):
         for r in segment_dedup(df, seg_tokens=seg, max_docs=max_docs).collect()
     }
     assert got == want
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_duplicate_spans_and_scrub_match_bruteforce(spark, docs):
+    """duplicate_spans AND remove_duplicate_spans == driver-side
+    brute-force over the same sliding windows: same window hashing,
+    same cross-doc threshold, same coverage union and rebuild."""
+    import hashlib
+    from collections import defaultdict
+
+    from doin_fine_ance__spark.llm.corpus import duplicate_spans, remove_duplicate_spans
+
+    k, min_docs = 3, 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+
+    # brute force
+    wins = {}  # doc -> [(pos, window str)]
+    for i, toks in enumerate(docs):
+        wins[i] = [
+            (p, " ".join(toks[p : p + k])) for p in range(len(toks) - k + 1)
+        ]
+    docs_per_win = defaultdict(set)
+    for i, ws in wins.items():
+        for _, wstr in ws:
+            docs_per_win[wstr].add(i)
+    want_stats = {}
+    want_scrub = {}
+    for i, toks in enumerate(docs):
+        dup = [(p, w) for p, w in wins[i] if len(docs_per_win[w]) >= min_docs]
+        if wins[i]:
+            n = len(wins[i])
+            want_stats[i] = (n, len(dup), len(dup) / n)
+        covered = set()
+        for p, _ in dup:
+            covered.update(range(p, p + k))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        want_scrub[i] = (
+            len(toks),
+            len(toks) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_stats = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_ratio)
+        for r in duplicate_spans(df, k=k, min_docs=min_docs).collect()
+    }
+    assert got_stats == want_stats
+    got_scrub = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_md5)
+        for r in remove_duplicate_spans(df, k=k, min_docs=min_docs).collect()
+    }
+    assert got_scrub == want_scrub
