@@ -578,8 +578,15 @@ def build_case(ops: list[dict]):
             return f"COALESCE({op['col']}, {lit})"
         if o == "proj_arith":
             a, b = op["a"], op["b"]
-            return {"mul1m": f"({a} * (1.0 - {b}))",
-                    "add": f"({a} + {b})",
+            # trailing "+ 0.0" normalizes IEEE negative zero: 0 * negative
+            # yields -0.0, and while both engines GROUP -0.0 with 0.0,
+            # DuckDB reports the key as -0.0 where Spark's
+            # NormalizeFloatingNumbers emits +0.0 — numerically equal,
+            # sign-distinct under the value-hash (fuzz seed 2472).
+            # -0.0 + 0.0 = +0.0 and x + 0.0 = x otherwise, identically
+            # on both engines.
+            return {"mul1m": f"(({a} * (1.0 - {b})) + 0.0)",
+                    "add": f"(({a} + {b}) + 0.0)",
                     "abs": f"abs({a})"}[op["form"]]
         raise AssertionError(o)
 
@@ -607,7 +614,9 @@ def build_case(ops: list[dict]):
                 lit = F.lit(int(op["lit"]))
             return F.coalesce(F.col(op["col"]), lit)
         a, b = F.col(op["a"]), F.col(op["b"])
-        return {"mul1m": a * (F.lit(1.0) - b), "add": a + b,
+        # + 0.0 mirrors the SQL side's negative-zero normalization
+        return {"mul1m": a * (F.lit(1.0) - b) + F.lit(0.0),
+                "add": a + b + F.lit(0.0),
                 "abs": F.abs(a)}[op["form"]]
 
     def filter_sql(op):
