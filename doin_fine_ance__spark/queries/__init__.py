@@ -69,10 +69,13 @@ DRIVER_WINDOW: list[str] = [
     "j_asof_purchase_last_view",
     "j_range_price_bands",
     # --- last green driver row r2: inventory agg/filter/join/order families ---
-    "a3_yearly_spend_by_category",
-    "a4_quarterly_spend",
-    "a6_count_total",
-    "a7_distinct_categories",
+    # --- r4 session-2 additions: first driver rows (the four swapped-out
+    # --- anchors a3/a4/a6/a7 keep their green r2 driver rows, so the
+    # --- r1-r4 union still covers every oracle-able query) ---
+    "d_minhash_containment",
+    "d_duplicate_spans",
+    "d_span_scrub",
+    "d_semantic_dedup",
     "a8_connection_health_rollup",
     "a11_class_distribution",
     "p1_projection_literals",
