@@ -170,6 +170,13 @@ class LLMPipelineRun:
     # quality gate. None = stage off (the scrub rebuilds text
     # lowercased/whitespace-normalized, so it is opt-in).
     segment_max_docs: int | None = None
+    # terminal tokenizer asset knobs (tokenized_examples): merge count
+    # scales with target vocab (production: thousands; tests: small —
+    # each merge is a Spark round over the word table), example length
+    # is the trainer's context window.
+    bpe_merges: int = 16
+    example_seq_len: int = 512
+    example_shards: int = 8
     # duplicated-span gate (llm.corpus.duplicate_spans): drop docs
     # whose fraction of overlapping 8-token windows shared with other
     # docs exceeds this — a doc that is MOSTLY cross-doc boilerplate
@@ -319,6 +326,44 @@ class LLMPipelineRun:
         ordered.write.mode("overwrite").parquet(self._path("training_mix"))
         self.results["training_mix"] = ordered.count()
 
+    def tokenized_examples(
+        self,
+        num_merges: int | None = None,
+        seq_len: int | None = None,
+        n_shards: int | None = None,
+    ) -> None:
+        """Training mix → tokenizer → fixed-length examples, the
+        terminal asset a trainer reads: learn a BPE vocabulary FROM
+        the selected mix (llm/tokenizer.py), encode it, and
+        materialize exact ``seq_len`` token windows partitioned by
+        shard. The merge list persists alongside (JSON) so the
+        trained model's tokenizer is reproducible from the warehouse.
+        """
+        import json as _json
+
+        from .llm.tokenizer import apply_bpe, bpe_train, make_training_examples
+
+        num_merges = num_merges if num_merges is not None else self.bpe_merges
+        seq_len = seq_len if seq_len is not None else self.example_seq_len
+        n_shards = n_shards if n_shards is not None else self.example_shards
+        mix = self.spark.read.parquet(self._path("training_mix"))
+        merges = bpe_train(mix, num_merges)
+        toks = apply_bpe(mix, merges)
+        # persist: the count must come from THIS frame, not a re-read —
+        # a corpus smaller than one seq_len window yields zero examples
+        # and an empty parquet dir has no schema to re-infer.
+        examples = make_training_examples(toks, seq_len, n_shards=n_shards).persist()
+        n = examples.count()
+        examples.write.mode("overwrite").partitionBy("shard").parquet(
+            self._path("examples")
+        )
+        examples.unpersist()
+        merges_path = self._path("tokenizer_merges.json")
+        os.makedirs(os.path.dirname(merges_path), exist_ok=True)
+        with open(merges_path, "w") as f:
+            _json.dump([list(m) for m in merges], f)
+        self.results["examples"] = n
+
     def quality_stats(self) -> None:
         from pyspark.sql import functions as F
 
@@ -339,6 +384,7 @@ class LLMPipelineRun:
         self.clean_corpus(benchmark)
         self.training_mix()
         self.shards()
+        self.tokenized_examples()
         self.quality_stats()
         return self.results
 

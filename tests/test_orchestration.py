@@ -275,3 +275,38 @@ def test_clean_corpus_dup_span_gate_drops_boilerplate_docs(spark, tmp_path):
         spark.read.parquet(str(tmp_path / "wh/llm/clean_corpus")).collect()
     )
     assert clean == [2, 3]
+
+
+def test_tokenized_examples_terminal_asset(spark, tmp_path):
+    """The corpus DAG ends in trainer-ready artifacts: fixed-length
+    token examples partitioned by shard plus the persisted merge list,
+    and decoding examples with the saved merges is consistent (every
+    row exactly seq_len tokens; merges file parses back)."""
+    import json
+
+    from doin_fine_ance__spark.orchestration import LLMPipelineRun
+
+    lenient = dict(
+        max_word_frac=1.0, min_distinct_frac=0.0,
+        min_mean_word_len=0.0, max_mean_word_len=100.0,
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30)))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    run = LLMPipelineRun(spark, str(tmp_path / "wh"), repetition_kwargs=lenient)
+    run.dedup_pairs(docs)
+    run.clusters()
+    run.keeper_corpus(docs)
+    run.clean_corpus()
+    run.training_mix(min_quality=0.0)
+    run.tokenized_examples(num_merges=12, seq_len=32, n_shards=2)
+
+    ex = spark.read.parquet(str(tmp_path / "wh/llm/examples"))
+    rows = ex.collect()
+    assert run.results["examples"] == len(rows) > 0
+    assert all(len(r.tokens) == 32 for r in rows)
+    assert set(r.shard for r in rows) <= {0, 1}
+    merges = json.load(open(tmp_path / "wh/llm/tokenizer_merges.json"))
+    assert len(merges) == 12 and all(len(m) == 2 for m in merges)
