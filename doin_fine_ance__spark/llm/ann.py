@@ -338,6 +338,11 @@ def pq_train(
     # mode. Hash-shuffling the sample first keeps determinism and
     # breaks any id structure.
     rows.sort(key=lambda r: hashlib.md5(str(r[id_col]).encode()).hexdigest())
+    if len(rows) < k:
+        raise ValueError(
+            f"pq_train needs at least k={k} sampled rows to seed centroids; "
+            f"got {len(rows)} (raise sample_size or lower k)"
+        )
     X = np.array([list(map(float, r[vec_col])) for r in rows])
     n, dim = X.shape
     if dim % m:

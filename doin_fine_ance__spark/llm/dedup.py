@@ -257,6 +257,19 @@ def minhash_containment_pairs(
     return _verified_pairs(docs, id_col, text_col, threshold, k, bands, "containment")
 
 
+#: The single live verify-side token cache (see _verified_pairs).
+_TOKEN_STORES: list[DataFrame] = []
+
+
+def release_token_stores() -> None:
+    """Unpersist the verify-side token cache the last
+    minhash_near_dups / minhash_containment_pairs call left behind.
+    Call after materializing the returned pairs in long-lived
+    sessions; harmless if nothing is cached."""
+    while _TOKEN_STORES:
+        _TOKEN_STORES.pop().unpersist()
+
+
 def _verified_pairs(
     docs: DataFrame,
     id_col: str,
@@ -305,7 +318,16 @@ def _verified_pairs(
     # hash joins — while a corpus-scale store still gets the
     # shuffle-on-id SMJ it needs (at the sf1 rehearsal the SMJ path
     # sorts the 27M-row candidate list twice just to verify it).
+    # Cache lifetime: persist() has no scope — without cleanup every
+    # minhash_near_dups/containment call would pin another token store
+    # in executor memory for the session lifetime. Keep at most ONE
+    # live store (evict the previous call's on entry); a still-lazy
+    # earlier result just recomputes its tokens — correctness never
+    # rides on the cache. release_token_stores() drops the last one.
     toks = toks.persist()
+    while _TOKEN_STORES:
+        _TOKEN_STORES.pop().unpersist()
+    _TOKEN_STORES.append(toks)
     ta = toks.select(col(id_col).alias("id_a"), col("tokens").alias("tok_a"))
     tb = toks.select(col(id_col).alias("id_b"), col("tokens").alias("tok_b"))
     inter = F.size(F.array_intersect("tok_a", "tok_b"))

@@ -450,14 +450,25 @@ def image_ahash64(media: DataFrame) -> DataFrame:
 
 def image_neardup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Perceptual near-duplicate image pairs via aHash + the SimHash
-    pigeonhole machinery: hashes within ``max_hamming`` bits share at
-    least one exact 16-bit chunk (for max_hamming ≤ 6 < 4 chunks), so
-    candidates come from 4 chunk-bucket joins — never all pairs — and
-    an exact popcount verify filters them. Returns
+    pigeonhole machinery, bucketing on EIGHT 8-bit chunks: two 64-bit
+    hashes differing in at most 7 bits cannot differ in all 8 chunks,
+    so any pair within ``max_hamming`` ≤ 7 shares at least one exact
+    chunk and candidates come from 8 chunk-bucket joins — never all
+    pairs — with an exact popcount verify filtering them. (Text
+    SimHash uses 4×16-bit chunks, whose guarantee tops out at
+    Hamming ≤ 3; image aHash wants the looser default 6, which the
+    16-bit chunking silently under-recalled — a 2+2+1+1 bit spread
+    hits every 16-bit chunk but not all eight 8-bit ones.) Raises for
+    ``max_hamming`` > 7 rather than silently dropping recall. Returns
     (id_a, id_b, hamming). Same scale shape as text SimHash dedup."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import col, lit
 
+    if max_hamming > 7:
+        raise ValueError(
+            "image_neardup_pairs guarantees recall only for max_hamming <= 7 "
+            f"(8 exact 8-bit chunks over a 64-bit hash); got {max_hamming}"
+        )
     sigs = image_ahash64(media).withColumnRenamed("ahash", "simhash")
     chunks = sigs.select(
         col("media_id"),
@@ -467,11 +478,11 @@ def image_neardup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
                 *[
                     F.struct(
                         lit(i).alias("chunk_idx"),
-                        F.shiftright(col("simhash"), i * 16)
-                        .bitwiseAND(lit(0xFFFF))
+                        F.shiftright(col("simhash"), i * 8)
+                        .bitwiseAND(lit(0xFF))
                         .alias("chunk"),
                     )
-                    for i in range(4)
+                    for i in range(8)
                 ]
             )
         ).alias("c"),

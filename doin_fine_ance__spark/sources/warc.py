@@ -42,7 +42,6 @@ starts with before a real boilerplate extractor).
 
 from __future__ import annotations
 
-import io
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,31 +66,134 @@ WARC_SCHEMA = T.StructType(
 
 _CRLF = b"\r\n"
 
+#: warc_type emitted for a record whose declared Content-Length exceeds
+#: the per-record memory cap: the record is counted (with its real
+#: length) but its payload bytes are streamed past, never buffered —
+#: filter on this value to audit what the cap excluded.
+OVERSIZE_RECORD = "__oversize_record__"
 
-def _parse_warc_stream(data: bytes, src: str) -> Iterator[tuple]:
-    """Yield WARC_SCHEMA tuples from one (decompressed) WARC byte
-    stream. Content-Length-driven — payloads may contain anything,
-    including things that look like record boundaries."""
-    buf = memoryview(data)
-    pos, n = 0, len(data)
-    while pos < n:
+
+def _gzip_member_chunks(raw: bytes, chunk: int = 1 << 20) -> Iterator[bytes]:
+    """Decompress a (possibly multi-member) gzip byte string as a
+    stream of bounded chunks. Common Crawl archives are one gzip
+    member per record; ``zlib.decompressobj(wbits=31)`` handles one
+    member, so on member EOF re-seed a fresh object with the unused
+    tail. Peak memory is O(chunk), not O(decompressed size)."""
+    import zlib
+
+    view = memoryview(raw)
+    pos, n = 0, len(raw)
+    d = zlib.decompressobj(wbits=31)
+    pending = b""  # compressed bytes not yet consumed by d
+    while True:
+        if d.eof:  # member boundary: restart on the leftover bytes
+            pending = d.unused_data + pending
+            # gzip archives may zero-pad between/after members; a real
+            # member starts 0x1f 0x8b, never 0x00
+            pending = pending.lstrip(b"\x00")
+            while not pending and pos < n:
+                pending = bytes(view[pos : pos + chunk]).lstrip(b"\x00")
+                pos += chunk
+            if not pending:
+                return
+            d = zlib.decompressobj(wbits=31)
+        if not pending:
+            if pos >= n:
+                out = d.flush()  # truncated final member: salvage tail
+                if out:
+                    yield out
+                return
+            pending = bytes(view[pos : pos + chunk])
+            pos += chunk
+        out = d.decompress(pending, chunk)
+        pending = d.unconsumed_tail
+        if out:
+            yield out
+
+
+def _parse_warc_chunks(
+    chunks: Iterator[bytes],
+    src: str,
+    max_record_bytes: int = 1 << 30,
+    _stats: dict | None = None,
+) -> Iterator[tuple]:
+    """Yield WARC_SCHEMA tuples from a stream of decompressed chunks.
+
+    Content-Length-driven — payloads may contain anything, including
+    things that look like record boundaries. Incremental: the working
+    buffer holds at most one record (plus one chunk), so task memory
+    is bounded by ``max_record_bytes`` — NOT by the archive's
+    decompression ratio. A record declaring a Content-Length over the
+    cap yields an :data:`OVERSIZE_RECORD` sentinel row (null payload,
+    real length) and its payload bytes are skipped without buffering.
+    ``_stats['peak_buffer']`` records the high-water mark (test seam).
+    """
+    buf = bytearray()
+    skip = 0  # payload bytes of an oversize record still to discard
+    chunks = iter(chunks)
+    eof = False
+
+    def track() -> None:
+        if _stats is not None:
+            _stats["peak_buffer"] = max(_stats.get("peak_buffer", 0), len(buf))
+
+    def fill(need: int) -> bool:
+        """Grow buf to ``need`` bytes if the stream allows; False on EOF."""
+        nonlocal eof
+        while len(buf) < need and not eof:
+            nxt = next(chunks, None)
+            if nxt is None:
+                eof = True
+            else:
+                buf.extend(nxt)
+        track()
+        return len(buf) >= need
+
+    while True:
+        while skip:
+            if buf:
+                drop = min(skip, len(buf))
+                del buf[:drop]
+                skip -= drop
+                continue
+            nxt = next(chunks, None)
+            if nxt is None:
+                return  # truncated inside a skipped payload
+            if len(nxt) <= skip:
+                skip -= len(nxt)  # discard the whole chunk, unbuffered
+            else:
+                buf.extend(nxt[skip:])  # keep only the post-payload tail
+                skip = 0
         # skip inter-record blank lines
-        while pos < n and data[pos : pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
-            break
-        head_end = data.find(_CRLF + _CRLF, pos)
-        if head_end < 0:
-            break  # truncated trailer — no full header block left
-        header_block = bytes(buf[pos:head_end]).decode("utf-8", "replace")
+        while True:
+            if not fill(2):
+                return
+            if buf[:2] == _CRLF:
+                del buf[:2]
+            else:
+                break
+        # accumulate until the header terminator is in the buffer
+        head_end = buf.find(_CRLF + _CRLF)
+        while head_end < 0:
+            if eof or len(buf) > max_record_bytes:
+                return  # truncated trailer / unbounded garbage
+            fill(len(buf) + 1)
+            head_end = buf.find(_CRLF + _CRLF)
+        header_block = bytes(buf[:head_end]).decode("utf-8", "replace")
         lines = header_block.split("\r\n")
         if not lines or not lines[0].startswith("WARC/"):
             # not a record boundary (corrupt bytes): resync to the
             # next version line so one bad record doesn't eat the file
-            nxt = data.find(b"WARC/", pos + 1)
-            if nxt < 0:
-                break
-            pos = nxt
+            nxt_pos = buf.find(b"WARC/", 1)
+            if nxt_pos < 0:
+                if eof:
+                    return
+                # keep a 4-byte seam so a split "WARC/" still matches
+                del buf[: max(0, len(buf) - 8)]
+                if not fill(len(buf) + 1):
+                    return
+                continue
+            del buf[:nxt_pos]
             continue
         headers: dict[str, str] = {}
         for line in lines[1:]:
@@ -102,32 +204,61 @@ def _parse_warc_stream(data: bytes, src: str) -> Iterator[tuple]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             length = -1
-        body_start = head_end + 4
-        if length < 0 or body_start + length > n:
-            break  # truncated payload
-        yield (
+        if length < 0:
+            del buf[: head_end + 4]
+            continue
+        meta = (
             src,
             headers.get("warc-record-id"),
             headers.get("warc-type"),
             headers.get("warc-target-uri"),
             headers.get("warc-date"),
             headers.get("content-type"),
-            length,
-            bytes(buf[body_start : body_start + length]),
         )
-        pos = body_start + length
+        if head_end + 4 + length > max_record_bytes:
+            # quarantine: surface the record, stream past its payload
+            yield (*meta[:2], OVERSIZE_RECORD, *meta[3:], length, None)
+            del buf[: head_end + 4]
+            skip = length
+            continue
+        if not fill(head_end + 4 + length):
+            return  # truncated payload
+        body_start = head_end + 4
+        yield (*meta, length, bytes(buf[body_start : body_start + length]))
+        del buf[: body_start + length]
+
+
+def _parse_warc_stream(
+    data: bytes, src: str, max_record_bytes: int = 1 << 30
+) -> Iterator[tuple]:
+    """Yield WARC_SCHEMA tuples from one in-memory WARC byte stream
+    (uncompressed files arrive whole from binaryFile; their size is
+    already capped by ``max_file_bytes``)."""
+    return _parse_warc_chunks(iter([data]), src, max_record_bytes)
 
 
 def read_warc(
     spark: SparkSession,
     path: str,
     max_file_bytes: int = 2 * 1024**3,
+    max_record_bytes: int = 1 << 30,
 ) -> tuple[DataFrame, DataFrame]:
     """Read a glob of .warc / .warc.gz files into (records, skipped).
 
     ``records`` follows WARC_SCHEMA, one row per WARC record.
     ``skipped`` lists files over ``max_file_bytes`` (path, length) —
     observably excluded, mirroring read_jsonl's quarantine contract.
+
+    Memory bounds are two-level: ``max_file_bytes`` caps the
+    COMPRESSED bytes binaryFile materializes per task, and
+    ``max_record_bytes`` caps the DECOMPRESSED working set — .gz
+    files decompress as a member-at-a-time chunk stream
+    (:func:`_gzip_member_chunks`) and the parser buffers at most one
+    record, so a high-ratio archive (a 2 GiB .warc.gz expanding to
+    10 GiB) never holds its expansion in memory. A record declaring a
+    Content-Length over the cap surfaces as an
+    :data:`OVERSIZE_RECORD` sentinel row (null payload) instead of
+    OOMing the task.
     """
     ensure_compat(spark)
     files = spark.read.format("binaryFile").load(path)
@@ -146,13 +277,15 @@ def read_warc(
             for path_, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content)
                 if path_.endswith(".gz"):
-                    # multi-member gzip (one member per record in CC
-                    # archives): GzipFile reads concatenated members
-                    # as one stream
-                    import gzip
-
-                    raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
-                rows.extend(_parse_warc_stream(raw, path_))
+                    rows.extend(
+                        _parse_warc_chunks(
+                            _gzip_member_chunks(raw), path_, max_record_bytes
+                        )
+                    )
+                else:
+                    rows.extend(
+                        _parse_warc_stream(raw, path_, max_record_bytes)
+                    )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in WARC_SCHEMA.fields]
             )
@@ -203,9 +336,13 @@ def strip_html_tags(html: F.Column) -> F.Column:
     )
     no_tags = F.regexp_replace(no_script, r"(?s)<[^>]+>", " ")
     unescaped = no_tags
+    # &amp; must unescape LAST (standard ordering): doing it first
+    # turns double-escaped text like "&amp;lt;" into "&lt;" and then
+    # a later pass corrupts it to "<" — the source text meant "&lt;".
     for ent, ch in [
-        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&lt;", "<"), ("&gt;", ">"),
         ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
+        ("&amp;", "&"),
     ]:
         unescaped = F.replace(unescaped, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(unescaped, r"\s+", " "))
@@ -219,7 +356,15 @@ def warc_to_parquet(
 ) -> DataFrame:
     """One-pass WARC → parquet conversion (the re-processing story:
     parse the archive once, scan columnar with pushdown forever
-    after). Returns the written records frame re-read from parquet."""
-    records, _ = read_warc(spark, warc_glob, max_file_bytes)
+    after). Returns the written records frame re-read from parquet.
+
+    The quarantine is not silent: files over ``max_file_bytes`` are
+    written to ``<out_dir>/_skipped`` (path, length). The underscore
+    prefix keeps parquet readers of ``out_dir`` from picking it up
+    (same convention as ``_SUCCESS``); read it explicitly to audit
+    what a conversion excluded.
+    """
+    records, skipped = read_warc(spark, warc_glob, max_file_bytes)
     records.write.mode("overwrite").parquet(out_dir)
+    skipped.write.mode("overwrite").parquet(out_dir.rstrip("/") + "/_skipped")
     return spark.read.parquet(out_dir)

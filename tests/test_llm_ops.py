@@ -692,3 +692,92 @@ def test_image_ahash_neardup_pairs(spark):
     h1 = sorted((r.media_id, r.ahash) for r in image_ahash64(media).collect())
     h2 = sorted((r.media_id, r.ahash) for r in image_ahash64(media).collect())
     assert h1 == h2  # deterministic
+
+
+def test_image_neardup_planted_hamming5_spread_across_16bit_chunks(spark):
+    """Adversarial recall test (VERDICT r4 #1): a planted pair at
+    Hamming distance exactly 5 whose differing bits hit EVERY 16-bit
+    quarter of the hash — the old 4×16-bit chunk bucketing shares no
+    bucket for this pair and silently drops it; the 8×8-bit chunking
+    (pigeonhole guarantee for Hamming ≤ 7) must find it."""
+    import numpy as np
+
+    from doin_fine_ance__spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        image_ahash64,
+        image_neardup_pairs,
+    )
+
+    # 8×8 images (resize is identity) with gray cells at 50/200: the
+    # 64-cell mean always sits strictly between, so hash bit i is
+    # exactly (cell_i == 200) — cell flips map 1:1 to hash-bit flips.
+    base = np.zeros(64, dtype=np.uint8)
+    base[::2] = 200
+    base[1::2] = 50
+    flipped = base.copy()
+    # cell i -> hash bit 63-i; chosen cells put >=1 differing bit in
+    # each 16-bit quarter (chunks 3,2,1,0,0) but leave 8-bit chunks
+    # 6,4,2,0 untouched
+    for cell in (1, 17, 33, 49, 51):
+        flipped[cell] = 200 if base[cell] == 50 else 50
+
+    def bmp(cells):
+        img = cells.reshape(8, 8)[:, :, None].repeat(3, axis=2)
+        return bytearray(encode_bmp(img))
+
+    media = spark.createDataFrame(
+        [(0, "image", "image/bmp", 8, 8, 0, bmp(base)),
+         (1, "image", "image/bmp", 8, 8, 0, bmp(flipped))],
+        MEDIA_SCHEMA,
+    )
+    h = {r.media_id: r.ahash for r in image_ahash64(media).collect()}
+    xor = (h[0] ^ h[1]) & (2**64 - 1)
+    assert bin(xor).count("1") == 5
+    # prove the plant is adversarial: all four 16-bit chunks differ …
+    assert all((xor >> (16 * j)) & 0xFFFF for j in range(4))
+    # … while at least one 8-bit chunk is exact (pigeonhole bucket)
+    assert any(not ((xor >> (8 * j)) & 0xFF) for j in range(8))
+
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in image_neardup_pairs(media, max_hamming=6).collect()}
+    assert pairs == {(0, 1): 5}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hamming <= 7"):
+        image_neardup_pairs(media, max_hamming=8)
+
+
+def test_pq_train_small_sample_raises(spark):
+    from doin_fine_ance__spark.llm.ann import pq_train
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least k=16"):
+        pq_train(df, m=4, k=16, sample_size=4096)
+
+
+def test_minhash_token_store_does_not_accumulate(spark):
+    """Repeated near-dup calls must not pin one persisted token store
+    per call for the session lifetime (ADVICE r4): at most one store
+    stays cached, and release_token_stores() drops that too."""
+    from doin_fine_ance__spark.llm import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}{j}" for j in range(12))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    D.release_token_stores()
+    D.minhash_near_dups(docs, threshold=0.8).collect()
+    first = D._TOKEN_STORES[-1]
+    assert len(D._TOKEN_STORES) == 1
+    D.minhash_containment_pairs(docs, threshold=0.8).collect()
+    assert len(D._TOKEN_STORES) == 1  # previous store evicted, not stacked
+    assert first.storageLevel.useMemory is False  # actually unpersisted
+    D.release_token_stores()
+    assert not D._TOKEN_STORES
