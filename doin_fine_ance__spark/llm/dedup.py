@@ -29,6 +29,7 @@ PERM_COEFFS).
 from __future__ import annotations
 
 import random
+import threading
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -258,16 +259,27 @@ def minhash_containment_pairs(
 
 
 #: The single live verify-side token cache (see _verified_pairs).
+#: Mutations hold _TOKEN_STORES_LOCK: driver apps routinely run
+#: concurrent actions from multiple threads, and an unguarded
+#: pop/unpersist race could double-unpersist or leak a store.
+#: Interleaving caveat (documented contract): starting a second
+#: dedup pipeline evicts the first's cache, so two lazy pipelines
+#: materialized alternately forfeit the broadcast-vs-SMJ benefit —
+#: correctness survives (Spark recomputes the tokens), only the
+#: cache hit is lost. Materialize one pipeline before starting the
+#: next to keep it.
 _TOKEN_STORES: list[DataFrame] = []
+_TOKEN_STORES_LOCK = threading.Lock()
 
 
 def release_token_stores() -> None:
     """Unpersist the verify-side token cache the last
     minhash_near_dups / minhash_containment_pairs call left behind.
     Call after materializing the returned pairs in long-lived
-    sessions; harmless if nothing is cached."""
-    while _TOKEN_STORES:
-        _TOKEN_STORES.pop().unpersist()
+    sessions; harmless if nothing is cached. Thread-safe."""
+    with _TOKEN_STORES_LOCK:
+        while _TOKEN_STORES:
+            _TOKEN_STORES.pop().unpersist()
 
 
 def _verified_pairs(
@@ -325,9 +337,10 @@ def _verified_pairs(
     # earlier result just recomputes its tokens — correctness never
     # rides on the cache. release_token_stores() drops the last one.
     toks = toks.persist()
-    while _TOKEN_STORES:
-        _TOKEN_STORES.pop().unpersist()
-    _TOKEN_STORES.append(toks)
+    with _TOKEN_STORES_LOCK:
+        while _TOKEN_STORES:
+            _TOKEN_STORES.pop().unpersist()
+        _TOKEN_STORES.append(toks)
     ta = toks.select(col(id_col).alias("id_a"), col("tokens").alias("tok_a"))
     tb = toks.select(col(id_col).alias("id_b"), col("tokens").alias("tok_b"))
     inter = F.size(F.array_intersect("tok_a", "tok_b"))

@@ -61,16 +61,11 @@ WARC_SCHEMA = T.StructType(
         T.StructField("content_type", T.StringType()),
         T.StructField("content_length", T.LongType()),
         T.StructField("payload", T.BinaryType()),
+        T.StructField("oversize", T.BooleanType()),
     ]
 )
 
 _CRLF = b"\r\n"
-
-#: warc_type emitted for a record whose declared Content-Length exceeds
-#: the per-record memory cap: the record is counted (with its real
-#: length) but its payload bytes are streamed past, never buffered —
-#: filter on this value to audit what the cap excluded.
-OVERSIZE_RECORD = "__oversize_record__"
 
 
 def _gzip_member_chunks(raw: bytes, chunk: int = 1 << 20) -> Iterator[bytes]:
@@ -106,7 +101,12 @@ def _gzip_member_chunks(raw: bytes, chunk: int = 1 << 20) -> Iterator[bytes]:
             pending = bytes(view[pos : pos + chunk])
             pos += chunk
         out = d.decompress(pending, chunk)
-        pending = d.unconsumed_tail
+        # At member EOF, CPython puts the leftover compressed bytes in
+        # BOTH unconsumed_tail and unused_data (when the call was also
+        # capped by max_length). The eof branch above reads unused_data,
+        # so taking unconsumed_tail here too would duplicate the rest of
+        # the stream — re-parsing every later member forever.
+        pending = b"" if d.eof else d.unconsumed_tail
         if out:
             yield out
 
@@ -124,8 +124,10 @@ def _parse_warc_chunks(
     buffer holds at most one record (plus one chunk), so task memory
     is bounded by ``max_record_bytes`` — NOT by the archive's
     decompression ratio. A record declaring a Content-Length over the
-    cap yields an :data:`OVERSIZE_RECORD` sentinel row (null payload,
-    real length) and its payload bytes are skipped without buffering.
+    cap yields a quarantine row (``oversize = true``, null payload,
+    real length, real warc_type — an auditor can still see WHAT kind
+    of record the cap excluded) and its payload bytes are skipped
+    without buffering.
     ``_stats['peak_buffer']`` records the high-water mark (test seam).
     """
     buf = bytearray()
@@ -216,15 +218,17 @@ def _parse_warc_chunks(
             headers.get("content-type"),
         )
         if head_end + 4 + length > max_record_bytes:
-            # quarantine: surface the record, stream past its payload
-            yield (*meta[:2], OVERSIZE_RECORD, *meta[3:], length, None)
+            # quarantine: surface the record (real warc_type kept so
+            # the audit can tell a capped response from a capped
+            # conversion), stream past its payload
+            yield (*meta, length, None, True)
             del buf[: head_end + 4]
             skip = length
             continue
         if not fill(head_end + 4 + length):
             return  # truncated payload
         body_start = head_end + 4
-        yield (*meta, length, bytes(buf[body_start : body_start + length]))
+        yield (*meta, length, bytes(buf[body_start : body_start + length]), False)
         del buf[: body_start + length]
 
 
@@ -253,12 +257,14 @@ def read_warc(
     COMPRESSED bytes binaryFile materializes per task, and
     ``max_record_bytes`` caps the DECOMPRESSED working set — .gz
     files decompress as a member-at-a-time chunk stream
-    (:func:`_gzip_member_chunks`) and the parser buffers at most one
-    record, so a high-ratio archive (a 2 GiB .warc.gz expanding to
-    10 GiB) never holds its expansion in memory. A record declaring a
-    Content-Length over the cap surfaces as an
-    :data:`OVERSIZE_RECORD` sentinel row (null payload) instead of
-    OOMing the task.
+    (:func:`_gzip_member_chunks`), the parser buffers at most one
+    record, and ``parse`` flushes a pandas frame every
+    ``flush_rows``/``flush_bytes`` records rather than accumulating a
+    whole file's expansion, so a high-ratio archive (a 2 GiB .warc.gz
+    expanding to 10 GiB) holds at most one flush window (~64 MiB) +
+    one record in task memory. A record declaring a Content-Length
+    over the cap surfaces as an ``oversize = true`` quarantine row
+    (null payload, real warc_type) instead of OOMing the task.
     """
     ensure_compat(spark)
     files = spark.read.format("binaryFile").load(path)
@@ -270,27 +276,48 @@ def read_warc(
     )
 
     def parse(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for path_, content in zip(pdf["path"], pdf["content"]):
-                raw = bytes(content)
-                if path_.endswith(".gz"):
-                    rows.extend(
-                        _parse_warc_chunks(
+        def records():
+            for pdf in batches:
+                for path_, content in zip(pdf["path"], pdf["content"]):
+                    raw = bytes(content)
+                    if path_.endswith(".gz"):
+                        yield from _parse_warc_chunks(
                             _gzip_member_chunks(raw), path_, max_record_bytes
                         )
-                    )
-                else:
-                    rows.extend(
-                        _parse_warc_stream(raw, path_, max_record_bytes)
-                    )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in WARC_SCHEMA.fields]
-            )
+                    else:
+                        yield from _parse_warc_stream(
+                            raw, path_, max_record_bytes
+                        )
+
+        yield from _frame_batches(records())
 
     return eligible.mapInPandas(parse, WARC_SCHEMA), skipped
+
+
+def _frame_batches(
+    records: Iterator[tuple],
+    flush_rows: int = 2048,
+    flush_bytes: int = 64 << 20,
+) -> Iterator["pd.DataFrame"]:  # noqa: F821 - executor-side import
+    """Batch WARC record tuples into pandas frames, flushing every
+    ``flush_rows`` records or ``flush_bytes`` payload bytes. Without
+    this, the mapInPandas worker would accumulate a whole file's
+    decompressed expansion in one list, voiding the streaming parser's
+    memory bound — one flush window + one record is the real task
+    working set."""
+    import pandas as pd
+
+    cols = [f.name for f in WARC_SCHEMA.fields]
+    rows: list[tuple] = []
+    acc = 0
+    for rec in records:
+        rows.append(rec)
+        acc += len(rec[7] or b"")
+        if len(rows) >= flush_rows or acc >= flush_bytes:
+            yield pd.DataFrame(rows, columns=cols)
+            rows, acc = [], 0
+    if rows:
+        yield pd.DataFrame(rows, columns=cols)
 
 
 def split_http_payload(records: DataFrame) -> DataFrame:

@@ -53,6 +53,113 @@ def test_bpe_train_matches_reference(spark):
     assert got == want
 
 
+def test_bpe_batched_equals_sequential_and_saves_jobs(spark):
+    """VERDICT r5 #4: batched merge selection must leave the merge
+    sequence bit-identical to one-merge-per-job training while cutting
+    the pair-count job count by the batch width. On the tiny 4-doc
+    CORPUS every pair count ties, so the strict-dominance rule
+    (correctly) degrades toward width 1 — the job-savings assertion
+    runs on natural-text word frequencies (sf0.001 documents), where
+    the top of the pair distribution is wide and mostly disjoint."""
+    from doin_fine_ance__spark.llm.tokenizer import bpe_train, word_counts
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    wc = {r["word"]: r["count"] for r in word_counts(df).collect()}
+    want = _ref_bpe(wc, 40)
+    st_batch: dict = {}
+    st_seq: dict = {}
+    got_batch = bpe_train(df, 40, _stats=st_batch)
+    got_seq = bpe_train(df, 40, max_batch=1, _stats=st_seq)
+    assert got_batch == got_seq == want
+    assert st_batch["merges"] == st_seq["merges"] == len(want)
+    assert st_seq["pair_count_jobs"] >= len(want)
+    # ties still allow SOME batching; never more jobs than sequential
+    assert st_batch["pair_count_jobs"] <= st_seq["pair_count_jobs"]
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wc2 = {r["word"]: r["count"] for r in word_counts(docs).collect()}
+    want2 = _ref_bpe(wc2, 60)
+    st2: dict = {}
+    got2 = bpe_train(docs, 60, _stats=st2)
+    assert got2 == want2
+    # the sf0.001 documents table has only ~31 distinct words, so the
+    # pair graph is one long chain (c-o-l-u-m-n) — widths legitimately
+    # hover near 1 there; just require no regression vs sequential
+    assert st2["pair_count_jobs"] <= st2["merges"], st2
+
+
+def test_bpe_batched_job_savings_on_diverse_vocabulary(spark):
+    """The scheduling win needs a wide pair distribution — a Zipf
+    corpus over ~2.5k distinct pseudo-words (the natural-text shape;
+    the sf0.001 table's 31-word vocabulary can't show it). Equivalence
+    is still checked against the textbook reference."""
+    import random
+
+    from doin_fine_ance__spark.llm.tokenizer import bpe_train, word_counts
+
+    rng = random.Random(7)
+    syll = [c + v for c in "bcdfglmnrstv" for v in "aeiou"]
+    words = list(
+        {"".join(rng.choice(syll) for _ in range(rng.randint(1, 4))) for _ in range(3000)}
+    )
+    weights = [1.0 / (i + 1) for i in range(len(words))]
+    docs = [(i, " ".join(rng.choices(words, weights=weights, k=200))) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    wc = {r["word"]: r["count"] for r in word_counts(df).collect()}
+    want = _ref_bpe(wc, 150)
+    st: dict = {}
+    got = bpe_train(df, 150, _stats=st)
+    assert got == want
+    # the whole point: driver round-trips « merges
+    assert st["pair_count_jobs"] < st["merges"] / 2, st
+
+
+def test_bpe_batch_selection_survives_adversarial_tiebreaks(spark):
+    """Corpora engineered to break naive disjoint batching:
+
+    1. tiebreak inversion — after merging (a,c), the NEW pair
+       ('ac','y</w>') ties the disjoint pair (b,'d</w>') at count 5
+       and wins the lexicographic tiebreak ('ac' < 'b'); a naive batch
+       [(a,c),(b,d</w>)] would diverge from sequential.
+    2. vocab collision — text containing literal '</w>' lets a merge
+       RECREATE an existing symbol string, funnelling new occurrences
+       into an old pair key; the driver-side vocab guard must stop the
+       batch there.
+    """
+    from doin_fine_ance__spark.llm.tokenizer import bpe_train, word_counts
+
+    adversarial = [
+        [(0, " ".join(["acy"] * 5 + ["bd"] * 5))],
+        [(0, "x</w>d x</w>d xd xd"), (1, "</w>d </w>d qq qq")],
+    ]
+    for rows in adversarial:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        wc = {r["word"]: r["count"] for r in word_counts(df).collect()}
+        want = _ref_bpe(wc, 12)
+        assert bpe_train(df, 12) == want, rows
+
+
+def test_bpe_batched_equivalence_fuzz(spark):
+    """Random small corpora: batched training must match the textbook
+    reference on every seed (ties and collisions arise naturally in a
+    4-letter alphabet)."""
+    import random
+
+    from doin_fine_ance__spark.llm.tokenizer import bpe_train, word_counts
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(5, 20))
+        ]
+        text = " ".join(rng.choice(words) for _ in range(120))
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        wc = {r["word"]: r["count"] for r in word_counts(df).collect()}
+        want = _ref_bpe(wc, 15)
+        assert bpe_train(df, 15) == want, f"seed {seed}"
+
+
 def test_apply_bpe_round_trip_and_compression(spark):
     from doin_fine_ance__spark.llm.tokenizer import EOW, apply_bpe, bpe_train
 

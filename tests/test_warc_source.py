@@ -181,12 +181,70 @@ def test_gz_parse_memory_bounded_by_record_not_archive():
     assert stats["peak_buffer"] < 4 * (1 << 20), stats
 
 
+def test_gz_member_over_chunk_then_second_member_terminates():
+    """VERDICT r5 #1 regression: a gzip member whose decompressed size
+    exceeds the 1 MiB decompress chunk, FOLLOWED by another member, is
+    the minimal production-shaped trigger for the r5 infinite loop —
+    at member EOF after a max_length-capped decompress call, CPython
+    leaves the leftover compressed bytes in both unconsumed_tail and
+    unused_data; consuming both duplicated the stream and re-yielded
+    the final member forever (every real Common Crawl archive with a
+    >1 MiB page)."""
+    from doin_fine_ance__spark.sources.warc import (
+        _gzip_member_chunks,
+        _parse_warc_chunks,
+    )
+
+    raw = gzip.compress(
+        _record("big", "response", "http://x/big", b"\x07" * ((1 << 20) + 17))
+    ) + gzip.compress(_record("small", "response", "http://x/s", b"ok"))
+    # bound the chunk count so a regression fails fast instead of OOMing
+    chunks = []
+    for i, c in enumerate(_gzip_member_chunks(raw)):
+        chunks.append(c)
+        assert i < 16, "gzip member stream did not terminate"
+    assert sum(len(c) for c in chunks) == len(
+        gzip.decompress(raw)
+    )  # every byte exactly once — no duplication, no loss
+    rows = list(_parse_warc_chunks(iter(chunks), "two.warc.gz"))
+    assert [r[1] for r in rows] == ["<urn:uuid:big>", "<urn:uuid:small>"]
+
+
+def test_frame_batches_flushes_by_rows_and_bytes():
+    """ADVICE r5 (medium): read_warc's worker must flush incremental
+    frames, not accumulate a file's whole expansion in one list."""
+    from doin_fine_ance__spark.sources.warc import _frame_batches
+
+    def rec(i: int, payload: bytes) -> tuple:
+        return (
+            "f", f"<urn:uuid:{i}>", "response", "http://x", "2026-01-01",
+            "application/http", len(payload), payload, False,
+        )
+
+    # row-count flush: 10 tiny records, flush every 4 → 4+4+2
+    frames = list(
+        _frame_batches((rec(i, b"x") for i in range(10)), flush_rows=4)
+    )
+    assert [len(f) for f in frames] == [4, 4, 2]
+    # byte flush: 1 MiB payloads against a 2 MiB byte cap → 2+2+1
+    frames = list(
+        _frame_batches(
+            (rec(i, b"\x00" * (1 << 20)) for i in range(5)),
+            flush_rows=1000,
+            flush_bytes=2 << 20,
+        )
+    )
+    assert [len(f) for f in frames] == [2, 2, 1]
+    assert sum(len(f) for f in frames) == 5
+
+
 def test_oversize_record_quarantined_and_stream_resumes(spark, tmp_path):
     """A record whose Content-Length exceeds max_record_bytes yields
-    an OVERSIZE_RECORD sentinel (null payload, true length) and the
-    records after it still parse — the payload is streamed past,
-    never buffered."""
-    from doin_fine_ance__spark.sources.warc import OVERSIZE_RECORD, read_warc
+    an oversize=true quarantine row (null payload, true length, REAL
+    warc_type — ADVICE r5: an auditor must see what kind of record the
+    cap excluded) and the records after it still parse — the payload
+    is streamed past, never buffered."""
+    from doin_fine_ance__spark.sources.warc import read_warc
 
     big = _record("big", "response", "http://x/big", b"Z" * (3 << 20))
     archive = (
@@ -202,9 +260,11 @@ def test_oversize_record_quarantined_and_stream_resumes(spark, tmp_path):
     assert skipped.count() == 0  # file-level quarantine untouched
     assert set(rows) == {"<urn:uuid:aaa>", "<urn:uuid:big>", "<urn:uuid:bbb>"}
     over = rows["<urn:uuid:big>"]
-    assert over.warc_type == OVERSIZE_RECORD
+    assert over.oversize and over.warc_type == "response"
     assert over.payload is None and over.content_length == 3 << 20
-    assert bytes(rows["<urn:uuid:bbb>"].payload) == HTTP  # resumed cleanly
+    kept = rows["<urn:uuid:bbb>"]
+    assert not kept.oversize
+    assert bytes(kept.payload) == HTTP  # resumed cleanly
 
 
 def test_strip_html_tags_double_escaped_entities(spark):
