@@ -449,3 +449,89 @@ def pq_topk(
         col(id_col), _dot(col(vec_col), qarr).alias("score")
     )
     return exact.orderBy(col("score").desc(), col(id_col)).limit(k)
+
+
+def pq_recall_report(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 10,
+    m: int = 8,
+    n_centroids: int = 16,
+    rerank_factor: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Measure recall@k of ADC and ADC+exact-rerank against the exact
+    cosine top-k (the ``s_cosine_topk_bruteforce`` ranking) on the
+    SAME corpus — the PQ evidence seam (VERDICT r4 #6 / r5 #6).
+
+    Vectors are unit-normalized first (ADC approximates the inner
+    product, so cosine ranking needs unit inputs — the documented
+    contract of :func:`pq_topk`); the first ``n_queries`` vectors by
+    id serve as queries; ground truth is the exact inner-product
+    top-k over the normalized corpus, computed with the same JVM
+    ``aggregate``/``zip_with`` dot product the brute-force query uses.
+    Returns ``{"recall_adc": ..., "recall_rerank": ..., "n_queries",
+    "k", "corpus_size"}`` with recalls averaged over queries.
+    """
+    nrm = F.sqrt(_dot(col(vec_col), col(vec_col)))
+    unit = embeddings.select(
+        col(id_col),
+        F.transform(col(vec_col), lambda x: x / nrm).alias(vec_col),
+    ).persist()
+    try:
+        corpus_size = unit.count()
+        books = pq_train(unit, m=m, k=n_centroids, id_col=id_col, vec_col=vec_col)
+        codes = pq_encode(unit, books, id_col=id_col, vec_col=vec_col).persist()
+        queries = (
+            unit.orderBy(id_col).limit(n_queries).collect()
+        )
+        hits_adc = hits_rr = 0
+        for q in queries:
+            qvec = [float(x) for x in q[vec_col]]
+            qarr = F.array(*[F.lit(v) for v in qvec])
+            truth = {
+                r[id_col]
+                for r in unit.select(
+                    col(id_col), _dot(col(vec_col), qarr).alias("score")
+                )
+                .orderBy(col("score").desc(), col(id_col))
+                .limit(k)
+                .collect()
+            }
+            adc = {
+                r[id_col]
+                for r in pq_topk(codes, books, qvec, k=k, id_col=id_col).collect()
+            }
+            rr = {
+                r[id_col]
+                for r in pq_topk(
+                    codes,
+                    books,
+                    qvec,
+                    k=k,
+                    id_col=id_col,
+                    rerank_with=unit,
+                    rerank_factor=rerank_factor,
+                    vec_col=vec_col,
+                ).collect()
+            }
+            hits_adc += len(adc & truth)
+            hits_rr += len(rr & truth)
+        denom = len(queries) * k
+        return {
+            "recall_adc": hits_adc / denom,
+            "recall_rerank": hits_rr / denom,
+            "n_queries": len(queries),
+            "k": k,
+            "m": m,
+            "n_centroids": n_centroids,
+            "rerank_factor": rerank_factor,
+            "corpus_size": corpus_size,
+        }
+    finally:
+        unit.unpersist()
+        try:
+            codes.unpersist()
+        except NameError:
+            pass

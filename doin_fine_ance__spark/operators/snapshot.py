@@ -39,6 +39,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .upsert import table_write_lock
 
@@ -65,41 +66,105 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ write
 
-    def commit_overwrite(self, df: DataFrame, timeout: float = 0.0) -> int:
+    def commit_overwrite(
+        self,
+        df: DataFrame,
+        timeout: float = 0.0,
+        partition_by: str | None = None,
+    ) -> int:
         """Commit df as the table's next full-replacement version.
 
         Returns the committed version number. Readers holding any
         previously published version are unaffected (their files are
         immutable and not deleted until :meth:`vacuum`).
+
+        With ``partition_by`` the commit directory is hive-partitioned
+        and the manifest records the directory instead of a flat file
+        list — the snapshot guarantee is unchanged (the per-commit
+        directory is immutable; only the published pointer moves) and
+        readers keep partition pruning.
         """
         with table_write_lock(self.root, timeout=timeout):
-            os.makedirs(self._manifest_dir, exist_ok=True)
+            commit_dir = os.path.join(self._data_dir, uuid.uuid4().hex)
+            if partition_by:
+                df.write.mode("overwrite").partitionBy(partition_by).parquet(
+                    commit_dir
+                )
+                return self._publish(
+                    {"dir": commit_dir, "partitioned": True, "files": []}
+                )
+            df.write.mode("overwrite").parquet(commit_dir)
+            return self._publish({"files": self._list_parquet(commit_dir)})
+
+    def commit_append(
+        self,
+        df: DataFrame,
+        timeout: float = 0.0,
+        dedup_key: str | None = None,
+        spark: SparkSession | None = None,
+    ) -> int:
+        """Commit df as an APPEND version: the new manifest lists the
+        previous version's files plus the new commit's. Existing files
+        are never touched — readers on the old version see nothing.
+
+        With ``dedup_key`` (and the session to read with), incoming
+        rows whose key already exists are dropped first — insert-only
+        semantics, with the existing-key read and the publish under
+        one table lock so concurrent appenders can't both insert the
+        same key.
+        """
+        with table_write_lock(self.root, timeout=timeout):
+            prev_files: list[str] = []
+            if self.latest_version() > 0:
+                prev = self.manifest()
+                if prev.get("partitioned"):
+                    raise ValueError(
+                        "commit_append on a partitioned snapshot table is "
+                        "not supported — use commit_overwrite per partition"
+                    )
+                prev_files = prev["files"]
+            if dedup_key and prev_files:
+                if spark is None:
+                    spark = df.sparkSession
+                existing = (
+                    spark.read.parquet(*prev_files)
+                    .select(dedup_key)
+                    .filter(F.col(dedup_key).isNotNull())
+                )
+                df = df.join(existing, dedup_key, "left_anti")
             commit_dir = os.path.join(self._data_dir, uuid.uuid4().hex)
             df.write.mode("overwrite").parquet(commit_dir)
-            files = sorted(
-                os.path.join(commit_dir, f)
-                for f in os.listdir(commit_dir)
-                if f.endswith(".parquet")
+            return self._publish(
+                {"files": prev_files + self._list_parquet(commit_dir)}
             )
-            version = self.latest_version() + 1
-            manifest = {
-                "version": version,
-                "files": files,
-                "ts": time.time(),
-            }
-            mpath = os.path.join(self._manifest_dir, f"v{version:06d}.json")
-            tmp = mpath + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-                f.write("\n")
-            os.rename(tmp, mpath)
-            # publish: single-file rename is atomic where dir rename
-            # may not be — this is the commit point
-            ltmp = os.path.join(self.root, "_latest.tmp")
-            with open(ltmp, "w") as f:
-                f.write(str(version))
-            os.rename(ltmp, os.path.join(self.root, "_latest"))
-            return version
+
+    @staticmethod
+    def _list_parquet(commit_dir: str) -> list[str]:
+        return sorted(
+            os.path.join(commit_dir, f)
+            for f in os.listdir(commit_dir)
+            if f.endswith(".parquet")
+        )
+
+    def _publish(self, body: dict) -> int:
+        """Write manifest v(N+1) then atomically move the ``_latest``
+        pointer — the commit point. Caller holds the table lock."""
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        version = self.latest_version() + 1
+        manifest = {"version": version, "ts": time.time(), **body}
+        mpath = os.path.join(self._manifest_dir, f"v{version:06d}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.write("\n")
+        os.rename(tmp, mpath)
+        # publish: single-file rename is atomic where dir rename
+        # may not be — this is the commit point
+        ltmp = os.path.join(self.root, "_latest.tmp")
+        with open(ltmp, "w") as f:
+            f.write(str(version))
+        os.rename(ltmp, os.path.join(self.root, "_latest"))
+        return version
 
     # ------------------------------------------------------------- read
 
@@ -137,6 +202,11 @@ class SnapshotTable:
         this query reads.
         """
         m = self.manifest(version)
+        if m.get("partitioned"):
+            # the per-commit dir is immutable, so a directory read is
+            # just as pinned as a file-list read — and keeps hive
+            # partition pruning
+            return spark.read.parquet(m["dir"])
         if not m["files"]:
             raise SnapshotCorruptionError(
                 f"manifest v{m['version']} of {self.root} lists no files"
@@ -159,17 +229,18 @@ class SnapshotTable:
                 for f in os.listdir(self._manifest_dir)
                 if f.startswith("v") and f.endswith(".json")
             ) if os.path.isdir(self._manifest_dir) else []
+            def commit_dirs(v: int) -> set[str]:
+                m = self.manifest(v)
+                if m.get("partitioned"):
+                    return {m["dir"]}
+                return {os.path.dirname(p) for p in m["files"]}
+
             for v in versions:
                 if v > latest - keep_last:
-                    keep_files.update(
-                        os.path.dirname(p) for p in self.manifest(v)["files"]
-                    )
+                    keep_files.update(commit_dirs(v))
             for v in versions:
                 if v <= latest - keep_last:
-                    dirs = {
-                        os.path.dirname(p) for p in self.manifest(v)["files"]
-                    }
-                    for d in dirs - keep_files:
+                    for d in commit_dirs(v) - keep_files:
                         shutil.rmtree(d, ignore_errors=True)
                     os.remove(
                         os.path.join(self._manifest_dir, f"v{v:06d}.json")

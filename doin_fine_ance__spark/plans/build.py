@@ -27,26 +27,53 @@ from . import models as M
 
 
 class Warehouse:
-    """Path-convention catalog over a warehouse root directory."""
+    """Path-convention catalog over a warehouse root directory.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``snapshot=True`` (VERDICT r4 #5 / r5 #5) switches every table the
+    warehouse WRITES to the versioned-manifest layout of
+    :class:`~..operators.snapshot.SnapshotTable`: builds commit
+    immutable per-version directories + a manifest, reads resolve the
+    published manifest and pin its exact files for the whole query —
+    so a serving read concurrent with a full-refresh build returns the
+    complete pre-build snapshot, never a half-written or post-swap
+    table. Default (False) keeps rename-swap semantics. Reads fall
+    back to plain parquet for tables without a manifest (externally
+    loaded ``public`` inputs), so the two layouts coexist in one root.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, snapshot: bool = False):
         self.spark = spark
         self.root = root
+        self.snapshot = snapshot
 
     def path(self, schema: str, table: str) -> str:
         return os.path.join(self.root, schema, table)
 
+    def _snap(self, schema: str, table: str) -> "SnapshotTable":
+        from ..operators.snapshot import SnapshotTable
+
+        return SnapshotTable(self.path(schema, table))
+
+    def _has_manifest(self, schema: str, table: str) -> bool:
+        return os.path.exists(os.path.join(self.path(schema, table), "_latest"))
+
     def exists(self, schema: str, table: str) -> bool:
+        if self._has_manifest(schema, table):
+            return self._snap(schema, table).latest_version() > 0
         return os.path.exists(self.path(schema, table))
 
     def read(self, schema: str, table: str) -> DataFrame:
+        if self._has_manifest(schema, table):
+            return self._snap(schema, table).read(self.spark)
         return self.spark.read.parquet(self.path(schema, table))
 
     def write(
         self, df: DataFrame, schema: str, table: str, partition_by: str | None = None
     ) -> None:
         os.makedirs(os.path.join(self.root, schema), exist_ok=True)
-        if partition_by:
+        if self.snapshot:
+            self._snap(schema, table).commit_overwrite(df, partition_by=partition_by)
+        elif partition_by:
             # partitioned overwrite: plain write (no swap needed at build
             # cadence, and partition dirs keep pruning cheap for readers)
             df.write.mode("overwrite").partitionBy(partition_by).parquet(
@@ -54,6 +81,20 @@ class Warehouse:
             )
         else:
             atomic_overwrite(df, self.path(schema, table))
+
+    def append_insert_only(
+        self, df: DataFrame, schema: str, table: str, key: str
+    ) -> None:
+        """Insert-only append (rows with an existing key are dropped);
+        a new manifest version in snapshot mode, a locked read+append
+        otherwise."""
+        os.makedirs(os.path.join(self.root, schema), exist_ok=True)
+        if self.snapshot:
+            self._snap(schema, table).commit_append(
+                df, dedup_key=key, spark=self.spark
+            )
+        else:
+            insert_only_append(self.spark, self.path(schema, table), df, key)
 
     def compact(self, schema: str, table: str, **kwargs) -> dict[str, int]:
         """S8: OPTIMIZE-analog small-file compaction of one table —
@@ -98,7 +139,6 @@ def build(wh: Warehouse, full_refresh: bool = False) -> dict[str, int]:
     ``user_categories``; plus ``analytics.predicted_transactions``
     (created empty-less: skipped if absent).
     """
-    spark = wh.spark
     counts: dict[str, int] = {}
 
     stg_simplefin = M.stg_simplefin(
@@ -145,18 +185,19 @@ def build(wh: Warehouse, full_refresh: bool = False) -> dict[str, int]:
 
     # Incremental model: overwrite on full refresh / first build,
     # insert-only append otherwise (fct_validated_trxns.sql:1-19).
-    validated_path = wh.path("analytics", "fct_validated_trxns")
     if full_refresh or not wh.exists("analytics", "fct_validated_trxns"):
         bootstrap = M.fct_validated_trxns_bootstrap(
             wh.read("analytics", "fct_trxns_categorized").drop("_month"),
             user_validated,
         )
-        atomic_overwrite(bootstrap, validated_path)
+        wh.write(bootstrap, "analytics", "fct_validated_trxns")
     else:
         increment = M.fct_validated_trxns_increment(
             wh.read("analytics", "fct_validated_trxns"), user_validated
         )
-        insert_only_append(spark, validated_path, increment, "transaction_id")
+        wh.append_insert_only(
+            increment, "analytics", "fct_validated_trxns", "transaction_id"
+        )
 
     uncategorized = M.fct_trxns_uncategorized(
         features, wh.read("analytics", "fct_validated_trxns")
@@ -218,6 +259,17 @@ def _looks_like_parquet_dir(table_dir: str) -> bool:
     return False
 
 
+def _drop_catalog_entry(spark: SparkSession, fq: str) -> None:
+    """Drop ``fq`` whether it currently exists as a table or a view
+    (Spark raises WRONG_COMMAND_FOR_OBJECT_TYPE on a cross-type DROP,
+    and a rebuild can legitimately flip a name between the two)."""
+    for stmt in (f"DROP TABLE IF EXISTS {fq}", f"DROP VIEW IF EXISTS {fq}"):
+        try:
+            spark.sql(stmt)
+        except Exception:
+            pass
+
+
 def register_sql_catalog(wh: Warehouse) -> list[str]:
     """Expose the warehouse to ``spark.sql`` under the reference's
     two-schema names: ``public.<table>`` / ``analytics.<table>``.
@@ -249,13 +301,44 @@ def register_sql_catalog(wh: Warehouse) -> list[str]:
                 raise ValueError(
                     f"refusing to register table at path with quote/backslash: {table_dir!r}"
                 )
+            fq = f"`{schema}`.`{table}`"
+            if os.path.exists(os.path.join(table_dir, "_latest")):
+                # versioned-manifest table: register the CURRENT
+                # published version (re-run after a rebuild to
+                # re-point, same contract as the swap layout)
+                from ..operators.snapshot import SnapshotTable
+
+                m = SnapshotTable(table_dir).manifest()
+                dirs = (
+                    [m["dir"]]
+                    if m.get("partitioned")
+                    else sorted({os.path.dirname(p) for p in m["files"]})
+                )
+                if any("'" in d or "\\" in d for d in dirs):
+                    raise ValueError(
+                        f"refusing to register snapshot commit dir with quote/backslash under {table_dir!r}"
+                    )
+                _drop_catalog_entry(spark, fq)
+                if len(dirs) == 1:
+                    spark.sql(
+                        f"CREATE TABLE {fq} USING PARQUET LOCATION '{dirs[0]}'"
+                    )
+                    if m.get("partitioned"):
+                        spark.sql(f"ALTER TABLE {fq} RECOVER PARTITIONS")
+                else:
+                    # append manifests span commit dirs: a view unions them
+                    union = " UNION ALL ".join(
+                        f"SELECT * FROM parquet.`{d}`" for d in dirs
+                    )
+                    spark.sql(f"CREATE OR REPLACE VIEW {fq} AS {union}")
+                registered.append(f"{schema}.{table}")
+                continue
             # only register dirs that actually hold parquet data (a
             # stray non-table dir would otherwise become a catalog
             # entry that fails at query time)
             if not _looks_like_parquet_dir(table_dir):
                 continue
-            fq = f"`{schema}`.`{table}`"
-            spark.sql(f"DROP TABLE IF EXISTS {fq}")
+            _drop_catalog_entry(spark, fq)
             spark.sql(f"CREATE TABLE {fq} USING PARQUET LOCATION '{table_dir}'")
             if any(
                 "=" in e and os.path.isdir(os.path.join(table_dir, e))

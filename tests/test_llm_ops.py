@@ -543,6 +543,26 @@ def test_containment_catches_inclusion_jaccard_misses(spark):
             assert c >= jacc[pair]
 
 
+def test_pq_recall_floor_on_real_embeddings(spark):
+    """VERDICT r5 #6: recall@10 of ADC and ADC+rerank measured against
+    the exact cosine top-10 (the s_cosine_topk_bruteforce ranking) on
+    the driver-generated embeddings table. The committed sf0.1 numbers
+    live in PQ_RECALL_r06.json (tools/pq_recall.py): 16 centroids
+    (the pq_train default, 4-bit codes) reranks to 0.67 at sf0.1 —
+    too coarse as the corpus grows past the fixed 10× candidate set —
+    while 256 centroids (8-bit codes, the faiss-standard setting)
+    sustains 0.955 there and 1.0 at sf0.01. The floor asserted on
+    every suite run: 8-bit codebooks + exact rerank over a 10× ADC
+    candidate set must recover ≥ 0.9 of the true top-10."""
+    from doin_fine_ance__spark.llm.ann import pq_recall_report
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rep = pq_recall_report(emb, n_queries=10, n_centroids=256, rerank_factor=10)
+    assert rep["recall_rerank"] >= 0.9, rep
+    # ADC alone is the coarse tier: real signal, strictly weaker
+    assert 0.3 <= rep["recall_adc"] <= rep["recall_rerank"], rep
+
+
 def test_pq_recall_and_compression(spark):
     """PQ end-to-end on clustered unit vectors: 64 floats encode to 8
     codes; ADC top-10 stays inside the query's cluster (coarse

@@ -1,0 +1,181 @@
+"""Snapshot-mode warehouse (VERDICT r4 #5 / r5 #5): builds commit
+versioned manifests, reads pin the published version — a serving read
+concurrent with a full-refresh build must return the complete
+PRE-build snapshot, never a torn or post-swap table."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from doin_fine_ance__spark.plans.build import Warehouse, build, register_sql_catalog
+from doin_fine_ance__spark.sources import fixtures as FX
+
+
+@pytest.fixture()
+def snap_wh(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    FX.write_warehouse_inputs(spark, root)
+    wh = Warehouse(spark, root, snapshot=True)
+    build(wh, full_refresh=True)
+    return wh
+
+
+def _shrink_inputs(spark, root: str) -> None:
+    """Rewrite the raw simplefin input with one account dropped, so a
+    rebuild visibly changes every downstream mart."""
+    raw = FX.raw_simplefin(spark).filter(F.col("account_id") != "ACT-A")
+    raw.write.mode("overwrite").parquet(f"{root}/public/simplefin")
+
+
+def test_snapshot_build_matches_swap_build(spark, tmp_path, snap_wh):
+    """Same model outputs whichever layout materializes them."""
+    plain_root = str(tmp_path / "plain")
+    FX.write_warehouse_inputs(spark, plain_root)
+    plain = Warehouse(spark, plain_root)
+    counts_plain = build(plain, full_refresh=True)
+    for table in counts_plain:
+        snap_rows = sorted(
+            map(repr, snap_wh.read("analytics", table).drop("_month").collect())
+        )
+        plain_rows = sorted(
+            map(repr, plain.read("analytics", table).drop("_month").collect())
+        )
+        assert snap_rows == plain_rows, table
+    # and the snapshot layout really is manifest-addressed
+    assert os.path.exists(
+        os.path.join(snap_wh.path("analytics", "fct_validated_trxns"), "_latest")
+    )
+
+
+def test_serving_read_concurrent_with_full_refresh_is_pinned(spark, snap_wh):
+    """The r5 'Done' criterion: a reader holding the pre-build version
+    sees it bit-for-bit after a full-refresh build commits a new one.
+    Covers both manifest shapes: file-list (fct_validated_trxns) and
+    partitioned commit-dir (fct_trxns_categorized)."""
+    validated_before = snap_wh.read("analytics", "fct_validated_trxns")
+    uncategorized_before = snap_wh.read("analytics", "fct_trxns_uncategorized")
+    want_validated = sorted(map(repr, validated_before.collect()))
+    want_uncategorized = sorted(map(repr, uncategorized_before.collect()))
+
+    _shrink_inputs(spark, snap_wh.root)
+    build(snap_wh, full_refresh=True)
+
+    # the pre-build DataFrames still resolve to the old version's files
+    assert sorted(map(repr, validated_before.collect())) == want_validated
+    assert sorted(map(repr, uncategorized_before.collect())) == want_uncategorized
+    # while a fresh read sees the rebuilt tables
+    after = sorted(map(repr, snap_wh.read("analytics", "fct_validated_trxns").collect()))
+    assert after != want_validated
+    after_unc = sorted(
+        map(repr, snap_wh.read("analytics", "fct_trxns_uncategorized").collect())
+    )
+    assert len(after_unc) < len(want_uncategorized)  # ACT-A rows gone
+
+
+def test_reader_thread_never_sees_torn_table_during_rebuilds(spark, snap_wh):
+    """A reader loop racing two full-refresh builds must only ever see
+    a complete committed version (one of the two row multisets)."""
+    before = sorted(map(repr, snap_wh.read("analytics", "fct_validated_trxns").collect()))
+    _shrink_inputs(spark, snap_wh.root)
+    build(snap_wh, full_refresh=True)
+    after = sorted(map(repr, snap_wh.read("analytics", "fct_validated_trxns").collect()))
+    assert before != after
+
+    seen: list[list[str]] = []
+    errors: list[Exception] = []
+    stop = threading.Event()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                seen.append(
+                    sorted(
+                        map(
+                            repr,
+                            snap_wh.read(
+                                "analytics", "fct_validated_trxns"
+                            ).collect(),
+                        )
+                    )
+                )
+        except Exception as e:  # surface in the main thread
+            errors.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for _ in range(2):  # rebuild back and forth under the reader
+            FX.raw_simplefin(spark).write.mode("overwrite").parquet(
+                f"{snap_wh.root}/public/simplefin"
+            )
+            build(snap_wh, full_refresh=True)
+            _shrink_inputs(spark, snap_wh.root)
+            build(snap_wh, full_refresh=True)
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not errors, errors
+    assert seen  # the reader actually ran
+    allowed = {tuple(before), tuple(after)}
+    assert all(tuple(s) in allowed for s in seen)
+
+
+def test_incremental_append_commits_new_version(spark, snap_wh):
+    """The insert-only incremental path in snapshot mode: a new
+    manifest version whose file list extends the old one; existing
+    keys are never duplicated."""
+    from doin_fine_ance__spark.operators.snapshot import SnapshotTable
+
+    st = SnapshotTable(snap_wh.path("analytics", "fct_validated_trxns"))
+    v1 = st.latest_version()
+    ids_before = {
+        r.transaction_id
+        for r in snap_wh.read("analytics", "fct_validated_trxns").collect()
+    }
+
+    # a new user validation appears → incremental build appends it
+    import datetime as dt
+
+    uncategorized = snap_wh.read("analytics", "fct_trxns_uncategorized")
+    pick = uncategorized.select("transaction_id").first()
+    extra = spark.createDataFrame(
+        [
+            (
+                pick.transaction_id, "Custom Category", None, None,
+                True, False, "sam", dt.datetime(2024, 4, 1, 12, 0, 0),
+            )
+        ],
+        FX.user_categories(spark).schema,
+    )
+    FX.user_categories(spark).unionByName(extra).write.mode("overwrite").parquet(
+        f"{snap_wh.root}/public/user_categories"
+    )
+    build(snap_wh, full_refresh=False)
+
+    v2 = st.latest_version()
+    assert v2 > v1
+    rows = snap_wh.read("analytics", "fct_validated_trxns").collect()
+    ids_after = [r.transaction_id for r in rows]
+    assert len(ids_after) == len(set(ids_after))  # no dup keys
+    assert set(ids_after) == ids_before | {pick.transaction_id}
+    # old files are still listed first (append, not rewrite)
+    m1, m2 = st.manifest(v1), st.manifest(v2)
+    assert m2["files"][: len(m1["files"])] == m1["files"]
+
+
+def test_register_sql_catalog_on_snapshot_warehouse(spark, snap_wh):
+    registered = register_sql_catalog(snap_wh)
+    assert "analytics.fct_validated_trxns" in registered
+    n_sql = spark.sql(
+        "SELECT count(*) AS c FROM analytics.fct_validated_trxns"
+    ).first()["c"]
+    assert n_sql == snap_wh.read("analytics", "fct_validated_trxns").count()
+    # partitioned mart keeps pruning through the catalog
+    n_cat = spark.sql(
+        "SELECT count(*) AS c FROM analytics.fct_trxns_categorized"
+    ).first()["c"]
+    assert n_cat == snap_wh.read("analytics", "fct_trxns_categorized").count()
