@@ -1,7 +1,9 @@
 """Differential fuzzing vs DuckDB (VERDICT r2 #2, extended r4 per
 VERDICT r3 #2: fan-out joins, EXCEPT/INTERSECT, IS NULL / null
 literals, NULLIF/COALESCE, COUNT(col), per-column nulls-first/last
-sorts).
+sorts; extended r6 per VERDICT r5 #8: explicit ROWS/RANGE window
+frames, correlated [NOT] EXISTS with a non-equi second predicate,
+decimal-typed join keys).
 
 Runs the seeded random-pipeline generator of ``tools/fuzz_oracle.py``
 under the dual-gate oracle compare at sf0.001. The full 500-case

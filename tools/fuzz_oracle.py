@@ -41,6 +41,19 @@ asc = NULLS FIRST diverges from DuckDB/Postgres asc = NULLS LAST).
 The planner tracks which columns CAN be null (left-join right side,
 lag, NULLIF) and biases null probes toward them.
 
+Round-6 grammar extensions (VERDICT r5 next-round #8): explicit
+window FRAMES — sum/min/max/count OVER (... ROWS BETWEEN a AND b)
+with the established total-order key, and RANGE BETWEEN over one
+non-null int column (frame membership by VALUE, deterministic under
+ties); correlated [NOT] EXISTS whose subquery carries a SECOND,
+non-equi predicate tying a right column to a LEFT column (compiled to
+a Spark semi/anti join with a composite condition); and decimal-typed
+join keys (a table joined to the DISTINCT DECIMAL(12,2) cast of one
+of its own raw 2-dp columns — decimal hash/compare parity, plus
+decimal output canonicalization: final dec outputs cast to DOUBLE on
+both sides, since Spark hands back Decimal objects where DuckDB's
+pandas bridge hands back float64).
+
 Usage:
     python tools/fuzz_oracle.py [--n 200] [--sf-dir DIR] [--seed N]
 """
@@ -116,6 +129,24 @@ JOINS = [
     ("part", "lineitem", "p_partkey", "l_partkey", False),
     ("supplier", "lineitem", "s_suppkey", "l_suppkey", False),
     ("customer", "orders", "c_custkey", "o_custkey", False),
+]
+
+# numeric columns per table for the correlated-EXISTS extra predicate
+NUM_COLS = {
+    t: [n for n, k in cols if k in ("int", "double")]
+    for t, cols in TABLES.items()
+}
+
+# raw 2-dp money/quantity columns that are SAFE to CAST AS DECIMAL on
+# both engines (the dialect rule from fuzz seed 995: only decimal-cast
+# RAW parquet doubles — computed doubles round differently at the
+# target scale's last digit). These drive the decimal-typed-join-key
+# grammar (VERDICT r5 #8).
+DEC_JOIN = [
+    ("lineitem", "l_discount"), ("lineitem", "l_tax"),
+    ("lineitem", "l_quantity"), ("orders", "o_totalprice"),
+    ("customer", "c_acctbal"), ("supplier", "s_acctbal"),
+    ("part", "p_retailprice"),
 ]
 
 NUM_RANGE: dict[str, tuple[float, float, int]] = {
@@ -277,6 +308,58 @@ def _plan_window(rng: random.Random, cols: list[tuple[str, str]],
                      else dict(cols)[valcol])}
 
 
+def _plan_wframe(
+    rng: random.Random,
+    cols: list[tuple[str, str]],
+    uniq: list[str],
+    counter: list[int],
+    nullable: frozenset[str] = frozenset(),
+) -> dict | None:
+    """Framed window aggregate (VERDICT r5 #8): sum/min/max/count OVER
+    (PARTITION BY p ORDER BY ... {ROWS|RANGE} BETWEEN a AND b).
+
+    ROWS frames order by the established total-order key (ties are
+    full-duplicate rows, so any tie-break yields the same multiset);
+    RANGE frames order by ONE non-null int column — the frame then
+    depends only on order VALUES, deterministic regardless of ties.
+    Aggregates are order-insensitive (decimal-exact sum over raw
+    doubles only, per the seed-995 rule; min/max/count)."""
+    names = {n for n, _ in cols}
+    kind_of = dict(cols)
+    mode = rng.choice(["rows", "rows", "range"])
+    if mode == "rows":
+        if not uniq or not all(k in names for k in uniq):
+            return None
+        if any(k in nullable for k in uniq):
+            return None  # null order keys: peer semantics diverge
+        order = list(uniq)
+    else:
+        ints = [n for n, k in cols if k == "int" and n not in nullable]
+        if not ints:
+            return None
+        order = [rng.choice(ints)]
+    parts = [n for n, k in cols if k == "str" and n in STR_VOCAB]
+    part = rng.choice(parts) if parts and rng.random() < 0.7 else None
+    fn = rng.choice(["sum_dec", "min", "max", "count"])
+    valcol, kind = None, "int"
+    if fn == "sum_dec":
+        raws = [n for n, k in cols if k == "double" and n in NUM_RANGE]
+        if not raws:
+            return None
+        valcol, kind = rng.choice(raws), "double"
+    elif fn in ("min", "max"):
+        cands = [(n, k) for n, k in cols if k in ("int", "double", "str")]
+        if not cands:
+            return None
+        valcol, kind = rng.choice(cands)
+    lo = rng.choice([None, 0, 1, 2, 5])  # None = UNBOUNDED PRECEDING
+    hi = rng.choice([0, 1, 3] if mode == "rows" else [0, 2, 10])
+    counter[0] += 1
+    return {"op": "proj_wframe", "fn": fn, "mode": mode, "part": part,
+            "order": order, "col": valcol, "lo": lo, "hi": hi,
+            "as": f"fz{counter[0]}", "kind": kind}
+
+
 def _plan_project(rng: random.Random, cols: list[tuple[str, str]],
                   counter: list[int],
                   nullable: frozenset[str] = frozenset()) -> dict | None:
@@ -350,7 +433,7 @@ def _plan_project(rng: random.Random, cols: list[tuple[str, str]],
 def _apply_to_schema(op: dict, cols: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """Mirror build-time schema effects during planning/shrinking."""
     o = op["op"]
-    if o in ("proj_window", "proj_nullif", "proj_coalesce"):
+    if o in ("proj_window", "proj_wframe", "proj_nullif", "proj_coalesce"):
         return cols + [(op["as"], op["kind"])]
     if o.startswith("proj_"):
         kind = {"proj_bucket": "int", "proj_dow": "int", "proj_keyword": "int",
@@ -427,7 +510,7 @@ def plan_case(seed: int) -> list[dict]:
         cols += [(n, k) for n, k in TABLES[t2] if n != k2]
         cols += [(n, k) for n, k in TABLES[t3] if n != k3]
         uniq = list(UNIQ_KEY.get(t1, []))
-    elif start < 0.40:
+    elif start < 0.34:
         left, right, lk, rk, runiq = rng.choice(JOINS)
         how = rng.choice(["inner", "inner", "left", "semi", "anti"])
         right_filter = None
@@ -450,7 +533,32 @@ def plan_case(seed: int) -> list[dict]:
             # full-duplicate rows, so any tie-break yields the same
             # window-output multiset)
             uniq = [n for n, _ in cols]
-    elif start < 0.52:
+    elif start < 0.42:
+        # correlated [NOT] EXISTS (VERDICT r5 #8): the equi-join
+        # correlation PLUS a second non-equi predicate tying a right
+        # column to a LEFT column — the fragment a plain semi/anti
+        # join with a right-side filter can't express
+        left, right, lk, rk, _ = rng.choice(JOINS)
+        lcol = rng.choice(NUM_COLS[left])
+        rcol = rng.choice(NUM_COLS[right])
+        ops.append({"op": "base_join_corr", "left": left, "right": right,
+                    "lk": lk, "rk": rk,
+                    "how": rng.choice(["semi", "anti"]),
+                    "lcol": lcol, "rcol": rcol,
+                    "cmp": rng.choice(["<", "<=", ">", ">="])})
+        cols = list(TABLES[left])
+        uniq = list(UNIQ_KEY.get(left, []))
+    elif start < 0.50:
+        # decimal-typed join key (VERDICT r5 #8): join a table to the
+        # DISTINCT decimal cast of one of its own raw 2-dp columns —
+        # exercises decimal hash/compare parity and decimal output
+        # canonicalization. Every row matches exactly one key (NULL
+        # keys drop on both engines), so the unique key survives.
+        t, c = rng.choice(DEC_JOIN)
+        ops.append({"op": "base_join_dec", "table": t, "col": c})
+        cols = list(TABLES[t]) + [("fzdec", "dec")]
+        uniq = list(UNIQ_KEY.get(t, []))
+    elif start < 0.60:
         # UNION ALL of the same table under two filters (duplicates
         # allowed — the compare is multiset); a row matching both
         # filters must appear twice on BOTH engines
@@ -463,7 +571,7 @@ def plan_case(seed: int) -> list[dict]:
             ops.append({"op": "base_union", "table": t, "f1": f1, "f2": f2})
         cols = list(TABLES[t])
         uniq = []  # union duplicates the key
-    elif start < 0.64:
+    elif start < 0.70:
         # EXCEPT / INTERSECT (and the ALL variants) of two filtered
         # projections of the same table — the set-op surface the r1-r3
         # grammar never emitted (VERDICT r3 #2). DISTINCT variants make
@@ -489,10 +597,12 @@ def plan_case(seed: int) -> list[dict]:
 
     for _ in range(rng.randint(1, 4)):
         pick = rng.random()
-        if pick < 0.50:
+        if pick < 0.45:
             op = _plan_filter(rng, cols, frozenset(nullable))
-        elif pick < 0.85:
+        elif pick < 0.75:
             op = _plan_project(rng, cols, counter, frozenset(nullable))
+        elif pick < 0.88:
+            op = _plan_wframe(rng, cols, uniq, counter, frozenset(nullable))
         else:
             op = _plan_window(rng, cols, uniq, counter)
         if op is None:
@@ -502,6 +612,8 @@ def plan_case(seed: int) -> list[dict]:
         o = op["op"]
         if o == "proj_nullif" or (o == "proj_window" and op["fn"] == "lag"):
             nullable.add(op["as"])
+        elif o == "proj_wframe" and op["fn"] != "count" and op["col"] in nullable:
+            nullable.add(op["as"])  # all-null frame → NULL aggregate
         elif o == "filter_null" and op["neg"]:
             nullable.discard(op["col"])  # IS NOT NULL proves it non-null
 
@@ -733,6 +845,43 @@ def build_case(ops: list[dict]):
                     "intersect_all": a.intersectAll}[_b["kind"]](b)
 
         steps.append(_setop)
+    elif base["op"] == "base_join_corr":
+        left, right, lk, rk = base["left"], base["right"], base["lk"], base["rk"]
+        ex = "EXISTS" if base["how"] == "semi" else "NOT EXISTS"
+        sql = (f"SELECT l.* FROM {left} l WHERE {ex}"
+               f" (SELECT 1 FROM {right} r WHERE r.{rk} = l.{lk}"
+               f" AND r.{base['rcol']} {base['cmp']} l.{base['lcol']})")
+        cols = list(TABLES[left])
+
+        def _join_corr(spark, sf, _b=base):
+            ldf = load_table(spark, sf, _b["left"])
+            rdf = load_table(spark, sf, _b["right"])
+            rc, lc = rdf[_b["rcol"]], ldf[_b["lcol"]]
+            extra = {"<": rc < lc, "<=": rc <= lc,
+                     ">": rc > lc, ">=": rc >= lc}[_b["cmp"]]
+            cond = (ldf[_b["lk"]] == rdf[_b["rk"]]) & extra
+            how = "left_semi" if _b["how"] == "semi" else "left_anti"
+            return ldf.join(rdf, cond, how)
+
+        steps.append(_join_corr)
+    elif base["op"] == "base_join_dec":
+        t, c = base["table"], base["col"]
+        cols = list(TABLES[t]) + [("fzdec", "dec")]
+        sql = (f"SELECT a.*, b.fzdec FROM {t} a JOIN"
+               f" (SELECT DISTINCT CAST({c} AS DECIMAL(12,2)) AS fzdec"
+               f" FROM {t}) b ON CAST(a.{c} AS DECIMAL(12,2)) = b.fzdec")
+
+        def _join_dec(spark, sf, _b=base):
+            src = load_table(spark, sf, _b["table"])
+            keyed = src.select(
+                F.col(_b["col"]).cast("decimal(12,2)").alias("fzdec")
+            ).distinct()
+            return src.join(
+                keyed,
+                F.col(_b["col"]).cast("decimal(12,2)") == F.col("fzdec"),
+            )
+
+        steps.append(_join_dec)
     else:
         left, right, lk, rk, how = (base["left"], base["right"], base["lk"],
                                     base["rk"], base["how"])
@@ -799,6 +948,50 @@ def build_case(ops: list[dict]):
                 return df.withColumn(_op["as"], e)
 
             steps.append(_win)
+            cols = _apply_to_schema(op, cols)
+        elif o == "proj_wframe":
+            part_sql = f"PARTITION BY {op['part']} " if op["part"] else ""
+            order_sql = ", ".join(f"{c} NULLS FIRST" for c in op["order"])
+            lo, hi = op["lo"], op["hi"]
+            lo_s = ("UNBOUNDED PRECEDING" if lo is None
+                    else "CURRENT ROW" if lo == 0 else f"{lo} PRECEDING")
+            hi_s = "CURRENT ROW" if hi == 0 else f"{hi} FOLLOWING"
+            frame = f"{op['mode'].upper()} BETWEEN {lo_s} AND {hi_s}"
+            over = f"OVER ({part_sql}ORDER BY {order_sql} {frame})"
+            if op["fn"] == "sum_dec":
+                wexpr = (f"CAST(SUM(CAST({op['col']} AS DECIMAL(18,2)))"
+                         f" {over} AS DOUBLE)")
+            elif op["fn"] == "count":
+                wexpr = f"CAST(COUNT(*) {over} AS BIGINT)"
+            else:
+                wexpr = f"{op['fn']}({op['col']}) {over}"
+            sql = f"SELECT t.*, {wexpr} AS {op['as']} FROM ({sql}) t"
+
+            def _wframe(df, _op=op):
+                from pyspark.sql import Window
+
+                w = (Window.partitionBy(_op["part"]) if _op["part"]
+                     else Window.partitionBy())
+                w = w.orderBy(*[F.col(k).asc() for k in _op["order"]])
+                start = (Window.unboundedPreceding if _op["lo"] is None
+                         else -_op["lo"])
+                if _op["mode"] == "rows":
+                    w = w.rowsBetween(start, _op["hi"])
+                else:
+                    w = w.rangeBetween(start, _op["hi"])
+                if _op["fn"] == "sum_dec":
+                    e = F.sum(
+                        F.col(_op["col"]).cast("decimal(18,2)")
+                    ).over(w).cast("double")
+                elif _op["fn"] == "count":
+                    e = F.count(F.lit(1)).over(w).cast("bigint")
+                elif _op["fn"] == "min":
+                    e = F.min(_op["col"]).over(w)
+                else:
+                    e = F.max(_op["col"]).over(w)
+                return df.withColumn(_op["as"], e)
+
+            steps.append(_wframe)
             cols = _apply_to_schema(op, cols)
         elif o.startswith("proj_"):
             sql = f"SELECT t.*, {col_expr_sql(op)} AS {op['as']} FROM ({sql}) t"
@@ -898,18 +1091,32 @@ def build_case(ops: list[dict]):
         else:
             raise AssertionError(o)
 
-    # final canonicalization: every int output → BIGINT on both sides
+    # final canonicalization: every int output → BIGINT, every decimal
+    # output → DOUBLE, on both sides (a DECIMAL(12,2) value is ≤ 10
+    # significant digits, so the double cast is exact and identical on
+    # both engines; without it Spark hands back Decimal objects where
+    # DuckDB's pandas bridge hands back float64 — same values,
+    # repr-distinct under the value hash)
     casts_sql, final_names = [], []
     for n, k in cols:
         final_names.append(n)
-        casts_sql.append(f"CAST({n} AS BIGINT) AS {n}" if k == "int" else n)
+        if k == "int":
+            casts_sql.append(f"CAST({n} AS BIGINT) AS {n}")
+        elif k == "dec":
+            casts_sql.append(f"CAST({n} AS DOUBLE) AS {n}")
+        else:
+            casts_sql.append(n)
     sql = f"SELECT {', '.join(casts_sql)} FROM ({sql}) t"
     int_cols = [n for n, k in cols if k == "int"]
+    dec_cols = [n for n, k in cols if k == "dec"]
 
-    def _canon(df, _ints=tuple(int_cols), _names=tuple(final_names)):
+    def _canon(df, _ints=tuple(int_cols), _decs=tuple(dec_cols),
+               _names=tuple(final_names)):
         out = df
         for n in _ints:
             out = out.withColumn(n, F.col(n).cast("bigint"))
+        for n in _decs:
+            out = out.withColumn(n, F.col(n).cast("double"))
         return out.select(*_names)
 
     steps.append(_canon)
