@@ -114,6 +114,48 @@ def test_bpe_batched_job_savings_on_diverse_vocabulary(spark):
     assert st["pair_count_jobs"] < st["merges"] / 2, st
 
 
+def test_select_merge_batch_edge_cases():
+    """Driver-side selection-rule pins (no Spark): stop at count ties,
+    vocab collisions, the max_batch cut, the full-fetch boundary, and
+    duplicate merged strings within one batch."""
+    from doin_fine_ance__spark.llm.tokenizer import (
+        _TOP_FETCH,
+        _select_merge_batch,
+    )
+
+    def rows(*tups):
+        return [{"a": a, "b": b, "n": n} for a, b, n in tups]
+
+    assert _select_merge_batch(rows(("a", "b", 5)), {"a", "b"}, 64) == [("a", "b")]
+    # disjoint, strictly descending, full table fetched → all selected
+    top = rows(("a", "b", 9), ("c", "d", 7), ("e", "f", 5))
+    assert _select_merge_batch(top, set("abcdef"), 64) == [
+        ("a", "b"), ("c", "d"), ("e", "f")]
+    # tie at the first conflict kills the equal-count candidate
+    top = rows(("a", "b", 9), ("c", "d", 7), ("b", "e", 7))
+    assert _select_merge_batch(top, set("abcde"), 64) == [("a", "b")]
+    # merged string already in the vocabulary → batch degrades to [p1]
+    top = rows(("a", "b", 9), ("c", "d", 3))
+    assert _select_merge_batch(top, {"a", "b", "c", "d", "ab"}, 64) == [("a", "b")]
+    # max_batch cut: the next row's count becomes the stop bound
+    top = rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 7), ("g", "h", 6))
+    assert _select_merge_batch(top, set("abcdefgh"), 2) == [("a", "b"), ("c", "d")]
+    # ...and a tie AT the cut drops the tying candidate
+    top = rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 8))
+    assert _select_merge_batch(top, set("abcdef"), 2) == [("a", "b")]
+    # full fetch: unfetched pairs may tie the last count, so only
+    # strictly-above-it candidates survive
+    top = rows(*[(f"x{i}", f"y{i}", 1000 - i) for i in range(_TOP_FETCH)])
+    vocab = {r[k] for r in top for k in ("a", "b")}
+    got = _select_merge_batch(top, vocab, 10_000)
+    assert got == [(f"x{i}", f"y{i}") for i in range(_TOP_FETCH - 1)]
+    # two kept merges may not share a merged STRING ("a"+"bc" == "ab"+"c")
+    top = rows(("a", "bc", 9), ("ab", "c", 8), ("d", "e", 7))
+    assert _select_merge_batch(
+        top, {"a", "bc", "ab", "c", "d", "e"}, 64
+    ) == [("a", "bc")]
+
+
 def test_bpe_batch_selection_survives_adversarial_tiebreaks(spark):
     """Corpora engineered to break naive disjoint batching:
 
