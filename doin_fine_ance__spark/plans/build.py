@@ -82,6 +82,15 @@ class Warehouse:
         else:
             atomic_overwrite(df, self.path(schema, table))
 
+    def vacuum(self, schema: str, table: str, keep_last: int = 2) -> list[int]:
+        """Retention for snapshot tables: drop manifests + data dirs
+        older than the newest ``keep_last`` versions (no-op for tables
+        without a manifest). Choose a retention long enough for
+        in-flight readers — same contract as Delta's VACUUM."""
+        if not self._has_manifest(schema, table):
+            return []
+        return self._snap(schema, table).vacuum(keep_last=keep_last)
+
     def append_insert_only(
         self, df: DataFrame, schema: str, table: str, key: str
     ) -> None:

@@ -185,3 +185,46 @@ def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_views"))
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "st_stream_static_enrich",
+    oracle="""
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))::TIMESTAMP AS window_start,
+           c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join
+    (:func:`doin_fine_ance__spark.streaming.windows.stream_static_enrich`):
+    events joined to the broadcast customer dimension, then a 15-minute
+    tumbling rollup per market segment.
+
+    Plan shape at scale: the dimension broadcasts (stream side never
+    shuffles for the join — in streaming it re-resolves per
+    micro-batch, picking up dim updates at the next trigger); the only
+    shuffle is the windowed aggregation on (window, segment), which is
+    low-cardinality and map-side-combined.
+    """
+    ev = load_table(spark, sf_dir, "events", ["ts", "user_id", "value"])
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    dim = cust.select(col("c_custkey").alias("user_id"), "c_mktsegment")
+    return (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window(col("ts"), "15 minutes").alias("w"), col("c_mktsegment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "c_mktsegment",
+            "n",
+            "total_value",
+        )
+    )

@@ -114,6 +114,39 @@ def session_aggregates(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    dim_key: str = "c_custkey",
+    attr: str = "c_mktsegment",
+    window: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-static enrichment join + tumbling rollup per dimension
+    attribute — the standard "events × user table" streaming shape.
+
+    The static side joins per MICRO-BATCH (Spark re-resolves the batch
+    plan each trigger, so a dimension update is visible at the next
+    trigger without restarting the query) and is explicitly
+    broadcast — the stream side never shuffles for the join, only for
+    the windowed aggregation. Stream-static joins are stateless: no
+    watermark is needed for the join itself, only for the window agg.
+    Batch twin (oracle-checked): ``st_stream_static_enrich``.
+    """
+    d = dim.select(col(dim_key).alias(key), col(attr))
+    enriched = events.join(F.broadcast(d), key)
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window(col("ts"), window).alias("w"), col(attr))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(col("w.start").alias("window_start"), attr, "n", "total_value")
+    )
+
+
 def run_to_memory_sink(
     agg: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -179,3 +179,36 @@ def test_register_sql_catalog_on_snapshot_warehouse(spark, snap_wh):
         "SELECT count(*) AS c FROM analytics.fct_trxns_categorized"
     ).first()["c"]
     assert n_cat == snap_wh.read("analytics", "fct_trxns_categorized").count()
+
+
+def test_warehouse_vacuum_drops_old_versions_keeps_current(spark, snap_wh):
+    """Retention through the warehouse: after two rebuilds, vacuum
+    keeps the newest version readable and removes older commit dirs;
+    plain-parquet tables are a no-op."""
+    import glob
+
+    from doin_fine_ance__spark.operators.snapshot import SnapshotTable
+
+    _shrink_inputs(spark, snap_wh.root)
+    build(snap_wh, full_refresh=True)
+    FX.raw_simplefin(spark).write.mode("overwrite").parquet(
+        f"{snap_wh.root}/public/simplefin"
+    )
+    build(snap_wh, full_refresh=True)
+
+    table_root = snap_wh.path("analytics", "fct_validated_trxns")
+    st = SnapshotTable(table_root)
+    latest = st.latest_version()
+    assert latest >= 3
+    before = sorted(map(repr, snap_wh.read("analytics", "fct_validated_trxns").collect()))
+
+    removed = snap_wh.vacuum("analytics", "fct_validated_trxns", keep_last=1)
+    assert removed and max(removed) == latest - 1
+    # current version still reads bit-identically
+    after = sorted(map(repr, snap_wh.read("analytics", "fct_validated_trxns").collect()))
+    assert after == before
+    # exactly the live version's commit dirs remain
+    live_dirs = {p.rsplit("/", 1)[0] for p in st.manifest()["files"]}
+    assert set(glob.glob(f"{table_root}/data/*")) == live_dirs
+    # plain-parquet (non-manifest) tables: no-op
+    assert snap_wh.vacuum("public", "simplefin") == []

@@ -479,3 +479,25 @@ def test_stateful_first_seen_state_survives_restart(spark, tmp_path):
     # key 2's surviving row is its FIRST occurrence (10:01:00 UTC as
     # epoch seconds), not the 10:10:00 replay
     assert by_key[2] == 1704103260
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    """Stream-static join + windowed rollup: the streaming result must
+    equal the oracle-checked batch twin (the static side broadcasts
+    per micro-batch; only the window agg shuffles)."""
+    from doin_fine_ance__spark.sources.testdata import load_table
+    from doin_fine_ance__spark.streaming.windows import stream_static_enrich
+
+    stream = read_events_stream(spark, SF)
+    dim = load_table(spark, SF, "customer", ["c_custkey", "c_mktsegment"])
+    result = run_to_memory_sink(
+        stream_static_enrich(stream, dim), "enrich_out"
+    )
+    batch = QUERIES["st_stream_static_enrich"](spark, SF)
+    cols = ["ws", "c_mktsegment", "n", "total_value"]
+    got = _rows(result.withColumnRenamed("window_start", "ws"), cols)
+    want = _rows(batch.withColumnRenamed("window_start", "ws"), cols)
+    # batch emits TIMESTAMP_NTZ; stream emits LTZ — compare wall-clock
+    assert [(str(a), *rest) for a, *rest in got] == [
+        (str(a), *rest) for a, *rest in want
+    ]
