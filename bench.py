@@ -67,6 +67,7 @@ HEADLINE = [
     "s_cosine_topk_bruteforce",
     "st_session_window",
     "st_interval_join",
+    "st_stream_static_enrich",
     "t_repetition_filter",
     "d_decontaminate",
     "t_sequence_packing",
