@@ -475,10 +475,17 @@ def pq_recall_report(
     "k", "corpus_size"}`` with recalls averaged over queries.
     """
     nrm = F.sqrt(_dot(col(vec_col), col(vec_col)))
-    unit = embeddings.select(
-        col(id_col),
-        F.transform(col(vec_col), lambda x: x / nrm).alias(vec_col),
-    ).persist()
+    # Zero-norm vectors have no cosine direction: dividing by the norm
+    # would send NaN/Inf symbols through pq_train/pq_encode and silently
+    # skew the recall numbers (ADVICE r6) — exclude them up front.
+    unit = (
+        embeddings.filter(nrm > 0)
+        .select(
+            col(id_col),
+            F.transform(col(vec_col), lambda x: x / nrm).alias(vec_col),
+        )
+        .persist()
+    )
     try:
         corpus_size = unit.count()
         books = pq_train(unit, m=m, k=n_centroids, id_col=id_col, vec_col=vec_col)

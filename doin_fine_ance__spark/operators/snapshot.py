@@ -86,15 +86,23 @@ class SnapshotTable:
         """
         with table_write_lock(self.root, timeout=timeout):
             commit_dir = os.path.join(self._data_dir, uuid.uuid4().hex)
+            schema_json = df.schema.json()
             if partition_by:
                 df.write.mode("overwrite").partitionBy(partition_by).parquet(
                     commit_dir
                 )
                 return self._publish(
-                    {"dir": commit_dir, "partitioned": True, "files": []}
+                    {
+                        "dir": commit_dir,
+                        "partitioned": True,
+                        "files": [],
+                        "schema": schema_json,
+                    }
                 )
             df.write.mode("overwrite").parquet(commit_dir)
-            return self._publish({"files": self._list_parquet(commit_dir)})
+            return self._publish(
+                {"files": self._list_parquet(commit_dir), "schema": schema_json}
+            )
 
     def commit_append(
         self,
@@ -135,7 +143,10 @@ class SnapshotTable:
             commit_dir = os.path.join(self._data_dir, uuid.uuid4().hex)
             df.write.mode("overwrite").parquet(commit_dir)
             return self._publish(
-                {"files": prev_files + self._list_parquet(commit_dir)}
+                {
+                    "files": prev_files + self._list_parquet(commit_dir),
+                    "schema": df.schema.json(),
+                }
             )
 
     @staticmethod
@@ -208,8 +219,20 @@ class SnapshotTable:
             # partition pruning
             return spark.read.parquet(m["dir"])
         if not m["files"]:
+            # A legitimately committed EMPTY table: AQE may coalesce an
+            # empty write to zero part files, leaving nothing on disk
+            # to infer from — the manifest's recorded schema is the
+            # table's schema, so replay it (ADVICE r6). Only manifests
+            # predating schema recording are corrupt here.
+            if m.get("schema"):
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(m["schema"]))
+                )
             raise SnapshotCorruptionError(
-                f"manifest v{m['version']} of {self.root} lists no files"
+                f"manifest v{m['version']} of {self.root} lists no files "
+                "and records no schema"
             )
         return spark.read.parquet(*m["files"])
 

@@ -86,10 +86,25 @@ class Warehouse:
         """Retention for snapshot tables: drop manifests + data dirs
         older than the newest ``keep_last`` versions (no-op for tables
         without a manifest). Choose a retention long enough for
-        in-flight readers — same contract as Delta's VACUUM."""
+        in-flight readers — same contract as Delta's VACUUM.
+
+        A catalog entry made by :func:`register_sql_catalog` points at
+        the commit dirs of the manifest that was CURRENT at
+        registration time; if the table has been rebuilt since, this
+        vacuum would delete exactly those dirs and break catalog reads
+        (ADVICE r6). So if the table is registered in the session
+        catalog, it is re-registered against the latest manifest here,
+        after the vacuum."""
         if not self._has_manifest(schema, table):
             return []
-        return self._snap(schema, table).vacuum(keep_last=keep_last)
+        removed = self._snap(schema, table).vacuum(keep_last=keep_last)
+        try:
+            registered = self.spark.catalog.tableExists(f"`{schema}`.`{table}`")
+        except Exception:
+            registered = False
+        if registered:
+            _register_table(self.spark, schema, table, self.path(schema, table))
+        return removed
 
     def append_insert_only(
         self, df: DataFrame, schema: str, table: str, key: str
@@ -279,6 +294,91 @@ def _drop_catalog_entry(spark: SparkSession, fq: str) -> None:
             pass
 
 
+def _quote_col(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _register_table(
+    spark: SparkSession, schema: str, table: str, table_dir: str
+) -> bool:
+    """Register ONE warehouse table in the session catalog (see
+    :func:`register_sql_catalog` for the contract). Returns False for
+    directories that are not registrable tables."""
+    # paths are interpolated into the LOCATION clause — reject
+    # anything that could break out of the string literal
+    if "'" in table_dir or "\\" in table_dir:
+        raise ValueError(
+            f"refusing to register table at path with quote/backslash: {table_dir!r}"
+        )
+    fq = f"`{schema}`.`{table}`"
+    if os.path.exists(os.path.join(table_dir, "_latest")):
+        # versioned-manifest table: register the CURRENT published
+        # version. The catalog entry is a point-in-time binding to
+        # that version's commit dirs — unlike the swap layout (whose
+        # location survives rebuilds), a rebuild does NOT re-point
+        # it, and a subsequent vacuum deletes the dirs it points at.
+        # Re-run this (or Warehouse.vacuum, which re-registers
+        # registered tables) after a rebuild.
+        from ..operators.snapshot import SnapshotTable
+
+        m = SnapshotTable(table_dir).manifest()
+        dirs = (
+            [m["dir"]]
+            if m.get("partitioned")
+            else sorted({os.path.dirname(p) for p in m["files"]})
+        )
+        if any("'" in d or "\\" in d for d in dirs):
+            raise ValueError(
+                f"refusing to register snapshot commit dir with quote/backslash under {table_dir!r}"
+            )
+        _drop_catalog_entry(spark, fq)
+        if len(dirs) == 1:
+            spark.sql(f"CREATE TABLE {fq} USING PARQUET LOCATION '{dirs[0]}'")
+            if m.get("partitioned"):
+                spark.sql(f"ALTER TABLE {fq} RECOVER PARTITIONS")
+        elif not dirs:
+            # empty committed table: a zero-row view typed from the
+            # manifest's recorded schema (a permanent view can't
+            # reference a temp view, so build it as literal casts)
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            st = StructType.fromJson(_json.loads(m["schema"]))
+            sel = ", ".join(
+                f"CAST(NULL AS {f.dataType.simpleString()}) AS {_quote_col(f.name)}"
+                for f in st.fields
+            )
+            spark.sql(
+                f"CREATE OR REPLACE VIEW {fq} AS SELECT {sel} WHERE 1=0"
+            )
+        else:
+            # append manifests span commit dirs: a view unions them BY
+            # NAME — an explicit column list from the newest commit's
+            # schema, so a column-order difference between commit dirs
+            # can never silently misalign the union (ADVICE r6)
+            cols = spark.read.parquet(dirs[-1]).columns
+            sel = ", ".join(_quote_col(c) for c in cols)
+            union = " UNION ALL ".join(
+                f"SELECT {sel} FROM parquet.`{d}`" for d in dirs
+            )
+            spark.sql(f"CREATE OR REPLACE VIEW {fq} AS {union}")
+        return True
+    # only register dirs that actually hold parquet data (a stray
+    # non-table dir would otherwise become a catalog entry that
+    # fails at query time)
+    if not _looks_like_parquet_dir(table_dir):
+        return False
+    _drop_catalog_entry(spark, fq)
+    spark.sql(f"CREATE TABLE {fq} USING PARQUET LOCATION '{table_dir}'")
+    if any(
+        "=" in e and os.path.isdir(os.path.join(table_dir, e))
+        for e in os.listdir(table_dir)
+    ):
+        spark.sql(f"ALTER TABLE {fq} RECOVER PARTITIONS")
+    return True
+
+
 def register_sql_catalog(wh: Warehouse) -> list[str]:
     """Expose the warehouse to ``spark.sql`` under the reference's
     two-schema names: ``public.<table>`` / ``analytics.<table>``.
@@ -292,6 +392,12 @@ def register_sql_catalog(wh: Warehouse) -> list[str]:
     up as PartitionFilters in query plans. Idempotent: re-running
     after a rebuild re-points and re-discovers partitions. Returns the
     fully-qualified names registered.
+
+    Snapshot-layout caveat (ADVICE r6): entries for manifest tables
+    bind to the commit dirs of the version current at registration.
+    After a rebuild, re-run this to re-point BEFORE vacuuming old
+    versions; ``Warehouse.vacuum`` re-registers registered tables
+    itself as a safety net.
     """
     spark = wh.spark
     registered: list[str] = []
@@ -304,55 +410,6 @@ def register_sql_catalog(wh: Warehouse) -> list[str]:
             table_dir = os.path.join(schema_dir, table)
             if not os.path.isdir(table_dir) or not table.isidentifier():
                 continue
-            # paths are interpolated into the LOCATION clause — reject
-            # anything that could break out of the string literal
-            if "'" in table_dir or "\\" in table_dir:
-                raise ValueError(
-                    f"refusing to register table at path with quote/backslash: {table_dir!r}"
-                )
-            fq = f"`{schema}`.`{table}`"
-            if os.path.exists(os.path.join(table_dir, "_latest")):
-                # versioned-manifest table: register the CURRENT
-                # published version (re-run after a rebuild to
-                # re-point, same contract as the swap layout)
-                from ..operators.snapshot import SnapshotTable
-
-                m = SnapshotTable(table_dir).manifest()
-                dirs = (
-                    [m["dir"]]
-                    if m.get("partitioned")
-                    else sorted({os.path.dirname(p) for p in m["files"]})
-                )
-                if any("'" in d or "\\" in d for d in dirs):
-                    raise ValueError(
-                        f"refusing to register snapshot commit dir with quote/backslash under {table_dir!r}"
-                    )
-                _drop_catalog_entry(spark, fq)
-                if len(dirs) == 1:
-                    spark.sql(
-                        f"CREATE TABLE {fq} USING PARQUET LOCATION '{dirs[0]}'"
-                    )
-                    if m.get("partitioned"):
-                        spark.sql(f"ALTER TABLE {fq} RECOVER PARTITIONS")
-                else:
-                    # append manifests span commit dirs: a view unions them
-                    union = " UNION ALL ".join(
-                        f"SELECT * FROM parquet.`{d}`" for d in dirs
-                    )
-                    spark.sql(f"CREATE OR REPLACE VIEW {fq} AS {union}")
+            if _register_table(spark, schema, table, table_dir):
                 registered.append(f"{schema}.{table}")
-                continue
-            # only register dirs that actually hold parquet data (a
-            # stray non-table dir would otherwise become a catalog
-            # entry that fails at query time)
-            if not _looks_like_parquet_dir(table_dir):
-                continue
-            _drop_catalog_entry(spark, fq)
-            spark.sql(f"CREATE TABLE {fq} USING PARQUET LOCATION '{table_dir}'")
-            if any(
-                "=" in e and os.path.isdir(os.path.join(table_dir, e))
-                for e in os.listdir(table_dir)
-            ):
-                spark.sql(f"ALTER TABLE {fq} RECOVER PARTITIONS")
-            registered.append(f"{schema}.{table}")
     return registered

@@ -122,6 +122,8 @@ def stream_static_enrich(
     attr: str = "c_mktsegment",
     window: str = "15 minutes",
     watermark: str = "10 minutes",
+    value_col: str = "value",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Stream-static enrichment join + tumbling rollup per dimension
     attribute — the standard "events × user table" streaming shape.
@@ -137,11 +139,11 @@ def stream_static_enrich(
     d = dim.select(col(dim_key).alias(key), col(attr))
     enriched = events.join(F.broadcast(d), key)
     return (
-        enriched.withWatermark("ts", watermark)
-        .groupBy(F.window(col("ts"), window).alias("w"), col(attr))
+        enriched.withWatermark(ts_col, watermark)
+        .groupBy(F.window(col(ts_col), window).alias("w"), col(attr))
         .agg(
             F.count("*").alias("n"),
-            F.sum(col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.sum(col(value_col).cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(col("w.start").alias("window_start"), attr, "n", "total_value")
     )

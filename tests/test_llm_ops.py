@@ -801,3 +801,27 @@ def test_minhash_token_store_does_not_accumulate(spark):
     assert first.storageLevel.useMemory is False  # actually unpersisted
     D.release_token_stores()
     assert not D._TOKEN_STORES
+
+
+def test_pq_recall_excludes_zero_norm_vectors(spark):
+    """ADVICE r6: a zero-norm embedding has no cosine direction —
+    normalizing it would push NaN/Inf through pq_train/pq_encode and
+    silently skew the recall numbers. It must be excluded up front."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.llm.ann import pq_recall_report
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    n_real = emb.count()
+    zero = spark.createDataFrame([(-1, [0.0] * dim)], "vec_id bigint, embedding array<double>")
+    planted = emb.select("vec_id", F.col("embedding").cast("array<double>")).unionByName(zero)
+    # vec_id=-1 sorts FIRST: without the guard the zero vector becomes
+    # query #1 and NaN poisons both recalls
+    rep = pq_recall_report(planted, n_queries=5, n_centroids=16, rerank_factor=10)
+    assert rep["corpus_size"] == n_real  # zero vector excluded
+    assert not math.isnan(rep["recall_adc"]) and not math.isnan(rep["recall_rerank"])
+    assert 0.0 <= rep["recall_adc"] <= 1.0
+    assert rep["recall_rerank"] >= rep["recall_adc"] * 0.99

@@ -86,3 +86,50 @@ def test_empty_table_raises_cleanly(spark, tmp_path):
     assert t.latest_version() == 0
     with pytest.raises(FileNotFoundError):
         t.read(spark)
+
+
+def test_empty_overwrite_reads_as_empty_table(spark, tmp_path):
+    """ADVICE r6: a committed EMPTY overwrite (AQE can coalesce the
+    write to zero part files) is a legitimate table state — read()
+    must return a zero-row frame with the committed schema, not raise
+    SnapshotCorruptionError."""
+    import json
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    st_schema = StructType(
+        [StructField("id", LongType()), StructField("label", StringType())]
+    )
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    v = t.commit_overwrite(spark.createDataFrame([], st_schema))
+    got = t.read(spark, v)
+    assert got.count() == 0
+    assert got.schema == st_schema
+
+    # the exact ADVICE scenario, forced deterministically: a published
+    # manifest whose files list is empty
+    t2 = SnapshotTable(str(tmp_path / "tbl2"))
+    t2.commit_overwrite(_gen_df(spark, 1, 5))
+    m2 = {
+        "version": 2,
+        "ts": 0.0,
+        "files": [],
+        "schema": st_schema.json(),
+    }
+    with open(os.path.join(t2.root, "_manifests", "v000002.json"), "w") as f:
+        json.dump(m2, f)
+    with open(os.path.join(t2.root, "_latest"), "w") as f:
+        f.write("2")
+    empty = t2.read(spark)
+    assert empty.count() == 0 and empty.schema == st_schema
+    # legacy manifest (no schema recorded) with no files is still corrupt
+    m3 = {"version": 3, "ts": 0.0, "files": []}
+    with open(os.path.join(t2.root, "_manifests", "v000003.json"), "w") as f:
+        json.dump(m3, f)
+    with open(os.path.join(t2.root, "_latest"), "w") as f:
+        f.write("3")
+    from doin_fine_ance__spark.operators.snapshot import SnapshotCorruptionError
+
+    with pytest.raises(SnapshotCorruptionError):
+        t2.read(spark)

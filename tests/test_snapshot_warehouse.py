@@ -212,3 +212,44 @@ def test_warehouse_vacuum_drops_old_versions_keeps_current(spark, snap_wh):
     assert set(glob.glob(f"{table_root}/data/*")) == live_dirs
     # plain-parquet (non-manifest) tables: no-op
     assert snap_wh.vacuum("public", "simplefin") == []
+
+
+def test_catalog_view_over_append_manifest_unions_by_name(spark, tmp_path):
+    """ADVICE r6: the catalog view over an append manifest's commit
+    dirs must union BY NAME — a later commit written with a different
+    column order must not misalign (or error out of) the union."""
+    from doin_fine_ance__spark.operators.snapshot import SnapshotTable
+
+    root = str(tmp_path / "wh2")
+    tdir = os.path.join(root, "analytics", "applog")
+    os.makedirs(os.path.dirname(tdir), exist_ok=True)
+    st = SnapshotTable(tdir)
+    st.commit_overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, label string")
+    )
+    # second commit arrives with the columns REVERSED
+    st.commit_append(
+        spark.createDataFrame([("c", 3)], "label string, id bigint")
+    )
+    wh = Warehouse(spark, root, snapshot=True)
+    assert "analytics.applog" in register_sql_catalog(wh)
+    got = {
+        (r["id"], r["label"])
+        for r in spark.sql("SELECT id, label FROM analytics.applog").collect()
+    }
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_vacuum_reregisters_catalog_entry_after_rebuild(spark, snap_wh):
+    """ADVICE r6: a catalog entry binds to the commit dirs current at
+    registration; rebuild + vacuum deletes those dirs. Warehouse.vacuum
+    must re-point registered tables so catalog reads keep working."""
+    register_sql_catalog(snap_wh)
+    _shrink_inputs(spark, snap_wh.root)
+    build(snap_wh, full_refresh=True)
+    removed = snap_wh.vacuum("analytics", "fct_validated_trxns", keep_last=1)
+    assert removed  # the pre-rebuild version really was dropped
+    n_sql = spark.sql(
+        "SELECT count(*) AS c FROM analytics.fct_validated_trxns"
+    ).first()["c"]
+    assert n_sql == snap_wh.read("analytics", "fct_validated_trxns").count()

@@ -501,3 +501,31 @@ def test_stream_static_enrich_equals_batch(spark):
     assert [(str(a), *rest) for a, *rest in got] == [
         (str(a), *rest) for a, *rest in want
     ]
+
+
+def test_stream_static_enrich_custom_columns(spark):
+    """ADVICE r6: value/event-time columns are parameters, not
+    hardcoded names — a stream with renamed columns produces the same
+    rollup through value_col/ts_col."""
+    from doin_fine_ance__spark.sources.testdata import load_table
+    from doin_fine_ance__spark.streaming.windows import stream_static_enrich
+
+    stream = (
+        read_events_stream(spark, SF)
+        .withColumnRenamed("ts", "event_ts")
+        .withColumnRenamed("value", "amount")
+    )
+    dim = load_table(spark, SF, "customer", ["c_custkey", "c_mktsegment"])
+    result = run_to_memory_sink(
+        stream_static_enrich(
+            stream, dim, value_col="amount", ts_col="event_ts"
+        ),
+        "enrich_custom_cols",
+    )
+    batch = QUERIES["st_stream_static_enrich"](spark, SF)
+    cols = ["ws", "c_mktsegment", "n", "total_value"]
+    got = _rows(result.withColumnRenamed("window_start", "ws"), cols)
+    want = _rows(batch.withColumnRenamed("window_start", "ws"), cols)
+    assert [(str(a), *rest) for a, *rest in got] == [
+        (str(a), *rest) for a, *rest in want
+    ]
