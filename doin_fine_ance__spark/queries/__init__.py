@@ -31,77 +31,79 @@ def query(name: str, oracle: str | None = None):
 
 # The external driver verifies the FIRST 50 registered queries against
 # their DuckDB oracles; the rest keep local pytest + tests/oracle.py
-# coverage only. Round-6 rotation (per VERDICT.md r5 "Next round" #3;
-# the planned r5 rotation never happened — r5's window was byte-equal
-# to r4's): the four aggregation anchors swapped out in the r4
-# mid-round amendment (a3/a4/a6/a7 — the ONLY queries whose newest
-# driver row is still r2) lead; the four r4 dedup additions keep their
-# slots per the verdict; the remaining 42 slots refresh the oldest r3
-# evidence — all 29 queries first (and last) seen in the r3 window,
-# plus 13 of the 19 r3-window repeats (the 6 left out — a1, a2, a5,
-# a12, a13, w1 — each already hold three green driver rows, r1+r2+r3).
-# After this round no registered query's newest driver row predates
-# r3. The rows-only `a_approx_distinct_users` stays out (it can never
-# hash-match). Per-round membership is tracked in WINDOWS.md.
-# Everything out of window stays registered, plan-audited, and
-# oracle-checked by tests/test_inventory_oracle.py +
-# tools/sweep_correctness.py.
+# coverage only. Round-7 rotation: the four queries with NO driver row
+# yet lead (st_stream_static_enrich, registered r6 after the r6 window
+# froze, and the three round-7 TPC-H additions q2/q16/q20); the six
+# queries whose newest driver row is still r3 (left out of the r6
+# rotation at three green rows each) come back; the remaining 40
+# slots refresh 40 of the 46 queries whose newest row is r5 (the r4/r5
+# window members not kept in r6). Left at r5 evidence — each already
+# holds 3-4 green driver rows: d_minhash_lsh_neardups (4: r2-r5),
+# t_token_count, t_quality_score, t_lang_id_heuristic,
+# o5_top5_categories, f8_f9_timestamp_conversions. After this round no
+# registered query's newest driver row predates r5, and every
+# oracle-backed query has at least one green row. The rows-only
+# `a_approx_distinct_users` stays out (it can never hash-match).
+# Per-round membership is tracked in WINDOWS.md. Everything out of
+# window stays registered, plan-audited, and oracle-checked by
+# tests/test_inventory_oracle.py + tools/sweep_correctness.py.
 DRIVER_WINDOW: list[str] = [
-    # --- newest driver row r2 (swapped out in the r4 amendment) ---
-    "a3_yearly_spend_by_category",
-    "a4_quarterly_spend",
-    "a6_count_total",
-    "a7_distinct_categories",
-    # --- r4 dedup additions, kept per VERDICT r5 #3 ---
-    "d_minhash_containment",
-    "d_duplicate_spans",
-    "d_span_scrub",
-    "d_semantic_dedup",
-    # --- newest driver row r3: TPC-H probes first seen r3 ---
-    "q7_volume_shipping_pairs",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_revenue_customers",
-    "q11_global_threshold_having",
-    "q12_shipmode_priority_counts",
-    "q15_top_supplier_revenue",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicate_join",
-    "q21_waiting_supplier_shape",
-    "q22_dormant_customer_balance",
-    # --- newest driver row r3: LLM text/corpus/dedup/ANN/multimodal/streaming ---
-    "t_repetition_filter",
-    "t_pii_redaction",
-    "d_decontaminate",
-    "t_sequence_packing",
-    "t_stratified_sample",
-    "t_shuffle_order",
-    "t_domain_mix",
-    "a_exact_percentiles",
-    "t_doc_fingerprint",
-    "t_token_count_bpe",
-    "t_top_tokens",
-    "t_bigram_familiarity",
-    "t_simhash_fingerprints",
-    "d_incremental_neardups",
-    "s_cosine_topk_lsh",
-    "mm_image_resize",
-    "mm_video_frame_sample",
-    "st_interval_join",
-    # --- newest driver row r3: inventory repeats (13 of 19) ---
-    "w2_rownum_md5_surrogate",
-    "w4_w5_reconnection_dedup",
-    "j1_mapping_join_disjunctive",
-    "j3_override_coalesce_overlay",
-    "j8_incremental_anti_append",
-    "j10_nullsafe_equality_join",
-    "p3_uncategorized_anti_join",
-    "p4_exclusion_patterns_anti",
-    "o1_pagination_offset",
-    "u1_union_two_sources",
-    "f_feature_engineering",
-    "f15_json_extraction",
-    "m7_calibration_curve",
+    # --- no driver row yet: first verification ---
+    "st_stream_static_enrich",
+    "q2_min_cost_supplier",
+    "q16_supplier_part_type_counts",
+    "q20_dominant_supplier_semi",
+    # --- newest driver row r3 (rested in r6 at 3 green rows) ---
+    "a1_monthly_spend_by_category",
+    "a2_monthly_net_change",
+    "a5_pivot_month_by_status",
+    "a12_cumulative_monthly_net",
+    "a13_prediction_stats",
+    "w1_latest_import_dedup",
+    # --- newest driver row r5: TPC-H probes ---
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q4_priority_semi_join",
+    "q5_region_revenue_rollup",
+    "q6_forecast_revenue",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_ratio",
+    "q18_large_volume_customers",
+    # --- newest driver row r5: analytics/join probes ---
+    "a_cube_status_priority",
+    "a_rollup_region_nation",
+    "a_count_distinct_users",
+    "a_event_funnel",
+    "w_lead_lag_session_count",
+    "j_salted_skew_join",
+    "j_asof_purchase_last_view",
+    "j_range_price_bands",
+    # --- newest driver row r5: finance inventory ---
+    "a8_connection_health_rollup",
+    "a9_data_range_check",
+    "a11_class_distribution",
+    "p1_projection_literals",
+    "p6_dynamic_where_search",
+    "j9_latest_import_per_account",
+    "o2_sort_nulls_last_top",
+    "o3_latest_one",
+    "f16_array_membership",
+    # --- newest driver row r5: LLM text/dedup/ANN/multimodal/streaming ---
+    "t_token_budget_select",
+    "t_winnowing_fingerprints",
+    "d_exact_dedup",
+    "d_segment_dedup",
+    "d_ngram_jaccard_pairs",
+    "d_dup_clusters",
+    "d_simhash_neardups",
+    "s_cosine_topk_ivf",
+    "s_cosine_topk_bruteforce",
+    "d_embedding_cosine_neardups",
+    "mm_media_features",
+    "mm_audio_features",
+    "st_tumbling_window",
+    "st_sliding_window",
+    "st_session_window",
 ]
 
 
