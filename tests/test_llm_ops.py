@@ -825,3 +825,40 @@ def test_pq_recall_excludes_zero_norm_vectors(spark):
     assert not math.isnan(rep["recall_adc"]) and not math.isnan(rep["recall_rerank"])
     assert 0.0 <= rep["recall_adc"] <= 1.0
     assert rep["recall_rerank"] >= rep["recall_adc"] * 0.99
+
+
+def test_lsh_banding_recall_and_s_curve(spark):
+    """Round-7 evidence seam (tools/lsh_quality.py, committed numbers
+    in LSH_QUALITY_r07.json): the MinHash banding must surface ~every
+    pair whose SHINGLE Jaccard (the measure the signatures sketch)
+    clears the threshold, and the empirical per-bin candidate rate
+    must track the theoretical S-curve 1-(1-s^r)^b. Three planted
+    near-copies make the recall assertion non-vacuous at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.sources.testdata import load_table
+    from tools.lsh_quality import measure
+
+    base = load_table(spark, "/root/testdata/sf0.001", "documents", ["doc_id", "text"])
+    planted = (
+        base.orderBy("doc_id")
+        .limit(3)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tiny tail edit")).alias("text"),
+        )
+    )
+    rep = measure(
+        spark, "/root/testdata/sf0.001", 0.7, 64, 16,
+        docs=base.unionByName(planted),
+    )
+    # verified output never contains a pair below its own threshold
+    assert rep["false_positives"] == 0
+    # the 3 planted near-copies guarantee shingle-truth pairs exist;
+    # banding must recover (essentially) all truth pairs
+    assert rep["n_shingle_truth_pairs"] >= 3
+    assert rep["banding_recall"] >= 0.95, rep
+    # S-curve: empirical candidate rate tracks theory in populated bins
+    for b in rep["s_curve"]:
+        if b["n_pairs"] >= 200:
+            assert abs(b["candidate_rate"] - b["theory_rate"]) <= 0.1, b

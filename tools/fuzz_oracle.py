@@ -54,6 +54,15 @@ decimal output canonicalization: final dec outputs cast to DOUBLE on
 both sides, since Spark hands back Decimal objects where DuckDB's
 pandas bridge hands back float64).
 
+Round-7 grammar extensions: grouping-set terminals — GROUP BY
+ROLLUP/CUBE over the planned group keys (subtotal rows carry NULL
+group keys on both engines; the planner marks the groups nullable so
+downstream null probes target them), and row fan-out via
+explode/UNNEST (Spark ``explode(array(a, b))`` vs DuckDB
+``UNNEST([a, b])`` — both keep NULL elements; after the fan-out no
+column subset is unique, so window total order falls back to
+every-column ordering, the fan-out-join precedent).
+
 Usage:
     python tools/fuzz_oracle.py [--n 200] [--sf-dir DIR] [--seed N]
 """
@@ -437,7 +446,8 @@ def _apply_to_schema(op: dict, cols: list[tuple[str, str]]) -> list[tuple[str, s
         return cols + [(op["as"], op["kind"])]
     if o.startswith("proj_"):
         kind = {"proj_bucket": "int", "proj_dow": "int", "proj_keyword": "int",
-                "proj_mod": "int", "proj_month": "date", "proj_arith": "double"}[o]
+                "proj_mod": "int", "proj_month": "date", "proj_arith": "double",
+                "proj_explode": "double"}[o]
         return cols + [(op["as"], kind)]
     if o == "agg":
         out = [(g, k) for g, k in cols if g in op["groups"]]
@@ -445,6 +455,20 @@ def _apply_to_schema(op: dict, cols: list[tuple[str, str]]) -> list[tuple[str, s
     if o == "distinct":
         return [(n, k) for n, k in cols if n in op["keep"]]
     return cols
+
+
+def _plan_explode(rng: random.Random, cols: list[tuple[str, str]],
+                  counter: list[int]) -> dict | None:
+    """Row fan-out via array construction + explode (round 7): Spark
+    ``explode(array(a, b))`` vs DuckDB ``UNNEST([a, b])`` — both emit
+    one row per element and KEEP null elements (explode only skips a
+    null/empty array, never a null element)."""
+    nums = [n for n, k in cols if k == "double"]
+    if len(nums) < 2:
+        return None
+    a, b = rng.sample(nums, 2)
+    counter[0] += 1
+    return {"op": "proj_explode", "a": a, "b": b, "as": f"fzex{counter[0]}"}
 
 
 def _plan_agg(rng: random.Random, cols: list[tuple[str, str]],
@@ -493,7 +517,15 @@ def _plan_agg(rng: random.Random, cols: list[tuple[str, str]],
         if a["as"] not in seen:
             seen.add(a["as"])
             uniq.append(a)
-    return {"op": "agg", "groups": groups, "aggs": uniq}
+    # grouping-set modes (round 7): ROLLUP/CUBE add subtotal rows with
+    # NULL group keys — the fragment where Spark's grouping-set NULLs
+    # must land identically to DuckDB's (both engines also keep a
+    # data-NULL group distinct from the subtotal ROW, but equal-valued
+    # under the multiset compare, which is what the driver hashes)
+    mode = "plain"
+    if groups and rng.random() < 0.30:
+        mode = rng.choice(["rollup", "cube"])
+    return {"op": "agg", "groups": groups, "aggs": uniq, "mode": mode}
 
 
 def plan_case(seed: int) -> list[dict]:
@@ -595,13 +627,16 @@ def plan_case(seed: int) -> list[dict]:
         cols = list(TABLES[t])
         uniq = list(UNIQ_KEY.get(t, []))
 
+    exploded = False
     for _ in range(rng.randint(1, 4)):
         pick = rng.random()
         if pick < 0.45:
             op = _plan_filter(rng, cols, frozenset(nullable))
-        elif pick < 0.75:
+        elif pick < 0.72:
             op = _plan_project(rng, cols, counter, frozenset(nullable))
-        elif pick < 0.88:
+        elif pick < 0.80 and not exploded:
+            op = _plan_explode(rng, cols, counter)
+        elif pick < 0.90:
             op = _plan_wframe(rng, cols, uniq, counter, frozenset(nullable))
         else:
             op = _plan_window(rng, cols, uniq, counter)
@@ -610,6 +645,15 @@ def plan_case(seed: int) -> list[dict]:
         ops.append(op)
         cols = _apply_to_schema(op, cols)
         o = op["op"]
+        if o == "proj_explode":
+            # fan-out: no column subset stays unique, but ordering by
+            # EVERY column is still a valid window total order (ties
+            # are full-duplicate rows — same precedent as fan-out
+            # joins above)
+            exploded = True
+            uniq = [n for n, _ in cols]
+            if op["a"] in nullable or op["b"] in nullable:
+                nullable.add(op["as"])
         if o == "proj_nullif" or (o == "proj_window" and op["fn"] == "lag"):
             nullable.add(op["as"])
         elif o == "proj_wframe" and op["fn"] != "count" and op["col"] in nullable:
@@ -627,6 +671,9 @@ def plan_case(seed: int) -> list[dict]:
         # non-null — reset the tracker accordingly
         nullable = {a["as"] for a in op["aggs"]
                     if a.get("col") in nullable and a["fn"] in ("min", "max")}
+        if op.get("mode", "plain") != "plain":
+            # ROLLUP/CUBE subtotal rows carry NULL group keys
+            nullable |= set(op["groups"])
         if rng.random() < 0.4:
             ops.append({"op": "filter_num", "col": "cnt", "cmp": ">",
                         "lit": str(rng.randint(0, 3))})
@@ -993,6 +1040,16 @@ def build_case(ops: list[dict]):
 
             steps.append(_wframe)
             cols = _apply_to_schema(op, cols)
+        elif o == "proj_explode":
+            sql = (f"SELECT t.*, UNNEST([{op['a']}, {op['b']}])"
+                   f" AS {op['as']} FROM ({sql}) t")
+            steps.append(
+                lambda df, _op=op: df.withColumn(
+                    _op["as"],
+                    F.explode(F.array(F.col(_op["a"]), F.col(_op["b"]))),
+                )
+            )
+            cols = _apply_to_schema(op, cols)
         elif o.startswith("proj_"):
             sql = f"SELECT t.*, {col_expr_sql(op)} AS {op['as']} FROM ({sql}) t"
             steps.append(lambda df, _op=op: df.withColumn(_op["as"],
@@ -1018,7 +1075,24 @@ def build_case(ops: list[dict]):
                 return f"{fn}({a['col']}) AS {a['as']}"
 
             sel = ", ".join(list(groups) + [agg_sql(a) for a in aggs])
-            gb = f" GROUP BY {', '.join(groups)}" if groups else ""
+            mode = op.get("mode", "plain")
+            if not groups:
+                gb = ""
+            elif mode == "rollup":
+                gb = f" GROUP BY ROLLUP ({', '.join(groups)})"
+            elif mode == "cube":
+                gb = f" GROUP BY CUBE ({', '.join(groups)})"
+            else:
+                gb = f" GROUP BY {', '.join(groups)}"
+            if mode != "plain":
+                # dialect rule (fuzz seed 4037): on EMPTY input,
+                # DuckDB/Postgres grouping sets emit the global `()`
+                # row (COUNT(*)=0) where Spark's rollup/cube emit
+                # nothing. Every grouping-set row over NON-empty input
+                # aggregates >=1 rows, so this HAVING only drops the
+                # empty-input global row — equalizing the two engines
+                # without touching any populated case.
+                gb += " HAVING COUNT(*) > 0"
             sql = f"SELECT {sel} FROM ({sql}) t{gb}"
 
             def _agg(df, _op=op):
@@ -1041,7 +1115,15 @@ def build_case(ops: list[dict]):
                     else:
                         e = F.max(a["col"])
                     exprs.append(e.alias(a["as"]))
-                g = df.groupBy(*_op["groups"]) if _op["groups"] else df.groupBy()
+                mode_ = _op.get("mode", "plain")
+                if not _op["groups"]:
+                    g = df.groupBy()
+                elif mode_ == "rollup":
+                    g = df.rollup(*_op["groups"])
+                elif mode_ == "cube":
+                    g = df.cube(*_op["groups"])
+                else:
+                    g = df.groupBy(*_op["groups"])
                 return g.agg(*exprs)
 
             steps.append(_agg)
