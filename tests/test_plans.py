@@ -284,3 +284,32 @@ def test_page_with_total_single_pass_plan_and_values(spark):
     jobs_two = len(sc.statusTracker().getJobIdsForGroup("two_query_page"))
     sc.setJobGroup(None, None, False)
     assert jobs_single < jobs_two, (jobs_single, jobs_two)
+
+
+def test_q2_correlated_min_stays_broadcast_no_rescan(spark):
+    """Q2 shape: the per-part MIN resolves as a tiny broadcast join
+    back onto the pair aggregate; every dimension broadcasts; the
+    lineitem scan is materialized once (localCheckpoint), so the plan
+    that remains contains NO sort-merge join and no second fact scan."""
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_q16_not_in_compiles_to_broadcast_anti(spark):
+    plan = plan_of(spark, "q16_supplier_part_type_counts")
+    assert "BroadcastHashJoin LeftAnti" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    # part filters push to the part scan before its broadcast
+    # (the pushed IN-list's element order is planner-chosen)
+    assert "Not(EqualTo(p_brand,Brand#4))" in plan, plan[:3000]
+    assert "In(p_size, [" in plan, plan[:3000]
+
+
+def test_q20_nested_semis_broadcast(spark):
+    """Q20 shape: both supplier-side gates are left_semi against
+    broadcast sets; the pair aggregate's per-part total joins back
+    broadcast. No shuffle join anywhere in the final plan."""
+    plan = plan_of(spark, "q20_dominant_supplier_semi")
+    assert plan.count("BroadcastHashJoin LeftSemi") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
