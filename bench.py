@@ -81,10 +81,13 @@ HEADLINE = [
     "d_duplicate_spans",
     "d_span_scrub",
     "d_semantic_dedup",
-    # round 7 additions: the TPC-H set completed (Q2/16/20 shapes)
+    # round 7 additions: the TPC-H set completed (Q2/16/20 shapes),
+    # temperature-scaled language rebalancing, token-balanced sharding
     "q2_min_cost_supplier",
     "q16_supplier_part_type_counts",
     "q20_dominant_supplier_semi",
+    "t_temperature_mix",
+    "t_token_shards",
 ]
 
 

@@ -162,3 +162,74 @@ def domain_mix(
     for src, frac in sorted(weights.items()):
         w = F.when(col(source_col) == src, float(frac)).otherwise(w)
     return docs.withColumn("sample_u", u).filter(col("sample_u") < w)
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled source rebalancing (the multilingual-corpus
+    standard: target per-source counts m_i ∝ n_i^alpha), no-upsampling
+    variant: the largest feasible scale keeps the SMALLEST source at
+    100% and downsamples larger sources toward flat —
+    keep_rate_i = (n_min / n_i)^(1 - alpha). alpha=1 keeps everything;
+    alpha=0 flattens every source to n_min (in expectation).
+
+    Scale shape: one tiny aggregate over the source column (broadcast
+    back), plus the same map-only deterministic md5 draw as
+    :func:`domain_mix` — no data-sized shuffle. With alpha=0.5 the
+    rate is sqrt(n_min/n_i): IEEE requires sqrt and division to be
+    correctly rounded, so Spark and a SQL oracle compute BIT-IDENTICAL
+    rates (general pow carries last-ulp libm variance across engines —
+    fine in production, not oracle-exact; see the registered
+    t_temperature_mix query).
+    """
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    exponent = 1.0 - alpha
+    base = col("_nmin").cast("double") / col("_n").cast("double")
+    rate = F.sqrt(base) if abs(exponent - 0.5) < 1e-12 else F.pow(base, lit(exponent))
+    rates = counts.join(broadcast(nmin)).select(
+        source_col, rate.alias("keep_rate")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(col(id_col).cast("string"), lit(f":{seed}"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / lit(float(1 << 32))
+    )
+    return (
+        docs.join(broadcast(rates), source_col)
+        .withColumn("sample_u", u)
+        .filter(col("sample_u") < col("keep_rate"))
+    )
+
+
+def token_shards(
+    docs: DataFrame,
+    weight_col: str,
+    target: int,
+    order_cols: list,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign documents to contiguous token-balanced output shards:
+    shard = exclusive_prefix_sum(weight) DIV target in the given total
+    order — the writer-side step that turns a selected corpus into N
+    training files of ~equal token count (every shard except the last
+    holds >= target - max_doc + 1 and < target + max_doc tokens).
+
+    Integer-exact end to end (bigint prefix sums, integral division),
+    so a SQL oracle reproduces it bit-for-bit; the prefix sum is the
+    same two-pass distributed machinery as budget_select — no
+    single-partition window at any scale.
+    """
+    with_cum = global_running_sum(docs, weight_col, order_cols, out_col="_cum_w")
+    return with_cum.withColumn(
+        shard_col,
+        F.expr(f"CAST((_cum_w - {weight_col}) DIV {int(target)} AS BIGINT)"),
+    ).drop("_cum_w")

@@ -31,18 +31,20 @@ def query(name: str, oracle: str | None = None):
 
 # The external driver verifies the FIRST 50 registered queries against
 # their DuckDB oracles; the rest keep local pytest + tests/oracle.py
-# coverage only. Round-7 rotation: the four queries with NO driver row
+# coverage only. Round-7 rotation: the six queries with NO driver row
 # yet lead (st_stream_static_enrich, registered r6 after the r6 window
-# froze, and the three round-7 TPC-H additions q2/q16/q20); the six
-# queries whose newest driver row is still r3 (left out of the r6
-# rotation at three green rows each) come back; the remaining 40
-# slots refresh 40 of the 46 queries whose newest row is r5 (the r4/r5
-# window members not kept in r6). Left at r5 evidence — each already
-# holds 3-4 green driver rows: d_minhash_lsh_neardups (4: r2-r5),
-# t_token_count, t_quality_score, t_lang_id_heuristic,
-# o5_top5_categories, f8_f9_timestamp_conversions. After this round no
-# registered query's newest driver row predates r5, and every
-# oracle-backed query has at least one green row. The rows-only
+# froze; the round-7 TPC-H additions q2/q16/q20; and the round-7
+# selection ops t_temperature_mix/t_token_shards, swapped in mid-round
+# per the r4-amendment precedent); the six queries whose newest driver
+# row is still r3 (left out of the r6 rotation at three green rows
+# each) come back; the remaining 38 slots refresh 38 of the 46 queries
+# whose newest row is r5 (the r4/r5 window members not kept in r6).
+# Left at r5 evidence — each already holds 3-4 green driver rows:
+# d_minhash_lsh_neardups (4: r2-r5), t_token_count, t_quality_score,
+# t_lang_id_heuristic, o5_top5_categories, f8_f9_timestamp_conversions,
+# o3_latest_one, f16_array_membership. After this round no registered
+# query's newest driver row predates r5, and every oracle-backed query
+# has at least one green row. The rows-only
 # `a_approx_distinct_users` stays out (it can never hash-match).
 # Per-round membership is tracked in WINDOWS.md. Everything out of
 # window stays registered, plan-audited, and oracle-checked by
@@ -53,6 +55,8 @@ DRIVER_WINDOW: list[str] = [
     "q2_min_cost_supplier",
     "q16_supplier_part_type_counts",
     "q20_dominant_supplier_semi",
+    "t_temperature_mix",
+    "t_token_shards",
     # --- newest driver row r3 (rested in r6 at 3 green rows) ---
     "a1_monthly_spend_by_category",
     "a2_monthly_net_change",
@@ -86,8 +90,6 @@ DRIVER_WINDOW: list[str] = [
     "p6_dynamic_where_search",
     "j9_latest_import_per_account",
     "o2_sort_nulls_last_top",
-    "o3_latest_one",
-    "f16_array_membership",
     # --- newest driver row r5: LLM text/dedup/ANN/multimodal/streaming ---
     "t_token_budget_select",
     "t_winnowing_fingerprints",

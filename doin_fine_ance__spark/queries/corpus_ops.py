@@ -425,3 +425,81 @@ def d_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     return remove_duplicate_spans(d, "doc_id", "text", k=8, min_docs=2).orderBy("doc_id")
+
+
+@query(
+    "t_temperature_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ), rates AS (
+      SELECT lang,
+             SQRT(CAST((SELECT MIN(n) FROM counts) AS DOUBLE) / CAST(n AS DOUBLE))
+               AS keep_rate
+      FROM counts
+    ), drawn AS (
+      SELECT d.doc_id, d.lang,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8)) AS UBIGINT)
+               / 4294967296.0 AS sample_u,
+             r.keep_rate
+      FROM documents d JOIN rates r USING (lang)
+    )
+    SELECT doc_id, lang, sample_u, keep_rate FROM drawn
+    WHERE sample_u < keep_rate ORDER BY doc_id
+    """,
+)
+def t_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source rebalancing (round 7): target counts
+    ∝ n_i^alpha at alpha=0.5, no upsampling — the smallest LANGUAGE
+    keeps 100%, larger languages downsample by sqrt(n_min/n_i) (the
+    testdata's lang column is the naturally skewed one: en outweighs
+    fr ~3.4x, so the op visibly rebalances; source is uniform).
+
+    The multilingual-corpus mixing standard (contrast t_domain_mix's
+    hand-set weights: here the weights come FROM the data). alpha=0.5
+    is the oracle-exact setting — IEEE requires sqrt and division to
+    be correctly rounded, so both engines compute bit-identical keep
+    rates; general alpha uses pow (last-ulp libm variance, fine in
+    production, not hash-comparable). One tiny per-source aggregate
+    broadcast back; the draw is the map-only md5 uniform.
+    """
+    from ..llm.selection import temperature_mix
+
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "lang"])
+    mixed = temperature_mix(d, alpha=0.5, source_col="lang", seed="temp")
+    return mixed.select("doc_id", "lang", "sample_u", "keep_rate").orderBy("doc_id")
+
+
+@query(
+    "t_token_shards",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(length({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+    ), cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cw
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, CAST((cw - n_tokens) // 2000 AS BIGINT) AS shard
+    FROM cum ORDER BY doc_id
+    """,
+)
+def t_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced contiguous shard assignment (round 7): the
+    writer-side step that splits a corpus into training files of
+    ~2000 tokens each (shard = exclusive prefix token count DIV
+    target, in doc_id order).
+
+    Integer-exact end to end; the prefix sum is llm/selection.py's
+    two-pass distributed machinery (range partition → local window →
+    driver offsets), never a single-partition window — the oracle's
+    global-window SQL is exactly the plan the Spark side avoids at
+    scale.
+    """
+    from ..llm.selection import token_shards
+
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = F.filter(F.split(F.lower(col("text")), r"\s+"), lambda x: x != "")
+    weighted = d.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+    sharded = token_shards(weighted, "n_tokens", 2000, [col("doc_id")])
+    return sharded.select("doc_id", "n_tokens", "shard").orderBy("doc_id")

@@ -277,3 +277,65 @@ def test_remove_duplicate_spans_surgery(spark):
     txt = {r.doc_id: r.cleaned_text
            for r in remove_duplicate_spans(df, k=8, min_docs=2, emit_text=True).collect()}
     assert txt[1] == uniq1 and txt[2] == uniq2 and txt[3] == ""
+
+
+def test_temperature_mix_rates_and_floor(spark):
+    """Round-7 op: keep_rate_i = (n_min/n_i)^(1-alpha); the smallest
+    source is kept in full (rate exactly 1.0), rates decrease with
+    source size, and membership is the deterministic md5 draw (rerun
+    → identical selection)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.llm.selection import temperature_mix
+
+    rows = [(i, "big" if i < 400 else ("mid" if i < 480 else "small"))
+            for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(docs, alpha=0.5, seed="t").persist()
+    rates = {r["source"]: r["keep_rate"]
+             for r in out.select("source", "keep_rate").distinct().collect()}
+    assert rates["small"] == 1.0
+    assert rates["mid"] == math.sqrt(20 / 80)
+    assert rates["big"] == math.sqrt(20 / 400)
+    assert rates["big"] < rates["mid"] < rates["small"]
+    # the whole smallest source survives; selection is deterministic
+    assert out.filter(F.col("source") == "small").count() == 20
+    again = temperature_mix(docs, alpha=0.5, seed="t")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # alpha=1 keeps everything (rate 1.0 for every source)
+    assert temperature_mix(docs, alpha=1.0, seed="t").count() == 500
+    out.unpersist()
+
+
+def test_token_shards_balanced_and_contiguous(spark):
+    """Round-7 op: shards are contiguous in the chosen order and every
+    shard except the last carries target ± (max_doc_tokens - 1)
+    tokens; the last carries at most that."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.llm.selection import token_shards
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 120)) for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    target, max_w = 1000, 120
+    out = token_shards(docs, "n_tokens", target, [F.col("doc_id")]).collect()
+    by_id = sorted(out, key=lambda r: r.doc_id)
+    # contiguity: shard ids are non-decreasing in order
+    shards = [r.shard for r in by_id]
+    assert shards == sorted(shards)
+    totals: dict[int, int] = {}
+    for r in by_id:
+        totals[r.shard] = totals.get(r.shard, 0) + r.n_tokens
+    last = max(totals)
+    for s, tot in totals.items():
+        assert tot < target + max_w, (s, tot)
+        if s != last:
+            assert tot > target - max_w, (s, tot)
+    assert sum(totals.values()) == sum(w for _, w in rows)
