@@ -288,13 +288,17 @@ class LLMPipelineRun:
         token_budget: int | None = None,
         min_quality: float = 0.5,
         seed: int = 42,
+        temperature_alpha: float | None = None,
     ) -> None:
         """Clean corpus → final training mix, the last selection mile:
 
         1. model-based quality scoring (llm/quality.py): a hashing-TF
            logistic scorer bootstrapped from weak stopword labels on
            THIS corpus, then a min-probability gate;
-        2. weighted domain mixing to target source rates (map-only);
+        2. source rebalancing (map-only): explicit per-source
+           ``weights``, or data-driven ``temperature_alpha`` sampling
+           (counts ∝ n^alpha, llm/selection.py::temperature_mix) —
+           mutually exclusive, weights win if both given;
         3. greedy token-budget selection by quality score (two-pass
            distributed prefix sum);
         4. deterministic shuffle rank = the training serve order.
@@ -306,13 +310,20 @@ class LLMPipelineRun:
             train_quality_classifier,
             weak_labels_from_stopwords,
         )
-        from .llm.selection import budget_select, domain_mix, shuffle_rank
+        from .llm.selection import (
+            budget_select,
+            domain_mix,
+            shuffle_rank,
+            temperature_mix,
+        )
 
         corpus = self.spark.read.parquet(self._path("clean_corpus"))
         model = train_quality_classifier(weak_labels_from_stopwords(corpus))
         mix = quality_filter(model, corpus, min_prob=min_quality)
         if weights and "source" in mix.columns:
             mix = domain_mix(mix, weights)
+        elif temperature_alpha is not None and "source" in mix.columns:
+            mix = temperature_mix(mix, alpha=temperature_alpha).drop("keep_rate")
         if token_budget is not None:
             toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
             mix = budget_select(

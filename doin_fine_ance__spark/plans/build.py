@@ -344,6 +344,13 @@ def _register_table(
 
             from pyspark.sql.types import StructType
 
+            from ..operators.snapshot import SnapshotCorruptionError
+
+            if not m.get("schema"):
+                raise SnapshotCorruptionError(
+                    f"manifest v{m['version']} of {table_dir} lists no "
+                    "files and records no schema"
+                )
             st = StructType.fromJson(_json.loads(m["schema"]))
             sel = ", ".join(
                 f"CAST(NULL AS {f.dataType.simpleString()}) AS {_quote_col(f.name)}"

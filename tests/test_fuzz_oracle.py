@@ -3,7 +3,8 @@ VERDICT r3 #2: fan-out joins, EXCEPT/INTERSECT, IS NULL / null
 literals, NULLIF/COALESCE, COUNT(col), per-column nulls-first/last
 sorts; extended r6 per VERDICT r5 #8: explicit ROWS/RANGE window
 frames, correlated [NOT] EXISTS with a non-equi second predicate,
-decimal-typed join keys).
+decimal-typed join keys; extended r7: GROUP BY ROLLUP/CUBE terminals
+and explode/UNNEST row fan-out — seeds 4000-4599 green).
 
 Runs the seeded random-pipeline generator of ``tools/fuzz_oracle.py``
 under the dual-gate oracle compare at sf0.001. The full 500-case

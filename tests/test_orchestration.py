@@ -220,6 +220,33 @@ def test_training_mix_budget_and_weights(spark, tmp_path):
     assert 0 < len(tm) < 20                        # strictly cut by budget
 
 
+def test_training_mix_temperature_rebalance(spark, tmp_path):
+    """temperature_alpha knob: data-driven rebalancing — the minority
+    source survives whole, the majority is downsampled by
+    sqrt(n_min/n); explicit weights take precedence when both given."""
+    from doin_fine_ance__spark.orchestration import LLMPipelineRun
+
+    rows = [
+        (i, "the of and to is learn " * 10, "big" if i < 36 else "small")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    run = LLMPipelineRun(spark, str(tmp_path / "wh"))
+    docs.write.mode("overwrite").parquet(run._path("clean_corpus"))
+    run.training_mix(min_quality=0.0, temperature_alpha=0.5)
+    tm = spark.read.parquet(run._path("training_mix")).collect()
+    by_src = {}
+    for r in tm:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    assert by_src.get("small") == 4          # smallest source kept whole
+    assert 0 < by_src.get("big", 0) < 36     # majority visibly downsampled
+    # explicit weights win over temperature when both are passed
+    run.training_mix(min_quality=0.0, weights={"big": 0.0, "small": 1.0},
+                     temperature_alpha=0.5)
+    tm2 = spark.read.parquet(run._path("training_mix")).collect()
+    assert {r.source for r in tm2} == {"small"}
+
+
 def test_llm_pipeline_segment_scrub_stage(spark, tmp_path):
     """With segment_max_docs set, cross-doc boilerplate segments are cut
     from every clean-corpus doc while unique bodies survive."""
