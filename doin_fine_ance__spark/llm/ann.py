@@ -542,3 +542,179 @@ def pq_recall_report(
             codes.unpersist()
         except NameError:
             pass
+
+
+class IvfIndex:
+    """Persisted IVF index with incremental append (round 7, SURVEY L39).
+
+    The production lifecycle the one-shot :func:`ann_topk_ivf` can't
+    express: train centroids ONCE, write the assigned corpus
+    ``partitionBy('list_id')`` (hive layout → a probe is a
+    partition-pruned read), then keep absorbing new embeddings by
+    assigning them against the FROZEN centroids and appending only
+    their partitions — no retrain, no rewrite of the existing corpus.
+    At 100 TB this is the difference between a nightly O(new-data)
+    append job and an O(corpus) rebuild.
+
+    Layout::
+
+        <root>/centroids.json   # {"centroids": [[...], ...], "dim": D}
+        <root>/data/list_id=N/  # hive-partitioned assigned vectors
+
+    Drift: appends shift the data distribution away from the frozen
+    centroids; :meth:`stats` reports per-cell counts and the imbalance
+    ratio (max cell / mean cell) — the retrain trigger a real pipeline
+    alarms on (rebuild = :meth:`build` again; readers are unaffected
+    until the swap).
+    """
+
+    def __init__(self, root: str):
+        import os
+
+        self.root = root
+        self._meta_path = os.path.join(root, "centroids.json")
+        self._data_path = os.path.join(root, "data")
+
+    # ------------------------------------------------------------ build
+
+    @classmethod
+    def build(
+        cls,
+        embeddings: DataFrame,
+        root: str,
+        n_centroids: int = 16,
+        kmeans_iters: int = 0,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        """Train (or deterministically sample) centroids and write the
+        fully-assigned corpus partitioned by list id."""
+        import json
+        import os
+
+        if kmeans_iters > 0:
+            centroids = kmeans_fit(
+                embeddings, n_centroids, kmeans_iters, id_col, vec_col
+            )
+        else:
+            sample = (
+                embeddings.orderBy(id_col)
+                .select(id_col, vec_col)
+                .limit(max(n_centroids * 8, n_centroids))
+                .collect()
+            )
+            step = max(len(sample) // n_centroids, 1)
+            centroids = [
+                [float(x) for x in row[vec_col]]
+                for row in sample[::step][:n_centroids]
+            ]
+        idx = cls(root)
+        os.makedirs(root, exist_ok=True)
+        assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+        assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+            idx._data_path
+        )
+        tmp = idx._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"centroids": centroids, "dim": len(centroids[0]),
+                       "id_col": id_col, "vec_col": vec_col}, f)
+        os.rename(tmp, idx._meta_path)  # meta lands only after the data
+        return idx
+
+    def centroids(self) -> list[list[float]]:
+        import json
+
+        with open(self._meta_path) as f:
+            return json.load(f)["centroids"]
+
+    # ----------------------------------------------------------- append
+
+    def append(self, embeddings: DataFrame) -> None:
+        """Assign new vectors against the FROZEN centroids and append.
+
+        Map-only assignment (one Arrow matmul per batch) + an append
+        that touches only the new rows' partitions; the existing
+        corpus files are never rewritten, so a reader mid-append sees
+        either the old or the extended cell — never a torn one (parquet
+        appends are new files)."""
+        import json
+
+        with open(self._meta_path) as f:
+            meta = json.load(f)
+        assigned = ivf_assign(
+            embeddings, meta["centroids"], meta["id_col"], meta["vec_col"]
+        )
+        assigned.write.mode("append").partitionBy("list_id").parquet(
+            self._data_path
+        )
+
+    # ------------------------------------------------------------ query
+
+    def topk(
+        self,
+        spark,
+        query_vec: list[float],
+        k: int = 10,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Exact cosine top-k over the ``nprobe`` nearest cells.
+
+        The ``list_id IN (probes)`` filter is a hive partition filter —
+        Spark prunes every other cell's files at planning time, so the
+        scan cost is O(probed cells), not O(corpus)."""
+        import json
+
+        with open(self._meta_path) as f:
+            meta = json.load(f)
+        centroids, vec_col, id_col = (
+            meta["centroids"], meta["vec_col"], meta["id_col"]
+        )
+
+        def pysim(c: list[float]) -> float:
+            d = sum(a * b for a, b in zip(query_vec, c))
+            nq = sum(a * a for a in query_vec) ** 0.5
+            nc = sum(a * a for a in c) ** 0.5
+            return d / (nq * nc) if nq and nc else 0.0
+
+        probes = sorted(
+            range(len(centroids)), key=lambda i: -pysim(centroids[i])
+        )[:nprobe]
+        qarr = F.array(*[lit(float(v)) for v in query_vec])
+        qnorm = sum(v * v for v in query_vec) ** 0.5
+        scored = (
+            spark.read.parquet(self._data_path)
+            .filter(col("list_id").isin(probes))
+            .select(
+                id_col,
+                "list_id",
+                (
+                    _dot(col(vec_col), qarr)
+                    / (F.sqrt(_dot(col(vec_col), col(vec_col))) * lit(qnorm))
+                ).alias("cosine"),
+            )
+        )
+        return scored.orderBy(col("cosine").desc(), col(id_col)).limit(k)
+
+    # ------------------------------------------------------------ stats
+
+    def stats(self, spark) -> dict:
+        """Per-cell counts + imbalance ratio (max/mean) — the drift
+        signal a pipeline alarms on to schedule a retrain."""
+        rows = (
+            spark.read.parquet(self._data_path)
+            .groupBy("list_id")
+            .count()
+            .collect()
+        )
+        counts = {int(r["list_id"]): r["count"] for r in rows}
+        n_cells = len(self.centroids())
+        total = sum(counts.values())
+        mean = total / n_cells if n_cells else 0.0
+        return {
+            "total": total,
+            "n_cells": n_cells,
+            "nonempty_cells": len(counts),
+            "max_cell": max(counts.values(), default=0),
+            "imbalance": (max(counts.values(), default=0) / mean) if mean else 0.0,
+            "counts": counts,
+        }

@@ -862,3 +862,56 @@ def test_lsh_banding_recall_and_s_curve(spark):
     for b in rep["s_curve"]:
         if b["n_pairs"] >= 200:
             assert abs(b["candidate_rate"] - b["theory_rate"]) <= 0.1, b
+
+
+def test_ivf_index_build_probe_append_stats(spark, tmp_path):
+    """Round-7 IvfIndex lifecycle: (a) probing ALL cells reproduces the
+    exact brute-force top-k; (b) the probe scan is partition-PRUNED
+    (list_id is a hive partition filter, not a post-scan filter);
+    (c) append assigns against the FROZEN centroids — a planted
+    near-query vector becomes hit #1 without any retrain and the
+    existing corpus is untouched; (d) stats reports the drift signal."""
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.llm.ann import IvfIndex, _dot
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+    )
+    n0 = emb.count()
+    dim = len(emb.first()["embedding"])
+    idx = IvfIndex.build(emb, str(tmp_path / "ivf"), n_centroids=8)
+
+    q = [float(i % 7 - 3) for i in range(dim)]
+    qarr = F.array(*[F.lit(v) for v in q])
+    qn = sum(v * v for v in q) ** 0.5
+    brute = [
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id",
+            (_dot(F.col("embedding"), qarr)
+             / (F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.lit(qn))
+             ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    # (a) all-cells probe == exact
+    got = [r["vec_id"] for r in idx.topk(spark, q, k=10, nprobe=8).collect()]
+    assert got == brute
+    # (b) the probe is a partition filter on the scan
+    plan = idx.topk(spark, q, k=10, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters", 1)[1][:200], plan[:2000]
+    # (c) append a vector almost parallel to the query; no retrain
+    planted = spark.createDataFrame(
+        [(999_999, [v * 10.0 for v in q])], "vec_id long, embedding array<double>"
+    )
+    idx.append(planted)
+    hits = [r["vec_id"] for r in idx.topk(spark, q, k=3, nprobe=8).collect()]
+    assert hits[0] == 999_999
+    st = idx.stats(spark)
+    assert st["total"] == n0 + 1
+    assert st["n_cells"] == 8 and st["nonempty_cells"] <= 8
+    assert st["imbalance"] >= 1.0
