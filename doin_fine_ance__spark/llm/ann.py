@@ -695,6 +695,20 @@ class IvfIndex:
         )
         return scored.orderBy(col("cosine").desc(), col(id_col)).limit(k)
 
+    # --------------------------------------------------------- maintain
+
+    def compact(self, spark, **kwargs) -> dict:
+        """OPTIMIZE-analog for the index: every :meth:`append` adds new
+        files to the touched cells, so a nightly-append index
+        fragments into many small parquet files per partition — this
+        rewrites each fragmented cell to ~128 MB files in place
+        (stage-and-swap, readers see old or new complete sets), the
+        same `operators/maintenance.compact_table` the warehouse
+        tables use."""
+        from ..operators.maintenance import compact_table
+
+        return compact_table(spark, self._data_path, **kwargs)
+
     # ------------------------------------------------------------ stats
 
     def stats(self, spark) -> dict:

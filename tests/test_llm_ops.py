@@ -915,3 +915,16 @@ def test_ivf_index_build_probe_append_stats(spark, tmp_path):
     assert st["total"] == n0 + 1
     assert st["n_cells"] == 8 and st["nonempty_cells"] <= 8
     assert st["imbalance"] >= 1.0
+    # (e) repeated appends fragment cells into small files; compact()
+    # rewrites fragmented cells in place and changes no results
+    for i in range(3):
+        idx.append(spark.createDataFrame(
+            [(1_000_000 + i, [v * 5.0 for v in q])],
+            "vec_id long, embedding array<double>",
+        ))
+    before = [r["vec_id"] for r in idx.topk(spark, q, k=5, nprobe=8).collect()]
+    rewritten = idx.compact(spark, min_files=2)
+    assert rewritten  # at least the planted cell was fragmented
+    after = [r["vec_id"] for r in idx.topk(spark, q, k=5, nprobe=8).collect()]
+    assert after == before
+    assert idx.stats(spark)["total"] == n0 + 4
