@@ -240,7 +240,12 @@ def ann_topk_ivf(
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     qarr = F.array(*[lit(float(v)) for v in query_vec])
     qnorm = sum(v * v for v in query_vec) ** 0.5
-    scored = assigned.filter(col("list_id").isin(probes)).select(
+    # zero-norm vectors score 0/0 = NaN, which Spark sorts as the
+    # largest double — one zero vector would head every descending
+    # top-k (ADVICE r7); the oracle applies the same predicate
+    scored = assigned.filter(col("list_id").isin(probes)).filter(
+        F.sqrt(_dot(col(vec_col), col(vec_col))) > 0
+    ).select(
         id_col,
         "list_id",
         (
@@ -558,14 +563,29 @@ class IvfIndex:
 
     Layout::
 
-        <root>/centroids.json   # {"centroids": [[...], ...], "dim": D}
-        <root>/data/list_id=N/  # hive-partitioned assigned vectors
+        <root>/centroids.json      # {"centroids", "dim", "id_col",
+                                   #  "vec_col", "data_dir"}
+        <root>/<data_dir>/list_id=N/  # hive-partitioned assigned
+                                      # vectors; data_dir = "data_<hex>"
+        <root>__lock/              # single-writer mutex
+
+    Writer coordination (VERDICT r7 #3): :meth:`build`, :meth:`append`
+    and :meth:`compact` serialize on the same ``table_write_lock`` the
+    snapshot tables use, so a nightly append can't land in a cell
+    mid-compaction and be silently dropped when the staged file set
+    swaps in.
+
+    Rebuild is reader-safe (ADVICE r7): :meth:`build` assigns into a
+    FRESH ``data_<hex>`` directory and publishes it together with its
+    centroids in one atomic ``centroids.json`` rename — centroids and
+    corpus are always a consistent pair. A reader that loaded the old
+    meta keeps probing the old directory with the old centroids; old
+    data dirs stay on disk for in-flight readers until :meth:`vacuum`.
 
     Drift: appends shift the data distribution away from the frozen
     centroids; :meth:`stats` reports per-cell counts and the imbalance
     ratio (max cell / mean cell) — the retrain trigger a real pipeline
-    alarms on (rebuild = :meth:`build` again; readers are unaffected
-    until the swap).
+    alarms on (rebuild = :meth:`build` again).
     """
 
     def __init__(self, root: str):
@@ -573,7 +593,18 @@ class IvfIndex:
 
         self.root = root
         self._meta_path = os.path.join(root, "centroids.json")
-        self._data_path = os.path.join(root, "data")
+
+    def _meta(self) -> dict:
+        import json
+
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _data_path(self, meta: dict) -> str:
+        import os
+
+        # pre-r8 indexes recorded no data_dir and used a fixed "data"
+        return os.path.join(self.root, meta.get("data_dir", "data"))
 
     # ------------------------------------------------------------ build
 
@@ -586,11 +617,24 @@ class IvfIndex:
         kmeans_iters: int = 0,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        timeout: float = 0.0,
     ) -> "IvfIndex":
         """Train (or deterministically sample) centroids and write the
-        fully-assigned corpus partitioned by list id."""
+        fully-assigned corpus partitioned by list id.
+
+        Default (``kmeans_iters=0``) centroids stride a sample ordered
+        by ``md5(id)`` — deterministic but UNBIASED: ordering by the
+        raw id would take the head of the table, and ids always
+        correlate with ingest time or content in real corpora, so the
+        frozen centroids would represent only the oldest data and
+        every later append would crowd a few cells (VERDICT r7 #2).
+        ``kmeans_iters > 0`` refines with distributed Lloyd's.
+        """
         import json
         import os
+        import uuid
+
+        from ..operators.upsert import table_write_lock
 
         if kmeans_iters > 0:
             centroids = kmeans_fit(
@@ -598,7 +642,9 @@ class IvfIndex:
             )
         else:
             sample = (
-                embeddings.orderBy(id_col)
+                embeddings.orderBy(
+                    F.md5(col(id_col).cast("string")), col(id_col)
+                )
                 .select(id_col, vec_col)
                 .limit(max(n_centroids * 8, n_centroids))
                 .collect()
@@ -610,43 +656,50 @@ class IvfIndex:
             ]
         idx = cls(root)
         os.makedirs(root, exist_ok=True)
-        assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
-        assigned.write.mode("overwrite").partitionBy("list_id").parquet(
-            idx._data_path
-        )
-        tmp = idx._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"centroids": centroids, "dim": len(centroids[0]),
-                       "id_col": id_col, "vec_col": vec_col}, f)
-        os.rename(tmp, idx._meta_path)  # meta lands only after the data
+        with table_write_lock(root, timeout=timeout):
+            data_dir = f"data_{uuid.uuid4().hex[:8]}"
+            assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+            assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+                os.path.join(root, data_dir)
+            )
+            tmp = idx._meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"centroids": centroids, "dim": len(centroids[0]),
+                           "id_col": id_col, "vec_col": vec_col,
+                           "data_dir": data_dir}, f)
+            # the publish point: centroids + the corpus assigned from
+            # them become visible together or not at all
+            os.rename(tmp, idx._meta_path)
         return idx
 
     def centroids(self) -> list[list[float]]:
-        import json
-
-        with open(self._meta_path) as f:
-            return json.load(f)["centroids"]
+        return self._meta()["centroids"]
 
     # ----------------------------------------------------------- append
 
-    def append(self, embeddings: DataFrame) -> None:
+    def append(self, embeddings: DataFrame, timeout: float = 0.0) -> None:
         """Assign new vectors against the FROZEN centroids and append.
 
         Map-only assignment (one Arrow matmul per batch) + an append
         that touches only the new rows' partitions; the existing
         corpus files are never rewritten, so a reader mid-append sees
         either the old or the extended cell — never a torn one (parquet
-        appends are new files)."""
-        import json
+        appends are new files). Takes the index writer lock: an append
+        racing a :meth:`compact` of the same cell would otherwise land
+        files in the backup dir after the compactor listed its input
+        and lose them at the swap (VERDICT r7 #3); the meta is read
+        under the lock so a racing rebuild can't strand the append in
+        a superseded data dir."""
+        from ..operators.upsert import table_write_lock
 
-        with open(self._meta_path) as f:
-            meta = json.load(f)
-        assigned = ivf_assign(
-            embeddings, meta["centroids"], meta["id_col"], meta["vec_col"]
-        )
-        assigned.write.mode("append").partitionBy("list_id").parquet(
-            self._data_path
-        )
+        with table_write_lock(self.root, timeout=timeout):
+            meta = self._meta()
+            assigned = ivf_assign(
+                embeddings, meta["centroids"], meta["id_col"], meta["vec_col"]
+            )
+            assigned.write.mode("append").partitionBy("list_id").parquet(
+                self._data_path(meta)
+            )
 
     # ------------------------------------------------------------ query
 
@@ -661,11 +714,13 @@ class IvfIndex:
 
         The ``list_id IN (probes)`` filter is a hive partition filter —
         Spark prunes every other cell's files at planning time, so the
-        scan cost is O(probed cells), not O(corpus)."""
-        import json
-
-        with open(self._meta_path) as f:
-            meta = json.load(f)
+        scan cost is O(probed cells), not O(corpus). The meta is read
+        ONCE, so the centroids probed and the data dir scanned are a
+        consistent published pair even if a rebuild lands mid-call.
+        Zero-norm corpus vectors are excluded: their cosine is 0/0 =
+        NaN, which Spark sorts as the LARGEST double, so one zero
+        vector would head every top-k (ADVICE r7)."""
+        meta = self._meta()
         centroids, vec_col, id_col = (
             meta["centroids"], meta["vec_col"], meta["id_col"]
         )
@@ -682,8 +737,9 @@ class IvfIndex:
         qarr = F.array(*[lit(float(v)) for v in query_vec])
         qnorm = sum(v * v for v in query_vec) ** 0.5
         scored = (
-            spark.read.parquet(self._data_path)
+            spark.read.parquet(self._data_path(meta))
             .filter(col("list_id").isin(probes))
+            .filter(F.sqrt(_dot(col(vec_col), col(vec_col))) > 0)
             .select(
                 id_col,
                 "list_id",
@@ -697,17 +753,48 @@ class IvfIndex:
 
     # --------------------------------------------------------- maintain
 
-    def compact(self, spark, **kwargs) -> dict:
+    def compact(self, spark, timeout: float = 0.0, **kwargs) -> dict:
         """OPTIMIZE-analog for the index: every :meth:`append` adds new
         files to the touched cells, so a nightly-append index
         fragments into many small parquet files per partition — this
-        rewrites each fragmented cell to ~128 MB files in place
-        (stage-and-swap, readers see old or new complete sets), the
-        same `operators/maintenance.compact_table` the warehouse
-        tables use."""
+        rewrites each fragmented cell to ~128 MB files in place, the
+        same ``operators/maintenance.compact_table`` the warehouse
+        tables use. Runs under the index writer lock, so it can't race
+        an append or rebuild. Staging/backup dirs are ``_``-prefixed
+        (invisible to hive partition discovery); a concurrent reader
+        sees the old or the new complete cell — except in the instant
+        between the two swap renames, where the cell is briefly
+        absent, so schedule compaction in the index's maintenance
+        window if readers must never observe that (ADVICE r7)."""
         from ..operators.maintenance import compact_table
+        from ..operators.upsert import table_write_lock
 
-        return compact_table(spark, self._data_path, **kwargs)
+        with table_write_lock(self.root, timeout=timeout):
+            return compact_table(spark, self._data_path(self._meta()), **kwargs)
+
+    def vacuum(self) -> list[str]:
+        """Remove data dirs superseded by a rebuild (kept on disk so
+        in-flight readers of the old published pair finish; same
+        retention contract as ``SnapshotTable.vacuum``). Returns the
+        removed dir names."""
+        import os
+        import shutil
+
+        from ..operators.upsert import table_write_lock
+
+        with table_write_lock(self.root):
+            live = os.path.basename(self._data_path(self._meta()))
+            removed = []
+            for d in sorted(os.listdir(self.root)):
+                full = os.path.join(self.root, d)
+                if (
+                    d != live
+                    and (d == "data" or d.startswith("data_"))
+                    and os.path.isdir(full)
+                ):
+                    shutil.rmtree(full)
+                    removed.append(d)
+            return removed
 
     # ------------------------------------------------------------ stats
 
@@ -715,7 +802,7 @@ class IvfIndex:
         """Per-cell counts + imbalance ratio (max/mean) — the drift
         signal a pipeline alarms on to schedule a retrain."""
         rows = (
-            spark.read.parquet(self._data_path)
+            spark.read.parquet(self._data_path(self._meta()))
             .groupBy("list_id")
             .count()
             .collect()

@@ -155,9 +155,13 @@ def compact_table(
     Walks the table: unpartitioned tables compact in place; HIVE-style
     partition directories (``col=value``) compact independently, and
     only directories with more than ``min_files`` fragments are
-    rewritten — untouched partitions keep their files (and any reader
-    sees either the old or the new complete file set, via
-    stage-and-swap). File count per rewrite = ceil(bytes /
+    rewritten — untouched partitions keep their files. Staging and
+    backup dirs are ``_``-prefixed (invisible to Spark's partition
+    discovery), so a concurrent reader sees the old or the new
+    complete file set — except in the instant between the two swap
+    renames, where the partition is briefly absent; run under the
+    table's writer lock / a maintenance window if readers must never
+    observe that. File count per rewrite = ceil(bytes /
     target_file_bytes), i.e. ~128 MB output files — the scan-efficient
     shape Delta's OPTIMIZE targets.
 
@@ -173,7 +177,7 @@ def compact_table(
     results: dict[str, int] = {}
     leaf_dirs: list[str] = []
     for cur, dirs, files in os.walk(path):
-        if "__stage_" in cur or "__old_" in cur:
+        if "_stage_" in cur or "_old_" in cur:
             continue
         if any(f.endswith(".parquet") for f in files):
             leaf_dirs.append(cur)
@@ -195,9 +199,20 @@ def compact_table(
             )
         else:
             df = df.coalesce(n_out)
-        staging = f"{d}__stage_{uuid.uuid4().hex[:8]}"
+        # staging/backup live in d's PARENT dir with an underscore
+        # prefix: for a hive leaf (parent is inside the table) Spark's
+        # partition discovery ignores `_`-prefixed dirs, so a
+        # concurrent reader can never pick the half-written stage up
+        # as a bogus partition value; for an unpartitioned table
+        # (d == path) the parent is outside the table root entirely
+        # (ADVICE r7). The swap itself is two renames — a reader
+        # listing in exactly that instant can miss the partition, so
+        # strict readers compact under the table's writer lock /
+        # maintenance window.
+        parent = os.path.dirname(d)
+        staging = os.path.join(parent, f"_stage_{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(staging)
-        backup = f"{d}__old_{uuid.uuid4().hex[:8]}"
+        backup = os.path.join(parent, f"_old_{uuid.uuid4().hex[:8]}")
         os.rename(d, backup)
         os.rename(staging, d)
         shutil.rmtree(backup)

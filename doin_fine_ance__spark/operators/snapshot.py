@@ -142,10 +142,27 @@ class SnapshotTable:
                 df = df.join(existing, dedup_key, "left_anti")
             commit_dir = os.path.join(self._data_dir, uuid.uuid4().hex)
             df.write.mode("overwrite").parquet(commit_dir)
+            # the manifest schema must describe EVERY file the version
+            # lists, not just this append's: union-by-name with the
+            # previous version's recorded schema (prev column order
+            # first, genuinely-new columns appended; a re-typed column
+            # takes the newest type). Catalog views derive their column
+            # list from this (ADVICE r7 — commit-dir names are uuids,
+            # so no dir listing is temporal).
+            schema = df.schema
+            if prev_files:
+                prev_schema_json = prev.get("schema")
+                if prev_schema_json:
+                    from pyspark.sql.types import StructType
+
+                    prev_st = StructType.fromJson(json.loads(prev_schema_json))
+                    by_name = {f.name: f for f in schema.fields}
+                    fields = [by_name.pop(f.name, f) for f in prev_st.fields]
+                    schema = StructType(fields + list(by_name.values()))
             return self._publish(
                 {
                     "files": prev_files + self._list_parquet(commit_dir),
-                    "schema": df.schema.json(),
+                    "schema": schema.json(),
                 }
             )
 
@@ -217,6 +234,26 @@ class SnapshotTable:
             # the per-commit dir is immutable, so a directory read is
             # just as pinned as a file-list read — and keeps hive
             # partition pruning
+            has_data = any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(m["dir"])
+                for f in fs
+            )
+            if not has_data:
+                # committed EMPTY partitioned table: AQE can coalesce
+                # the write to zero part files, so there is nothing to
+                # infer a schema from — replay the manifest's recorded
+                # schema, same as the flat branch below (ADVICE r7)
+                if m.get("schema"):
+                    from pyspark.sql.types import StructType
+
+                    return spark.createDataFrame(
+                        [], StructType.fromJson(json.loads(m["schema"]))
+                    )
+                raise SnapshotCorruptionError(
+                    f"manifest v{m['version']} of {self.root} has an empty "
+                    "partitioned commit dir and records no schema"
+                )
             return spark.read.parquet(m["dir"])
         if not m["files"]:
             # A legitimately committed EMPTY table: AQE may coalesce an

@@ -67,12 +67,28 @@ class Warehouse:
             return self._snap(schema, table).read(self.spark)
         return self.spark.read.parquet(self.path(schema, table))
 
+    def _reregister_if_registered(self, schema: str, table: str) -> None:
+        """A catalog entry for a snapshot table binds to the commit
+        dirs of the version current at registration; a rebuild
+        publishes NEW dirs, so a registered entry keeps serving the
+        pre-rebuild snapshot until vacuum deletes it out from under
+        the reader. Re-point it at commit time (VERDICT r7 #8) —
+        contract: a registered table always serves the latest
+        published version."""
+        try:
+            registered = self.spark.catalog.tableExists(f"`{schema}`.`{table}`")
+        except Exception:
+            registered = False
+        if registered:
+            _register_table(self.spark, schema, table, self.path(schema, table))
+
     def write(
         self, df: DataFrame, schema: str, table: str, partition_by: str | None = None
     ) -> None:
         os.makedirs(os.path.join(self.root, schema), exist_ok=True)
         if self.snapshot:
             self._snap(schema, table).commit_overwrite(df, partition_by=partition_by)
+            self._reregister_if_registered(schema, table)
         elif partition_by:
             # partitioned overwrite: plain write (no swap needed at build
             # cadence, and partition dirs keep pruning cheap for readers)
@@ -98,12 +114,7 @@ class Warehouse:
         if not self._has_manifest(schema, table):
             return []
         removed = self._snap(schema, table).vacuum(keep_last=keep_last)
-        try:
-            registered = self.spark.catalog.tableExists(f"`{schema}`.`{table}`")
-        except Exception:
-            registered = False
-        if registered:
-            _register_table(self.spark, schema, table, self.path(schema, table))
+        self._reregister_if_registered(schema, table)
         return removed
 
     def append_insert_only(
@@ -117,6 +128,7 @@ class Warehouse:
             self._snap(schema, table).commit_append(
                 df, dedup_key=key, spark=self.spark
             )
+            self._reregister_if_registered(schema, table)
         else:
             insert_only_append(self.spark, self.path(schema, table), df, key)
 
@@ -315,18 +327,27 @@ def _register_table(
         # versioned-manifest table: register the CURRENT published
         # version. The catalog entry is a point-in-time binding to
         # that version's commit dirs — unlike the swap layout (whose
-        # location survives rebuilds), a rebuild does NOT re-point
-        # it, and a subsequent vacuum deletes the dirs it points at.
-        # Re-run this (or Warehouse.vacuum, which re-registers
-        # registered tables) after a rebuild.
+        # location survives rebuilds). Warehouse.write/
+        # append_insert_only/vacuum re-register registered tables at
+        # commit time (VERDICT r7 #8); only a commit made directly
+        # through SnapshotTable, bypassing the Warehouse, leaves a
+        # stale binding until this is re-run.
         from ..operators.snapshot import SnapshotTable
 
         m = SnapshotTable(table_dir).manifest()
-        dirs = (
-            [m["dir"]]
-            if m.get("partitioned")
-            else sorted({os.path.dirname(p) for p in m["files"]})
-        )
+        if m.get("partitioned"):
+            # an empty partitioned commit has nothing to infer a
+            # schema from (AQE can coalesce to zero part files) —
+            # route it to the typed empty-view branch below, same as
+            # the flat case (ADVICE r7)
+            has_data = any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(m["dir"])
+                for f in fs
+            )
+            dirs = [m["dir"]] if has_data else []
+        else:
+            dirs = sorted({os.path.dirname(p) for p in m["files"]})
         if any("'" in d or "\\" in d for d in dirs):
             raise ValueError(
                 f"refusing to register snapshot commit dir with quote/backslash under {table_dir!r}"
@@ -361,15 +382,37 @@ def _register_table(
             )
         else:
             # append manifests span commit dirs: a view unions them BY
-            # NAME — an explicit column list from the newest commit's
-            # schema, so a column-order difference between commit dirs
-            # can never silently misalign the union (ADVICE r6)
-            cols = spark.read.parquet(dirs[-1]).columns
-            sel = ", ".join(_quote_col(c) for c in cols)
-            union = " UNION ALL ".join(
-                f"SELECT {sel} FROM parquet.`{d}`" for d in dirs
-            )
-            spark.sql(f"CREATE OR REPLACE VIEW {fq} AS {union}")
+            # NAME — an explicit column list, so a column-order
+            # difference between commit dirs can never silently
+            # misalign the union (ADVICE r6). The list comes from the
+            # manifest's recorded schema (commit_append maintains the
+            # union-by-name of every version's columns): commit-dir
+            # names are uuid hex, so no dir ordering is temporal and
+            # reading "the newest dir" would pick an arbitrary commit
+            # (ADVICE r7). Columns a given commit predates are
+            # NULL-filled at their recorded type.
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            if m.get("schema"):
+                st = StructType.fromJson(_json.loads(m["schema"]))
+                types = {f.name: f.dataType.simpleString() for f in st.fields}
+                cols = [f.name for f in st.fields]
+            else:  # pre-schema-recording manifest: legacy fallback
+                cols = spark.read.parquet(dirs[-1]).columns
+                types = {}
+            selects = []
+            for d in dirs:
+                have = set(spark.read.parquet(d).columns) if types else set(cols)
+                sel = ", ".join(
+                    _quote_col(c)
+                    if c in have
+                    else f"CAST(NULL AS {types[c]}) AS {_quote_col(c)}"
+                    for c in cols
+                )
+                selects.append(f"SELECT {sel} FROM parquet.`{d}`")
+            spark.sql(f"CREATE OR REPLACE VIEW {fq} AS {' UNION ALL '.join(selects)}")
         return True
     # only register dirs that actually hold parquet data (a stray
     # non-table dir would otherwise become a catalog entry that
@@ -400,11 +443,13 @@ def register_sql_catalog(wh: Warehouse) -> list[str]:
     after a rebuild re-points and re-discovers partitions. Returns the
     fully-qualified names registered.
 
-    Snapshot-layout caveat (ADVICE r6): entries for manifest tables
-    bind to the commit dirs of the version current at registration.
-    After a rebuild, re-run this to re-point BEFORE vacuuming old
-    versions; ``Warehouse.vacuum`` re-registers registered tables
-    itself as a safety net.
+    Snapshot-layout note (ADVICE r6 / VERDICT r7 #8): entries for
+    manifest tables bind to the commit dirs of the version current at
+    registration, and every Warehouse commit path (``write``,
+    ``append_insert_only``, ``vacuum``) re-registers registered tables
+    so the entry always serves the latest published version. Commits
+    made directly through ``SnapshotTable`` bypass that; re-run this
+    afterwards.
     """
     spark = wh.spark
     registered: list[str] = []

@@ -876,6 +876,7 @@ _IVF_COSINE = (
     )
     SELECT a.vec_id, a.list_id, {vq} AS cosine
     FROM assigned a JOIN probes p ON a.list_id = p.list_id, qv
+    WHERE sqrt(list_dot_product(a.q, a.q)) > 0
     ORDER BY cosine DESC, a.vec_id ASC
     LIMIT 10
     """.format(

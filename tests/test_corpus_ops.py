@@ -339,3 +339,73 @@ def test_token_shards_balanced_and_contiguous(spark):
         if s != last:
             assert tot > target - max_w, (s, tot)
     assert sum(totals.values()) == sum(w for _, w in rows)
+
+
+def test_temperature_mix_general_alpha_matches_python_reference(spark):
+    """VERDICT r7 #7: the general-alpha path (F.pow) has no SQL oracle
+    — libm pow carries last-ulp variance across engines — so pin it
+    against a pure-Python reference instead. For alpha in {0.3, 0.7,
+    1.0}: per-source keep_rate within 1 ulp x safety of
+    (n_min/n_i)^(1-alpha), the selected id set identical except for
+    docs whose md5 draw sits within that ulp band of the boundary
+    (none here, and asserted so), and the realized per-source counts
+    equal to the reference's."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.llm.selection import temperature_mix
+
+    rows = [
+        (i, "big" if i < 400 else ("mid" if i < 480 else "small"))
+        for i in range(500)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    n = {"big": 400, "mid": 80, "small": 20}
+    n_min = min(n.values())
+
+    def u_of(doc_id: int, seed: str) -> float:
+        h = hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()[:8]
+        return int(h, 16) / float(1 << 32)
+
+    for alpha in (0.3, 0.7, 1.0):
+        rate_py = {s: (n_min / c) ** (1.0 - alpha) for s, c in n.items()}
+        out = temperature_mix(docs, alpha=alpha, seed="t").persist()
+        rates_spark = {
+            r["source"]: r["keep_rate"]
+            for r in out.select("source", "keep_rate").distinct().collect()
+        }
+        tol = {s: 4 * math.ulp(rate_py[s]) for s in rates_spark}
+        for s, got in rates_spark.items():
+            assert abs(got - rate_py[s]) <= tol[s], (alpha, s, got, rate_py[s])
+        # reference selection with the same deterministic draw
+        want = {
+            i for i, s in rows if u_of(i, "t") < rate_py[s]
+        }
+        got_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+        boundary = {
+            i
+            for i, s in rows
+            if abs(u_of(i, "t") - rate_py[s]) <= tol[s]
+        }
+        assert not boundary, (alpha, boundary)  # fixture stays off the edge
+        assert got_ids == want, (alpha, len(got_ids ^ want))
+        # expected-count sanity: realized counts match the reference's
+        got_counts = {
+            r["source"]: r["c"]
+            for r in out.groupBy("source").agg(F.count("*").alias("c")).collect()
+        }
+        want_counts = {
+            s: sum(1 for i, s2 in rows if s2 == s and i in want) for s in n
+        }
+        want_counts = {s: c for s, c in want_counts.items() if c}
+        assert got_counts == want_counts, (alpha, got_counts, want_counts)
+        # and they track expectation n_i * rate within 5 sigma
+        for s, c in n.items():
+            exp = c * rate_py[s]
+            sigma = math.sqrt(max(c * rate_py[s] * (1 - rate_py[s]), 1e-9))
+            assert abs(got_counts.get(s, 0) - exp) <= 5 * sigma + 1, (
+                alpha, s, got_counts.get(s, 0), exp
+            )
+        out.unpersist()

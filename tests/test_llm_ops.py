@@ -928,3 +928,163 @@ def test_ivf_index_build_probe_append_stats(spark, tmp_path):
     after = [r["vec_id"] for r in idx.topk(spark, q, k=5, nprobe=8).collect()]
     assert after == before
     assert idx.stats(spark)["total"] == n0 + 4
+
+
+def _embeddings_df(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+    )
+
+
+def test_ivf_append_during_compact_serializes_no_lost_vectors(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r7 #3: an append racing a compaction of the same cell
+    must not be swallowed when the staged file set swaps in. append()
+    and compact() share the index writer lock: with the compactor's
+    rewrite artificially delayed (lock held), a no-wait append fails
+    LOUDLY and a waiting append blocks until the swap completes — and
+    every appended vector survives."""
+    import threading
+    import time
+
+    from doin_fine_ance__spark.llm.ann import IvfIndex
+    from doin_fine_ance__spark.operators import maintenance as maint
+    from doin_fine_ance__spark.operators.upsert import ConcurrentWriteError
+
+    emb = _embeddings_df(spark)
+    dim = len(emb.first()["embedding"])
+    idx = IvfIndex.build(emb, str(tmp_path / "ivf"), n_centroids=4)
+    n0 = idx.stats(spark)["total"]
+    vec = [1.0] * dim
+    for i in range(3):  # fragment the planted cell so compact() has work
+        idx.append(
+            spark.createDataFrame(
+                [(10_000 + i, vec)], "vec_id long, embedding array<double>"
+            )
+        )
+
+    real_compact = maint.compact_table
+    in_compact = threading.Event()
+
+    def slow_compact(spark_, path, **kw):
+        in_compact.set()
+        time.sleep(2.0)  # the lock is held by idx.compact() around this
+        return real_compact(spark_, path, **kw)
+
+    monkeypatch.setattr(maint, "compact_table", slow_compact)
+    errs: list = []
+
+    def do_compact():
+        try:
+            idx.compact(spark, min_files=2)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    t = threading.Thread(target=do_compact)
+    t.start()
+    try:
+        assert in_compact.wait(60)
+        planted = spark.createDataFrame(
+            [(99_999, vec)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ConcurrentWriteError):
+            idx.append(planted)  # no-wait append: loud, not lost
+        idx.append(planted, timeout=120)  # waits for the compactor
+    finally:
+        t.join(300)
+    assert not errs, errs
+    st = idx.stats(spark)
+    assert st["total"] == n0 + 4
+    ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(idx._data_path(idx._meta()))
+        .select("vec_id")
+        .collect()
+    }
+    assert 99_999 in ids and {10_000, 10_001, 10_002} <= ids
+
+
+def test_ivf_default_centroid_sample_unbiased_on_sorted_ids(spark, tmp_path):
+    """VERDICT r7 #2: ids correlate with content in real corpora. With
+    vectors id-SORTED by cluster, a head-of-table sample would put
+    every default centroid in cluster 0 and pile the corpus into one
+    cell; the md5-ordered sample must keep cell imbalance within ~2x
+    of a kmeans-built index."""
+    import random
+
+    from doin_fine_ance__spark.llm.ann import IvfIndex
+
+    rng = random.Random(42)
+    K, per = 8, 100
+    rows = []
+    for c in range(K):
+        center = [0.0] * 16
+        center[2 * c] = 10.0
+        for i in range(per):
+            rows.append(
+                (c * per + i, [v + rng.uniform(-0.5, 0.5) for v in center])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    by_hash = IvfIndex.build(emb, str(tmp_path / "h"), n_centroids=K)
+    by_kmeans = IvfIndex.build(
+        emb, str(tmp_path / "k"), n_centroids=K, kmeans_iters=3
+    )
+    imb_h = by_hash.stats(spark)["imbalance"]
+    imb_k = by_kmeans.stats(spark)["imbalance"]
+    # head-of-table sampling degenerates to imbalance ~= K (one cell
+    # absorbs almost everything); the unbiased sample stays comparable
+    # to the kmeans reference
+    assert imb_h <= max(2.0 * imb_k, 2.5), (imb_h, imb_k)
+    assert by_hash.stats(spark)["nonempty_cells"] >= K - 2
+
+
+def test_ivf_rebuild_publishes_fresh_dir_and_vacuum_drops_old(spark, tmp_path):
+    """ADVICE r7 (medium): rebuild must never overwrite the live data
+    dir in place — it assigns into a FRESH dir and publishes it with
+    its centroids in one atomic meta rename, so a reader holding the
+    old meta keeps a consistent centroids+corpus pair until vacuum."""
+    import os
+
+    from doin_fine_ance__spark.llm.ann import IvfIndex
+
+    emb = _embeddings_df(spark)
+    n = emb.count()
+    root = str(tmp_path / "ivf")
+    idx = IvfIndex.build(emb, root, n_centroids=4)
+    meta1 = idx._meta()
+    old_dir = idx._data_path(meta1)
+    IvfIndex.build(emb, root, n_centroids=8)  # rebuild, more cells
+    meta2 = idx._meta()
+    assert meta2["data_dir"] != meta1["data_dir"]
+    assert len(meta1["centroids"]) == 4 and len(meta2["centroids"]) == 8
+    # the superseded pair is still fully readable (in-flight readers)
+    assert spark.read.parquet(old_dir).count() == n
+    removed = idx.vacuum()
+    assert meta1["data_dir"] in removed
+    assert not os.path.exists(old_dir)
+    assert idx.stats(spark)["total"] == n  # live pair untouched
+
+
+def test_ivf_topk_excludes_zero_norm_vectors(spark, tmp_path):
+    """ADVICE r7: a zero vector's cosine is 0/0 = NaN, and Spark sorts
+    NaN as the LARGEST double — without the scoring guard one zero
+    vector heads every descending top-k (IvfIndex.topk and the
+    one-shot ann_topk_ivf alike)."""
+    import math
+
+    from doin_fine_ance__spark.llm.ann import IvfIndex, ann_topk_ivf
+
+    rows = [
+        (i, [float(i % 5 + 1), float((i * 3) % 7 + 1)]) for i in range(1, 40)
+    ]
+    rows.append((0, [0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = IvfIndex.build(emb, str(tmp_path / "z"), n_centroids=2)
+    got = idx.topk(spark, [1.0, 1.0], k=40, nprobe=2).collect()
+    assert got and 0 not in [r["vec_id"] for r in got]
+    assert all(not math.isnan(r["cosine"]) for r in got)
+    got2 = ann_topk_ivf(emb, [1.0, 1.0], k=40, n_centroids=2, nprobe=2).collect()
+    assert got2 and 0 not in [r["vec_id"] for r in got2]
+    assert all(not math.isnan(r["cosine"]) for r in got2)

@@ -133,3 +133,32 @@ def test_empty_overwrite_reads_as_empty_table(spark, tmp_path):
 
     with pytest.raises(SnapshotCorruptionError):
         t2.read(spark)
+
+
+def test_empty_partitioned_overwrite_reads_as_empty_table(spark, tmp_path):
+    """ADVICE r7: the empty-table schema replay must also cover the
+    PARTITIONED branch — a committed empty partitioned overwrite has
+    zero part files under its commit dir, so the manifest's recorded
+    schema is the only source of truth."""
+    from pyspark.sql.types import (
+        DateType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    st_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("label", StringType()),
+            StructField("day", DateType()),
+        ]
+    )
+    t = SnapshotTable(str(tmp_path / "ptbl"))
+    v = t.commit_overwrite(
+        spark.createDataFrame([], st_schema), partition_by="day"
+    )
+    got = t.read(spark, v)
+    assert got.count() == 0
+    assert got.schema == st_schema

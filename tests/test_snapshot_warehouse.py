@@ -253,3 +253,86 @@ def test_vacuum_reregisters_catalog_entry_after_rebuild(spark, snap_wh):
         "SELECT count(*) AS c FROM analytics.fct_validated_trxns"
     ).first()["c"]
     assert n_sql == snap_wh.read("analytics", "fct_validated_trxns").count()
+
+
+def test_rebuild_repoints_registered_catalog_entry_without_vacuum(spark, snap_wh):
+    """VERDICT r7 #8 contract: a REGISTERED snapshot table always
+    serves the latest published version — the rebuild commit itself
+    re-points the catalog entry; no vacuum needed."""
+    from doin_fine_ance__spark.operators.snapshot import SnapshotTable
+
+    register_sql_catalog(snap_wh)
+    _shrink_inputs(spark, snap_wh.root)
+    build(snap_wh, full_refresh=True)
+    # vacuum through SnapshotTable DIRECTLY — unlike Warehouse.vacuum
+    # it does not re-register, so the pre-rebuild commit dirs the
+    # entry originally bound to are really gone: the query below only
+    # works if the rebuild commit itself re-pointed the entry
+    removed = SnapshotTable(
+        snap_wh.path("analytics", "fct_validated_trxns")
+    ).vacuum(keep_last=1)
+    assert removed
+    n_sql = spark.sql(
+        "SELECT count(*) AS c FROM analytics.fct_validated_trxns"
+    ).first()["c"]
+    assert n_sql == snap_wh.read("analytics", "fct_validated_trxns").count()
+
+
+def test_catalog_view_append_schema_evolution_nullfills(spark, tmp_path):
+    """ADVICE r7: commit-dir names are uuid hex — no dir listing is
+    temporal. The view's column list must come from the manifest's
+    recorded schema (the union-by-name of every version's columns),
+    and commits that predate a column NULL-fill it at its recorded
+    type."""
+    from doin_fine_ance__spark.operators.snapshot import SnapshotTable
+
+    root = str(tmp_path / "wh3")
+    tdir = os.path.join(root, "analytics", "evolving")
+    os.makedirs(os.path.dirname(tdir), exist_ok=True)
+    st = SnapshotTable(tdir)
+    st.commit_overwrite(
+        spark.createDataFrame([(1, "a")], "id bigint, label string")
+    )
+    # later appends ADD a column, then DROP one from their own frame
+    st.commit_append(
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id bigint, label string, score double"
+        )
+    )
+    st.commit_append(spark.createDataFrame([(3,)], "id bigint"))
+    # the manifest schema is the running union-by-name
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    mschema = StructType.fromJson(_json.loads(st.manifest()["schema"]))
+    assert [f.name for f in mschema.fields] == ["id", "label", "score"]
+    wh = Warehouse(spark, root, snapshot=True)
+    assert "analytics.evolving" in register_sql_catalog(wh)
+    got = {
+        (r["id"], r["label"], r["score"])
+        for r in spark.sql(
+            "SELECT id, label, score FROM analytics.evolving"
+        ).collect()
+    }
+    assert got == {(1, "a", None), (2, "b", 9.5), (3, None, None)}
+
+
+def test_register_empty_partitioned_snapshot_table(spark, tmp_path):
+    """ADVICE r7 companion: registering a committed EMPTY partitioned
+    table must produce a typed zero-row relation, not fail parquet
+    schema inference on a dir with no data files."""
+    from doin_fine_ance__spark.operators.snapshot import SnapshotTable
+
+    root = str(tmp_path / "wh4")
+    tdir = os.path.join(root, "analytics", "emptypart")
+    os.makedirs(os.path.dirname(tdir), exist_ok=True)
+    SnapshotTable(tdir).commit_overwrite(
+        spark.createDataFrame([], "id bigint, label string, day date"),
+        partition_by="day",
+    )
+    wh = Warehouse(spark, root, snapshot=True)
+    assert "analytics.emptypart" in register_sql_catalog(wh)
+    df = spark.sql("SELECT id, label, day FROM analytics.emptypart")
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["id", "label", "day"]
