@@ -50,62 +50,62 @@ def query(name: str, oracle: str | None = None):
 # window stays registered, plan-audited, and oracle-checked by
 # tests/test_inventory_oracle.py + tools/sweep_correctness.py.
 DRIVER_WINDOW: list[str] = [
-    # --- no driver row yet: first verification ---
+    # --- round 8: newest driver row r5 — the oldest evidence in the
+    # registry leads (VERDICT r7 #2) ---
+    "d_minhash_lsh_neardups",
+    "t_token_count",
+    "t_quality_score",
+    "t_lang_id_heuristic",
+    "o5_top5_categories",
+    "f8_f9_timestamp_conversions",
+    "o3_latest_one",
+    "f16_array_membership",
+    # --- r7 first-timers keep a slot for a second consecutive row ---
     "st_stream_static_enrich",
     "q2_min_cost_supplier",
     "q16_supplier_part_type_counts",
     "q20_dominant_supplier_semi",
     "t_temperature_mix",
     "t_token_shards",
-    # --- newest driver row r3 (rested in r6 at 3 green rows) ---
-    "a1_monthly_spend_by_category",
-    "a2_monthly_net_change",
-    "a5_pivot_month_by_status",
-    "a12_cumulative_monthly_net",
-    "a13_prediction_stats",
-    "w1_latest_import_dedup",
-    # --- newest driver row r5: TPC-H probes ---
-    "q1_pricing_summary",
-    "q3_top_unshipped_orders",
-    "q4_priority_semi_join",
-    "q5_region_revenue_rollup",
-    "q6_forecast_revenue",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_ratio",
-    "q18_large_volume_customers",
-    # --- newest driver row r5: analytics/join probes ---
-    "a_cube_status_priority",
-    "a_rollup_region_nation",
-    "a_count_distinct_users",
-    "a_event_funnel",
-    "w_lead_lag_session_count",
-    "j_salted_skew_join",
-    "j_asof_purchase_last_view",
-    "j_range_price_bands",
-    # --- newest driver row r5: finance inventory ---
-    "a8_connection_health_rollup",
-    "a9_data_range_check",
-    "a11_class_distribution",
-    "p1_projection_literals",
-    "p6_dynamic_where_search",
-    "j9_latest_import_per_account",
-    "o2_sort_nulls_last_top",
-    # --- newest driver row r5: LLM text/dedup/ANN/multimodal/streaming ---
-    "t_token_budget_select",
-    "t_winnowing_fingerprints",
-    "d_exact_dedup",
-    "d_segment_dedup",
-    "d_ngram_jaccard_pairs",
-    "d_dup_clusters",
-    "d_simhash_neardups",
+    # --- code touched in r8 (zero-norm scoring guard): re-verify ---
     "s_cosine_topk_ivf",
-    "s_cosine_topk_bruteforce",
-    "d_embedding_cosine_neardups",
-    "mm_media_features",
-    "mm_audio_features",
-    "st_tumbling_window",
-    "st_sliding_window",
-    "st_session_window",
+    # --- newest driver row r6, 2 green rows: refresh ---
+    "a_exact_percentiles",
+    "d_decontaminate",
+    "d_incremental_neardups",
+    "mm_image_resize",
+    "mm_video_frame_sample",
+    "q10_returned_revenue_customers",
+    "q11_global_threshold_having",
+    "q12_shipmode_priority_counts",
+    "q15_top_supplier_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicate_join",
+    "q21_waiting_supplier_shape",
+    "q22_dormant_customer_balance",
+    "q7_volume_shipping_pairs",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "s_cosine_topk_lsh",
+    "st_interval_join",
+    "t_bigram_familiarity",
+    "t_doc_fingerprint",
+    "t_domain_mix",
+    "t_pii_redaction",
+    "t_repetition_filter",
+    "t_sequence_packing",
+    "t_shuffle_order",
+    "t_simhash_fingerprints",
+    "t_stratified_sample",
+    "t_token_count_bpe",
+    "t_top_tokens",
+    # --- newest driver row r6, 3 green rows: refresh ---
+    "a3_yearly_spend_by_category",
+    "a4_quarterly_spend",
+    "a6_count_total",
+    "a7_distinct_categories",
+    "d_duplicate_spans",
+    "d_minhash_containment",
 ]
 
 
