@@ -800,15 +800,18 @@ class IvfIndex:
 
     def stats(self, spark) -> dict:
         """Per-cell counts + imbalance ratio (max/mean) — the drift
-        signal a pipeline alarms on to schedule a retrain."""
+        signal a pipeline alarms on to schedule a retrain. The meta is
+        read ONCE so the counted corpus and the centroid count are the
+        same published pair even if a rebuild lands mid-call."""
+        meta = self._meta()
         rows = (
-            spark.read.parquet(self._data_path(self._meta()))
+            spark.read.parquet(self._data_path(meta))
             .groupBy("list_id")
             .count()
             .collect()
         )
         counts = {int(r["list_id"]): r["count"] for r in rows}
-        n_cells = len(self.centroids())
+        n_cells = len(meta["centroids"])
         total = sum(counts.values())
         mean = total / n_cells if n_cells else 0.0
         return {

@@ -123,6 +123,7 @@ class SnapshotTable:
         """
         with table_write_lock(self.root, timeout=timeout):
             prev_files: list[str] = []
+            prev: dict | None = None
             if self.latest_version() > 0:
                 prev = self.manifest()
                 if prev.get("partitioned"):
@@ -150,15 +151,15 @@ class SnapshotTable:
             # list from this (ADVICE r7 — commit-dir names are uuids,
             # so no dir listing is temporal).
             schema = df.schema
-            if prev_files:
-                prev_schema_json = prev.get("schema")
-                if prev_schema_json:
-                    from pyspark.sql.types import StructType
+            # union even when the previous version listed no files (a
+            # committed EMPTY table still has a recorded schema)
+            if prev is not None and prev.get("schema"):
+                from pyspark.sql.types import StructType
 
-                    prev_st = StructType.fromJson(json.loads(prev_schema_json))
-                    by_name = {f.name: f for f in schema.fields}
-                    fields = [by_name.pop(f.name, f) for f in prev_st.fields]
-                    schema = StructType(fields + list(by_name.values()))
+                prev_st = StructType.fromJson(json.loads(prev["schema"]))
+                by_name = {f.name: f for f in schema.fields}
+                fields = [by_name.pop(f.name, f) for f in prev_st.fields]
+                schema = StructType(fields + list(by_name.values()))
             return self._publish(
                 {
                     "files": prev_files + self._list_parquet(commit_dir),

@@ -162,3 +162,18 @@ def test_empty_partitioned_overwrite_reads_as_empty_table(spark, tmp_path):
     got = t.read(spark, v)
     assert got.count() == 0
     assert got.schema == st_schema
+
+
+def test_append_after_empty_overwrite_keeps_recorded_schema_union(spark, tmp_path):
+    """A committed EMPTY table still has a recorded schema; a later
+    append's manifest schema must union with it, not silently forget
+    the empty version's columns."""
+    t = SnapshotTable(str(tmp_path / "etbl"))
+    t.commit_overwrite(spark.createDataFrame([], "id bigint, label string"))
+    t.commit_append(spark.createDataFrame([(1,)], "id bigint"))
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(_json.loads(t.manifest()["schema"]))
+    assert [f.name for f in st.fields] == ["id", "label"]
