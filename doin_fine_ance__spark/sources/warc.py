@@ -37,13 +37,17 @@ HTTP response records keep their transport headers: WARC stores the
 full HTTP message. :func:`split_http_payload` separates status line /
 headers / body downstream, map-only; :func:`strip_html_tags` is the
 cheap JVM-side tag scrub (the regex baseline every text pipeline
-starts with before a real boilerplate extractor).
+starts with), and :func:`extract_main_text` is the block
+text-density boilerplate extractor above it (jusText/Arc90-style,
+stdlib-only; trafilatura remains the production swap at the same
+column seam).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -355,8 +359,9 @@ def strip_html_tags(html: F.Column) -> F.Column:
     strip tags, unescape the common entities, collapse whitespace.
 
     This is the regex floor every crawl pipeline starts from, not a
-    boilerplate extractor — a real deployment swaps in trafilatura/
-    jusText at this seam (same column-in/column-out contract).
+    boilerplate extractor — :func:`extract_main_text` is the
+    in-sandbox extractor one rung up, and a real deployment swaps in
+    trafilatura at the same column-in/column-out seam.
     """
     no_script = F.regexp_replace(
         html, r"(?is)<(script|style)[^>]*>.*?</\1>", " "
@@ -395,3 +400,159 @@ def warc_to_parquet(
     records.write.mode("overwrite").parquet(out_dir)
     skipped.write.mode("overwrite").parquet(out_dir.rstrip("/") + "/_skipped")
     return spark.read.parquet(out_dir)
+
+
+# --------------------------------------------------------------- boilerplate
+
+
+_KILL_TAGS = {"script", "style", "noscript", "template", "svg", "iframe"}
+_BOILER_SECTIONS = {"nav", "footer", "aside", "header", "form", "menu"}
+_BLOCK_TAGS = {
+    "p", "div", "li", "td", "th", "h1", "h2", "h3", "h4", "h5", "h6",
+    "article", "section", "blockquote", "pre", "table", "ul", "ol",
+    "dd", "dt", "figcaption", "br", "tr", "main", "body",
+}
+
+
+def _segment_blocks(html: str) -> list[tuple[str, int, int, bool]]:
+    """Parse HTML into text blocks with link-char counts.
+
+    Returns [(text, link_chars, total_chars, in_boiler_section)].
+    Pure stdlib (`html.parser`, entity refs auto-converted); tolerant
+    of malformed markup like every crawl pipeline must be.
+    """
+    from html.parser import HTMLParser
+
+    blocks: list[tuple[str, int, int, bool]] = []
+
+    class _P(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.kill = 0
+            self.boiler = 0
+            self.link = 0
+            self.buf: list[str] = []
+            self.link_chars = 0
+
+        def _flush(self) -> None:
+            text = " ".join("".join(self.buf).split())
+            if text:
+                blocks.append(
+                    (text, self.link_chars, len(text), self.boiler > 0)
+                )
+            self.buf = []
+            self.link_chars = 0
+
+        def handle_starttag(self, tag: str, attrs) -> None:
+            if tag in _KILL_TAGS:
+                self.kill += 1
+            if tag in _BOILER_SECTIONS:
+                self._flush()
+                self.boiler += 1
+            if tag == "a":
+                self.link += 1
+            if tag in _BLOCK_TAGS:
+                self._flush()
+
+        def handle_endtag(self, tag: str) -> None:
+            if tag in _KILL_TAGS:
+                self.kill = max(0, self.kill - 1)
+            if tag in _BOILER_SECTIONS:
+                self._flush()
+                self.boiler = max(0, self.boiler - 1)
+            if tag == "a":
+                self.link = max(0, self.link - 1)
+            if tag in _BLOCK_TAGS:
+                self._flush()
+
+        def handle_data(self, data: str) -> None:
+            if self.kill:
+                return
+            self.buf.append(data)
+            if self.link:
+                self.link_chars += len(data.strip())
+
+    p = _P()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # keep whatever parsed; crawl HTML is hostile by default
+    p._flush()
+    return blocks
+
+
+def _main_text(
+    html: str,
+    min_good_chars: int = 80,
+    min_near_chars: int = 10,
+    max_link_density: float = 0.33,
+) -> str:
+    """Block text-density boilerplate extraction (jusText/Arc90-style,
+    simplified and stopword-list-free so it is language-agnostic):
+
+    - blocks inside <nav>/<footer>/<aside>/<header>/<form> are
+      boilerplate outright;
+    - long low-link-density blocks are content ("good");
+    - link-heavy blocks (related-posts lists, menus rendered as divs)
+      are boilerplate at ANY length;
+    - short low-link blocks (bylines, single-sentence paragraphs) are
+      kept only when adjacent to a good block — jusText's context
+      rule, one smoothing pass.
+
+    Public prior art: jusText (Pomikálek 2011) classifies blocks by
+    length/link/stopword density with context smoothing; Arc90
+    readability scores text-to-link ratios. This is the in-sandbox
+    floor above `strip_html_tags`; trafilatura remains the production
+    swap at the same column-in/column-out seam.
+    """
+    blocks = _segment_blocks(html)
+    labels: list[str] = []
+    for text, link_chars, total, in_boiler in blocks:
+        density = (link_chars / total) if total else 1.0
+        if in_boiler or density > max_link_density:
+            labels.append("bad")
+        elif total >= min_good_chars:
+            labels.append("good")
+        elif total >= min_near_chars:
+            labels.append("near")
+        else:
+            labels.append("bad")
+    kept: list[str] = []
+    for i, (text, _, _, _) in enumerate(blocks):
+        if labels[i] == "good" or (
+            labels[i] == "near"
+            and (
+                (i > 0 and labels[i - 1] == "good")
+                or (i + 1 < len(labels) and labels[i + 1] == "good")
+            )
+        ):
+            kept.append(text)
+    return "\n".join(kept)
+
+
+def extract_main_text(
+    html: F.Column,
+    min_good_chars: int = 80,
+    min_near_chars: int = 10,
+    max_link_density: float = 0.33,
+) -> F.Column:
+    """Column-in/column-out boilerplate extractor over HTML bodies —
+    the seam `strip_html_tags` documents, now filled in-sandbox (see
+    :func:`_main_text` for the classifier). Arrow-batched
+    `pandas_udf`: string processing with real parsing state is the
+    sanctioned Python path (same discipline as the multimodal
+    codecs); everything upstream (scan, filters) and downstream
+    (tokenize, dedup) stays JVM-side.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def _extract(col_: pd.Series) -> pd.Series:
+        return col_.map(
+            lambda h: _main_text(
+                h or "", min_good_chars, min_near_chars, max_link_density
+            )
+        )
+
+    return _extract(html)

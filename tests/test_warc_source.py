@@ -289,3 +289,75 @@ def test_warc_to_parquet_writes_skipped_frame(spark, tmp_path):
     assert out.count() == 3  # small.warc records only
     sk = spark.read.parquet(str(tmp_path / "pq" / "_skipped")).collect()
     assert len(sk) == 1 and sk[0].path.endswith("huge.warc")
+
+
+_PAGE = """
+<html><head><title>T</title><script>var x=1;</script>
+<style>.a{color:red}</style></head><body>
+<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/blog">Blog</a></nav>
+<header><h1>Site name</h1></header>
+<article>
+<p>By Jane Roe</p>
+<p>This is the first real paragraph of the article and it definitely
+runs longer than eighty characters of prose content.</p>
+<p>The second paragraph also carries genuine sentence content, with
+enough length to be classified as good by any density measure.</p>
+<div class="related"><a href="/1">Related one</a>
+<a href="/2">Related two</a> <a href="/3">Related three</a></div>
+</article>
+<footer>Copyright 2026 <a href="/terms">Terms</a></footer>
+</body></html>"""
+
+
+def test_main_text_block_classifier_rules():
+    """jusText/Arc90-style rules: boiler sections and link-dense
+    blocks drop at any length, long prose stays, short blocks stay
+    only next to good content; kill tags never leak; hostile markup
+    never raises."""
+    from doin_fine_ance__spark.sources.warc import _main_text
+
+    out = _main_text(_PAGE)
+    assert "first real paragraph" in out and "second paragraph" in out
+    assert "By Jane Roe" in out  # near-block kept by adjacency
+    for boiler in ("Home", "Site name", "Related one", "Copyright", "var x", "color:red"):
+        assert boiler not in out, boiler
+    # an identical short block with NO adjacent good content drops
+    assert _main_text("<p>By Jane Roe</p>") == ""
+    # link-dense block outside any boiler section still drops
+    assert _main_text(
+        '<div><a href="/1">one</a> <a href="/2">two</a> <a href="/3">three</a></div>'
+    ) == ""
+    # entity refs decode; malformed / truncated HTML is tolerated
+    long_entity = "<p>Fish &amp; chips " + "served daily with mushy peas, " * 4 + "</p>"
+    assert "Fish & chips" in _main_text(long_entity)
+    assert _main_text("<div><p>broken <a href= oops") == ""
+    assert _main_text("") == ""
+
+
+def test_extract_main_text_column(spark):
+    """The Spark seam: column-in/column-out over a frame of HTML
+    bodies, Arrow-batched; agrees with the driver-side classifier and
+    keeps strictly less than the strip_html_tags regex floor."""
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.sources.warc import (
+        _main_text,
+        extract_main_text,
+        strip_html_tags,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _PAGE), (2, "<p>short</p>"), (3, None)], "id long, html string"
+    )
+    got = {
+        r["id"]: (r["main"], r["floor"])
+        for r in df.select(
+            "id",
+            extract_main_text(F.col("html")).alias("main"),
+            strip_html_tags(F.col("html")).alias("floor"),
+        ).collect()
+    }
+    assert got[1][0] == _main_text(_PAGE)
+    assert "Home" in got[1][1] and "Home" not in got[1][0]  # floor keeps nav
+    assert got[2][0] == ""
+    assert got[3][0] == ""
