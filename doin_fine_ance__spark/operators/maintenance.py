@@ -212,9 +212,87 @@ def compact_table(
         parent = os.path.dirname(d)
         staging = os.path.join(parent, f"_stage_{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(staging)
-        backup = os.path.join(parent, f"_old_{uuid.uuid4().hex[:8]}")
+        token = uuid.uuid4().hex[:8]
+        backup = os.path.join(parent, f"_old_{token}")
+        # Origin marker BEFORE the first rename (ADVICE r8): if the
+        # process dies between the two swap renames, the partition's
+        # data survives only in the `_old_` dir, which partition
+        # discovery skips — the marker records which destination the
+        # backup belongs to so :func:`repair_compaction` can restore
+        # it. Written first so no crash point leaves an unattributable
+        # backup; a marker with no backup dir is just stale.
+        marker = backup + ".origin"
+        with open(marker, "w") as f:
+            f.write(os.path.relpath(d, path))
         os.rename(d, backup)
         os.rename(staging, d)
         shutil.rmtree(backup)
+        os.unlink(marker)
         results[os.path.relpath(d, path)] = len(_parquet_files(d))
     return results
+
+
+def repair_compaction(path: str) -> dict[str, list[str]]:
+    """Recover from a :func:`compact_table` crash (ADVICE r8).
+
+    Idempotent sweep over the table tree; call before reads after an
+    unclean shutdown (or from a scheduled janitor). Handles every
+    crash window of the stage-mark-swap sequence:
+
+    - ``_old_<hex>`` dir whose ``.origin`` destination is MISSING →
+      the crash hit between the two swap renames; the backup IS the
+      partition — rename it back (``restored``).
+    - ``_old_<hex>`` dir whose destination exists → the swap finished
+      but cleanup didn't; the backup is superseded — delete it
+      (``removed``).
+    - stale ``.origin`` markers and ``_stage_`` dirs → the crash hit
+      before the swap started (the partition is intact) or after it
+      finished; delete (``removed``).
+
+    Returns ``{"restored": [...], "removed": [...]}`` (paths relative
+    to ``path``).
+    """
+    restored: list[str] = []
+    removed: list[str] = []
+    for cur, dirs, files in os.walk(path, topdown=True):
+        # don't descend into backup/staging trees themselves
+        dirs[:] = [x for x in dirs if not x.startswith(("_old_", "_stage_"))]
+        for name in sorted(os.listdir(cur)):
+            full = os.path.join(cur, name)
+            if name.startswith("_old_") and os.path.isdir(full):
+                marker = full + ".origin"
+                dest = None
+                if os.path.exists(marker):
+                    with open(marker) as f:
+                        rel = f.read().strip()
+                    if rel and not os.path.isabs(rel) and ".." not in rel.split(os.sep):
+                        dest = os.path.join(path, rel)
+                if dest is not None and not os.path.exists(dest):
+                    os.makedirs(os.path.dirname(dest), exist_ok=True)
+                    os.rename(full, dest)
+                    os.unlink(marker)
+                    restored.append(os.path.relpath(dest, path))
+                else:
+                    # destination present (swap completed) or marker
+                    # missing/invalid with nothing to restore onto:
+                    # pre-marker-era backups stay untouched unless
+                    # their data is demonstrably superseded
+                    if dest is not None or os.path.exists(marker):
+                        shutil.rmtree(full)
+                        if os.path.exists(marker):
+                            os.unlink(marker)
+                        removed.append(os.path.relpath(full, path))
+            elif name.startswith("_old_") and name.endswith(".origin"):
+                # the dir branch above may have consumed this marker
+                # already (the listing was snapshotted before repairs)
+                if os.path.exists(full) and not os.path.isdir(
+                    full[: -len(".origin")]
+                ):
+                    os.unlink(full)  # marker without its backup: stale
+                    removed.append(os.path.relpath(full, path))
+            elif name.startswith("_stage_") and os.path.isdir(full):
+                # staging is incomplete or superseded in every window
+                # (the origin dir is either intact or restored above)
+                shutil.rmtree(full)
+                removed.append(os.path.relpath(full, path))
+    return {"restored": restored, "removed": removed}

@@ -405,8 +405,19 @@ def _register_table(
             selects = []
             for d in dirs:
                 have = set(spark.read.parquet(d).columns) if types else set(cols)
+                # Present columns are cast to the manifest's recorded
+                # type too (ADVICE r8): commit_append supports re-typing
+                # ("a re-typed column takes the newest type"), so an old
+                # commit dir can hold the column at its OLD parquet type
+                # — without the cast, UNION ALL's implicit coercion (not
+                # the recorded schema) would decide the view's type, and
+                # ANSI coercion settings could reject the union outright.
                 sel = ", ".join(
-                    _quote_col(c)
+                    (
+                        f"CAST({_quote_col(c)} AS {types[c]}) AS {_quote_col(c)}"
+                        if c in types
+                        else _quote_col(c)
+                    )
                     if c in have
                     else f"CAST(NULL AS {types[c]}) AS {_quote_col(c)}"
                     for c in cols

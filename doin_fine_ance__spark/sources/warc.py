@@ -470,7 +470,11 @@ def _segment_blocks(html: str) -> list[tuple[str, int, int, bool]]:
                 return
             self.buf.append(data)
             if self.link:
-                self.link_chars += len(data.strip())
+                # measured on the same whitespace normalization the
+                # block total gets at flush (" ".join(split)), so link
+                # density can never exceed 1.0 for anchors containing
+                # internal runs of whitespace (ADVICE r8)
+                self.link_chars += len(" ".join(data.split()))
 
     p = _P()
     try:

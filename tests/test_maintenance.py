@@ -182,3 +182,94 @@ def test_compact_table_zorder_skips_files_on_both_columns(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == before
     assert after.agg(F.sum("id")).first()[0] == sum(range(40000))
+
+
+def _leaf_files(path, d):
+    p = os.path.join(path, d)
+    return [f for f in os.listdir(p) if f.endswith(".parquet")]
+
+
+def test_repair_compaction_restores_orphaned_backup(spark, tmp_path):
+    """ADVICE r8: if the process dies between compact_table's two swap
+    renames, the partition survives only in the `_old_` backup dir —
+    the origin marker lets repair_compaction rename it back instead of
+    readers silently seeing the partition as empty."""
+    path = str(tmp_path / "t")
+    for i in range(4):
+        (
+            spark.range(i * 50, (i + 1) * 50)
+            .selectExpr("id", "CAST(id % 2 AS STRING) AS p")
+            .repartition(3)
+            .write.mode("append")
+            .partitionBy("p")
+            .parquet(path)
+        )
+    total = spark.read.parquet(path).count()
+
+    # simulate the crash window: stage written, d renamed to backup,
+    # process dies before rename(staging, d)
+    d = os.path.join(path, "p=0")
+    staging = os.path.join(path, "_stage_deadbeef")
+    spark.read.parquet(d).coalesce(1).write.parquet(staging)
+    marker = os.path.join(path, "_old_cafe0001.origin")
+    with open(marker, "w") as f:
+        f.write("p=0")
+    os.rename(d, os.path.join(path, "_old_cafe0001"))
+    # the partition is now invisible to discovery
+    assert spark.read.parquet(path).count() < total
+
+    out = mnt.repair_compaction(path)
+    assert out["restored"] == ["p=0"]
+    assert "_stage_deadbeef" in out["removed"]
+    assert not os.path.exists(marker)
+    assert spark.read.parquet(path).count() == total
+
+
+def test_repair_compaction_drops_superseded_backup_and_stale_marker(
+    spark, tmp_path
+):
+    """Crash AFTER the swap completed (cleanup missed): the backup's
+    destination exists, so the backup and marker are superseded litter;
+    a marker with no backup dir (crash before the first rename) is
+    stale on its own. Repair is idempotent."""
+    path = str(tmp_path / "t")
+    spark.range(100).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS p"
+    ).write.partitionBy("p").parquet(path)
+    total = spark.read.parquet(path).count()
+
+    # superseded backup: destination p=1 exists and holds the real data
+    backup = os.path.join(path, "_old_feed0001")
+    os.makedirs(backup)
+    with open(os.path.join(path, "_old_feed0001.origin"), "w") as f:
+        f.write("p=1")
+    # stale marker with no backup dir at all
+    with open(os.path.join(path, "_old_feed0002.origin"), "w") as f:
+        f.write("p=0")
+
+    out = mnt.repair_compaction(path)
+    assert sorted(out["removed"]) == [
+        "_old_feed0001",
+        "_old_feed0002.origin",
+    ]
+    assert out["restored"] == []
+    assert spark.read.parquet(path).count() == total
+    # idempotent: a second sweep finds nothing
+    assert mnt.repair_compaction(path) == {"restored": [], "removed": []}
+
+
+def test_compact_table_writes_and_clears_origin_marker(spark, tmp_path):
+    """The happy path leaves no markers or backup dirs behind."""
+    path = str(tmp_path / "t")
+    for i in range(4):
+        spark.range(i * 50, (i + 1) * 50).repartition(3).write.mode(
+            "append"
+        ).parquet(path)
+    assert mnt.compact_table(spark, path)
+    leftovers = [
+        n
+        for n in os.listdir(os.path.dirname(path)) + os.listdir(path)
+        if n.startswith(("_old_", "_stage_"))
+    ]
+    assert leftovers == []
+    assert spark.read.parquet(path).count() == 200

@@ -336,3 +336,39 @@ def test_register_empty_partitioned_snapshot_table(spark, tmp_path):
     df = spark.sql("SELECT id, label, day FROM analytics.emptypart")
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == ["id", "label", "day"]
+
+
+def test_catalog_view_casts_retyped_columns_to_manifest_type(spark, tmp_path):
+    """ADVICE r8: commit_append supports re-typing ("a re-typed column
+    takes the newest type"), so an old commit dir holds the column at
+    its OLD parquet type. The catalog view must CAST present columns
+    to the manifest's recorded type too — otherwise UNION ALL's
+    implicit coercion decides the view type (string ∪ bigint → string,
+    diverging from the recorded bigint)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    from doin_fine_ance__spark.operators.snapshot import SnapshotTable
+
+    root = str(tmp_path / "wh5")
+    tdir = os.path.join(root, "analytics", "retyped")
+    os.makedirs(os.path.dirname(tdir), exist_ok=True)
+    st = SnapshotTable(tdir)
+    st.commit_overwrite(
+        spark.createDataFrame([(1, "10")], "id bigint, val string")
+    )
+    st.commit_append(
+        spark.createDataFrame([(2, 20)], "id bigint, val bigint")
+    )
+    mschema = StructType.fromJson(_json.loads(st.manifest()["schema"]))
+    assert dict((f.name, f.dataType.simpleString()) for f in mschema.fields) == {
+        "id": "bigint",
+        "val": "bigint",
+    }
+    wh = Warehouse(spark, root, snapshot=True)
+    assert "analytics.retyped" in register_sql_catalog(wh)
+    df = spark.sql("SELECT id, val FROM analytics.retyped")
+    # the view serves the RECORDED type, not the union-coerced one
+    assert df.schema["val"].dataType.simpleString() == "bigint"
+    assert {(r["id"], r["val"]) for r in df.collect()} == {(1, 10), (2, 20)}

@@ -361,3 +361,35 @@ def test_extract_main_text_column(spark):
     assert "Home" in got[1][1] and "Home" not in got[1][0]  # floor keeps nav
     assert got[2][0] == ""
     assert got[3][0] == ""
+
+
+def test_link_density_measured_on_normalized_text():
+    """ADVICE r8: link chars must be counted on the same whitespace
+    normalization as the block total, else an anchor containing
+    internal runs of whitespace inflates density past 1.0 and
+    misclassifies borderline blocks near the 0.33 threshold."""
+    from doin_fine_ance__spark.sources.warc import _main_text, _segment_blocks
+
+    # 30 normalized link chars inside a 100-char block = density 0.30
+    # (< 0.33 → content). The anchor text carries internal whitespace
+    # runs that the OLD raw-strip counting inflated to > 0.33.
+    anchor = "read   the    full     original      article       here"
+    prose = (
+        "This paragraph carries plenty of genuine sentence content "
+        "around the inline link so it stays good."
+    )
+    html = f"<p>{prose} <a href='/x'>{anchor}</a></p>"
+    blocks = _segment_blocks(html)
+    assert len(blocks) == 1
+    text, link_chars, total, _ = blocks[0]
+    norm_anchor = " ".join(anchor.split())
+    assert link_chars == len(norm_anchor)  # normalized, not raw-strip
+    assert link_chars <= total  # density can never exceed 1.0
+    assert link_chars / total < 0.33
+    assert norm_anchor in _main_text(html)  # block classified content
+
+    # an all-link block still hits density ~1.0 and drops
+    only_link = "<div><a href='/y'>menu   item    with   spaces</a></div>"
+    (t2, l2, tot2, _), = _segment_blocks(only_link)
+    assert l2 == tot2
+    assert _main_text(only_link) == ""
