@@ -88,6 +88,10 @@ HEADLINE = [
     "q20_dominant_supplier_semi",
     "t_temperature_mix",
     "t_token_shards",
+    # round 9 additions: the IVF-PQ composite ANN and the boilerplate
+    # extractor behind its hash-exact fixture
+    "s_cosine_topk_ivfpq",
+    "t_main_text_extract",
 ]
 
 

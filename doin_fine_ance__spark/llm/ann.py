@@ -349,9 +349,25 @@ def pq_train(
             f"got {len(rows)} (raise sample_size or lower k)"
         )
     X = np.array([list(map(float, r[vec_col])) for r in rows])
+    return _pq_fit(X, m, k, iters)
+
+
+def _pq_fit(X, m: int, k: int, iters: int):
+    """numpy Lloyd's over the m subvector blocks of a (n, dim) sample.
+
+    The training core shared by :func:`pq_train` (raw vectors) and
+    :class:`IvfIndex`'s PQ path (cell residuals). ``iters=0`` keeps the
+    init codebooks (the first k sample rows' subvectors) — on
+    integer-valued quantized vectors that degenerate-but-deterministic
+    state is exactly SQL-replayable, which the oracle-backed
+    ``s_cosine_topk_ivfpq`` query depends on."""
+    import numpy as np
+
     n, dim = X.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if n < k:
+        raise ValueError(f"PQ training needs at least k={k} rows; got {n}")
     sub = dim // m
     books = np.empty((m, k, sub))
     for b in range(m):
@@ -373,14 +389,16 @@ def pq_encode(
     codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Map-only PQ encoding: (id, codes array<int>) — codes[b] is the
-    L2-nearest codebook centroid of the b-th subvector block. The one
-    corpus-sized stage; Arrow-vectorized, no shuffle."""
+    """Map-only PQ encoding: (id[, keep_cols...], codes array<int>) —
+    codes[b] is the L2-nearest codebook centroid of the b-th subvector
+    block. The one corpus-sized stage; Arrow-vectorized, no shuffle.
+    ``keep_cols`` pass through untouched (the IVF-PQ composite keeps
+    ``list_id`` alongside the codes)."""
     import numpy as np
 
     m, k, sub = codebooks.shape
-    flat = codebooks.reshape(m * k, sub)
     bnorm2 = (codebooks**2).sum(-1)  # (m, k)
     B = codebooks
 
@@ -398,7 +416,11 @@ def pq_encode(
             codes[:, b] = d.argmin(1)
         return pd.Series([list(map(int, c)) for c in codes])
 
-    return embeddings.select(col(id_col), _enc(col(vec_col)).alias("codes"))
+    return embeddings.select(
+        col(id_col),
+        *[col(c) for c in keep_cols],
+        _enc(col(vec_col)).alias("codes"),
+    )
 
 
 def pq_topk(
@@ -454,6 +476,81 @@ def pq_topk(
         col(id_col), _dot(col(vec_col), qarr).alias("score")
     )
     return exact.orderBy(col("score").desc(), col(id_col)).limit(k)
+
+
+def ann_topk_ivfpq(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    pq_m: int = 2,
+    pq_k: int = 8,
+    pq_iters: int = 0,
+    pq_sample: int = 128,
+    rerank_factor: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-shot IVF-PQ ANN (FAISS IVFPQ shape): IVF cells prune WHICH
+    vectors a query touches, PQ codes compress WHAT gets scored.
+
+    Pipeline: stride-sampled centroids (same deterministic init as
+    :func:`ann_topk_ivf`) → assign → keep only the ``nprobe`` probed
+    cells → PQ-encode JUST those (map-only) → ADC score = m table
+    lookups per candidate → top ``k × rerank_factor`` → exact
+    inner-product rerank against the candidates' full vectors → top k.
+    Returns (id, score) with score = exact inner product of the
+    reranked survivors; feed unit-normalized (or consistently-scaled)
+    vectors for cosine ranking.
+
+    With ``pq_iters=0`` the codebooks are the first ``pq_k`` sampled
+    rows' subvectors — degenerate but deterministic, and on quantized
+    integer-valued vectors every distance/score is an exact integer,
+    so the whole probe→encode→ADC→rerank cascade is SQL-replayable
+    (the ``s_cosine_topk_ivfpq`` oracle). Production recall numbers
+    (trained codebooks, residual encoding) live on the persisted
+    :class:`IvfIndex` PQ path and in ``PQ_RECALL_r09.json``.
+    """
+    import numpy as np
+
+    sample = (
+        embeddings.orderBy(id_col)
+        .select(id_col, vec_col)
+        .limit(max(n_centroids * 8, n_centroids, pq_sample))
+        .collect()
+    )
+    step = max(len(sample) // n_centroids, 1)
+    centroids = [
+        [float(x) for x in row[vec_col]] for row in sample[::step][:n_centroids]
+    ]
+    X = np.array(
+        [list(map(float, r[vec_col])) for r in sample[:pq_sample]]
+    )
+    books = _pq_fit(X, pq_m, pq_k, pq_iters)
+
+    def pysim(c: list[float]) -> float:
+        d = sum(a * b for a, b in zip(query_vec, c))
+        nq = sum(a * a for a in query_vec) ** 0.5
+        nc = sum(a * a for a in c) ** 0.5
+        return d / (nq * nc) if nq and nc else 0.0
+
+    probes = sorted(range(len(centroids)), key=lambda i: -pysim(centroids[i]))[
+        :nprobe
+    ]
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    probed = assigned.filter(col("list_id").isin(probes))
+    codes = pq_encode(probed, books, id_col=id_col, vec_col=vec_col)
+    return pq_topk(
+        codes,
+        books,
+        query_vec,
+        k=k,
+        id_col=id_col,
+        rerank_with=probed,
+        rerank_factor=rerank_factor,
+        vec_col=vec_col,
+    )
 
 
 def pq_recall_report(
@@ -549,6 +646,62 @@ def pq_recall_report(
             pass
 
 
+def _nearest_centroid(X, centroids):
+    """numpy cosine-argmax cell assignment — the driver-side mirror of
+    :func:`ivf_assign`'s UDF (same formula and tie-break), used to
+    compute residuals for PQ codebook training."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    cn[cn == 0.0] = 1.0
+    en = np.sqrt((X * X).sum(axis=1))
+    en[en == 0.0] = 1.0
+    sims = (X @ C.T) / (en[:, None] * cn[None, :])
+    return np.argmax(sims, axis=1)
+
+
+def _ivfpq_encode(
+    assigned: DataFrame,
+    pq_meta: dict,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, list_id, vec) → (id, list_id, codes): map-only PQ encoding
+    against FROZEN codebooks, residual-aware (x − centroid[cell] when
+    the index was built with ``pq_residual``). The float vector is
+    dropped here — the cells store m small ints per vector, which is
+    the IVFPQ storage win."""
+    import numpy as np
+
+    books = np.asarray(pq_meta["codebooks"], dtype=np.float64)
+    m, k, sub = books.shape
+    residual = bool(pq_meta.get("residual"))
+    C = np.asarray(centroids, dtype=np.float64)
+    bnorm2 = (books**2).sum(-1)  # (m, k)
+
+    @pandas_udf("array<int>")
+    def _enc(lists: pd.Series, vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        if residual:
+            X = X - C[lists.to_numpy(dtype=np.int64)]
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for b in range(m):
+            Xb = X[:, b * sub : (b + 1) * sub]
+            d = bnorm2[b][None, :] - 2.0 * (Xb @ books[b].T)
+            codes[:, b] = d.argmin(1)
+        return pd.Series([list(map(int, c)) for c in codes])
+
+    return assigned.select(
+        col(id_col),
+        col("list_id"),
+        _enc(col("list_id"), col(vec_col)).alias("codes"),
+    )
+
+
 class IvfIndex:
     """Persisted IVF index with incremental append (round 7, SURVEY L39).
 
@@ -618,6 +771,11 @@ class IvfIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         timeout: float = 0.0,
+        pq_m: int | None = None,
+        pq_k: int = 16,
+        pq_iters: int = 10,
+        pq_sample_size: int = 4096,
+        pq_residual: bool = True,
     ) -> "IvfIndex":
         """Train (or deterministically sample) centroids and write the
         fully-assigned corpus partitioned by list id.
@@ -629,6 +787,19 @@ class IvfIndex:
         frozen centroids would represent only the oldest data and
         every later append would crowd a few cells (VERDICT r7 #2).
         ``kmeans_iters > 0`` refines with distributed Lloyd's.
+
+        ``pq_m`` switches the index to the IVF-PQ composite (FAISS
+        IVFPQ, VERDICT r8 #1): cells store ``m`` uint8-range PQ codes
+        per vector INSTEAD of the float vector — the only storage
+        shape that keeps a 100 TB embedding corpus searchable in
+        cluster memory. Codebooks train driver-side (numpy Lloyd's,
+        ``pq_iters``) on the same md5-ordered unbiased sample; with
+        ``pq_residual`` (faiss default) they train on and encode the
+        residual ``x − centroid[cell]``, which centers every cell's
+        codes on the same distribution and buys most of IVFPQ's recall
+        over flat PQ. Codebooks live IN ``centroids.json``, so the
+        atomic meta publish covers centroids + codebooks + data dir as
+        one consistent triple, and append/search reuse them frozen.
         """
         import json
         import os
@@ -654,21 +825,53 @@ class IvfIndex:
                 [float(x) for x in row[vec_col]]
                 for row in sample[::step][:n_centroids]
             ]
+        pq_meta = None
+        if pq_m is not None:
+            import numpy as np
+
+            rows = (
+                embeddings.orderBy(
+                    F.md5(col(id_col).cast("string")), col(id_col)
+                )
+                .select(id_col, vec_col)
+                .limit(pq_sample_size)
+                .collect()
+            )
+            X = np.array([list(map(float, r[vec_col])) for r in rows])
+            if pq_residual:
+                X = X - np.asarray(centroids, dtype=np.float64)[
+                    _nearest_centroid(X, centroids)
+                ]
+            books = _pq_fit(X, pq_m, pq_k, pq_iters)
+            pq_meta = {
+                "m": pq_m,
+                "k": pq_k,
+                "residual": bool(pq_residual),
+                "codebooks": books.tolist(),
+            }
         idx = cls(root)
         os.makedirs(root, exist_ok=True)
         with table_write_lock(root, timeout=timeout):
             data_dir = f"data_{uuid.uuid4().hex[:8]}"
             assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+            if pq_meta is not None:
+                assigned = _ivfpq_encode(
+                    assigned, pq_meta, centroids, id_col, vec_col
+                )
             assigned.write.mode("overwrite").partitionBy("list_id").parquet(
                 os.path.join(root, data_dir)
             )
+            meta = {"centroids": centroids, "dim": len(centroids[0]),
+                    "id_col": id_col, "vec_col": vec_col,
+                    "data_dir": data_dir}
+            if pq_meta is not None:
+                meta["pq"] = pq_meta
             tmp = idx._meta_path + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"centroids": centroids, "dim": len(centroids[0]),
-                           "id_col": id_col, "vec_col": vec_col,
-                           "data_dir": data_dir}, f)
-            # the publish point: centroids + the corpus assigned from
-            # them become visible together or not at all
+                json.dump(meta, f)
+            # the publish point: centroids + codebooks + the corpus
+            # assigned/encoded from them become visible together or
+            # not at all
             os.rename(tmp, idx._meta_path)
         return idx
 
@@ -697,6 +900,13 @@ class IvfIndex:
             assigned = ivf_assign(
                 embeddings, meta["centroids"], meta["id_col"], meta["vec_col"]
             )
+            if "pq" in meta:
+                # encode against the FROZEN codebooks published with
+                # the centroids — an append never retrains anything
+                assigned = _ivfpq_encode(
+                    assigned, meta["pq"], meta["centroids"],
+                    meta["id_col"], meta["vec_col"],
+                )
             assigned.write.mode("append").partitionBy("list_id").parquet(
                 self._data_path(meta)
             )
@@ -709,17 +919,34 @@ class IvfIndex:
         query_vec: list[float],
         k: int = 10,
         nprobe: int = 4,
+        rerank_with: DataFrame | None = None,
+        rerank_factor: int = 10,
     ) -> DataFrame:
-        """Exact cosine top-k over the ``nprobe`` nearest cells.
+        """Top-k over the ``nprobe`` nearest cells.
+
+        Flat index: exact cosine over the probed cells' stored vectors.
+        PQ index (built with ``pq_m``): ADC — the query builds an
+        m × k dot-product table (plus a per-cell ``q·centroid`` offset
+        when the codes are residuals) and every stored vector scores as
+        m table lookups; no float vectors are read at all. Because ADC
+        ranks coarsely within tight neighborhoods, pass the original
+        embeddings as ``rerank_with`` to re-score the top
+        ``k × rerank_factor`` ADC candidates exactly (a broadcast
+        semi-join touching k·factor rows, never the corpus) — the
+        production IVFPQ search shape. ADC scores approximate the
+        INNER PRODUCT; feed unit-normalized vectors at build and query
+        time for cosine ranking.
 
         The ``list_id IN (probes)`` filter is a hive partition filter —
         Spark prunes every other cell's files at planning time, so the
         scan cost is O(probed cells), not O(corpus). The meta is read
-        ONCE, so the centroids probed and the data dir scanned are a
-        consistent published pair even if a rebuild lands mid-call.
-        Zero-norm corpus vectors are excluded: their cosine is 0/0 =
-        NaN, which Spark sorts as the LARGEST double, so one zero
-        vector would head every top-k (ADVICE r7)."""
+        ONCE, so the centroids/codebooks probed and the data dir
+        scanned are a consistent published triple even if a rebuild
+        lands mid-call. Zero-norm corpus vectors are excluded on the
+        flat path: their cosine is 0/0 = NaN, which Spark sorts as the
+        LARGEST double, so one zero vector would head every top-k
+        (ADVICE r7); ADC/rerank scores are dot products (no division),
+        so the PQ path has no NaN to guard."""
         meta = self._meta()
         centroids, vec_col, id_col = (
             meta["centroids"], meta["vec_col"], meta["id_col"]
@@ -734,6 +961,10 @@ class IvfIndex:
         probes = sorted(
             range(len(centroids)), key=lambda i: -pysim(centroids[i])
         )[:nprobe]
+        if "pq" in meta:
+            return self._topk_pq(
+                spark, meta, probes, query_vec, k, rerank_with, rerank_factor
+            )
         qarr = F.array(*[lit(float(v)) for v in query_vec])
         qnorm = sum(v * v for v in query_vec) ** 0.5
         scored = (
@@ -751,38 +982,121 @@ class IvfIndex:
         )
         return scored.orderBy(col("cosine").desc(), col(id_col)).limit(k)
 
+    def _topk_pq(
+        self,
+        spark,
+        meta: dict,
+        probes: list[int],
+        query_vec: list[float],
+        k: int,
+        rerank_with: DataFrame | None,
+        rerank_factor: int,
+    ) -> DataFrame:
+        """ADC search over the probed cells' PQ codes (see topk)."""
+        import numpy as np
+
+        id_col = meta["id_col"]
+        books = np.asarray(meta["pq"]["codebooks"], dtype=np.float64)
+        m, kk, sub = books.shape
+        residual = bool(meta["pq"].get("residual"))
+        q = np.asarray(query_vec, dtype=np.float64)
+        T = np.empty((m, kk))
+        for b in range(m):
+            T[b] = books[b] @ q[b * sub : (b + 1) * sub]
+        # residual codes store x − c(cell): q·x ≈ q·c(cell) + ADC(codes)
+        C = np.asarray(meta["centroids"], dtype=np.float64)
+        offsets = C @ q if residual else np.zeros(len(C))
+
+        @pandas_udf("double")
+        def _score(lists: pd.Series, cs: pd.Series) -> pd.Series:
+            codes = np.array([list(c) for c in cs], dtype=np.int64)
+            if not len(codes):
+                return pd.Series([], dtype=float)
+            s = T[np.arange(m)[None, :], codes].sum(1)
+            if residual:
+                s = s + offsets[lists.to_numpy(dtype=np.int64)]
+            return pd.Series(s)
+
+        scored = (
+            spark.read.parquet(self._data_path(meta))
+            .filter(col("list_id").isin(probes))
+            .select(
+                id_col,
+                "list_id",
+                _score(col("list_id"), col("codes")).alias("score"),
+            )
+        )
+        n_cand = k if rerank_with is None else max(k, k * rerank_factor)
+        cand = scored.orderBy(col("score").desc(), col(id_col)).limit(n_cand)
+        if rerank_with is None:
+            return cand
+        qarr = F.array(*[lit(float(v)) for v in query_vec])
+        vec_col = meta["vec_col"]
+        exact = rerank_with.join(
+            F.broadcast(cand.select(id_col)), id_col, "left_semi"
+        ).select(col(id_col), _dot(col(vec_col), qarr).alias("score"))
+        return exact.orderBy(col("score").desc(), col(id_col)).limit(k)
+
     # --------------------------------------------------------- maintain
 
     def compact(self, spark, timeout: float = 0.0, **kwargs) -> dict:
         """OPTIMIZE-analog for the index: every :meth:`append` adds new
         files to the touched cells, so a nightly-append index
-        fragments into many small parquet files per partition — this
-        rewrites each fragmented cell to ~128 MB files in place, the
-        same ``operators/maintenance.compact_table`` the warehouse
-        tables use. Runs under the index writer lock, so it can't race
-        an append or rebuild. Staging/backup dirs are ``_``-prefixed
-        (invisible to hive partition discovery); a concurrent reader
-        sees the old or the new complete cell — except in the instant
-        between the two swap renames, where the cell is briefly
-        absent, so schedule compaction in the index's maintenance
-        window if readers must never observe that (ADVICE r7)."""
-        from ..operators.maintenance import compact_table
+        fragments into many small parquet files per partition.
+
+        Reader-safe since round 9 (VERDICT r8 #6): instead of swapping
+        cells in place (whose two-rename window briefly left a cell
+        absent — the old ADVICE r7 maintenance-window caveat), the
+        compaction builds a COMPLETE new ``data_<hex>`` directory —
+        fragmented cells rewritten to ~128 MB files, already-compact
+        cells hard-linked (O(files), no bytes copied) — and republishes
+        ``centroids.json`` atomically at the new directory, exactly the
+        pointer swap :meth:`build` uses for rebuilds. A concurrent
+        reader holds the old complete tree or the new complete tree,
+        never a torn one; :meth:`vacuum` reclaims the superseded dir
+        once in-flight readers drain. Runs under the index writer
+        lock, so it can't race an append or rebuild."""
+        import json
+        import os
+        import uuid
+
+        from ..operators.maintenance import compact_table_versioned
         from ..operators.upsert import table_write_lock
 
         with table_write_lock(self.root, timeout=timeout):
-            return compact_table(spark, self._data_path(self._meta()), **kwargs)
+            meta = self._meta()
+            src = self._data_path(meta)
+            min_files = kwargs.get("min_files", 2)
+            fragmented = any(
+                sum(f.endswith(".parquet") for f in fs) > min_files
+                for _, _, fs in os.walk(src)
+            )
+            if not fragmented:  # nothing to do: don't churn a new dir
+                return {}
+            data_dir = f"data_{uuid.uuid4().hex[:8]}"
+            results = compact_table_versioned(
+                spark, src, os.path.join(self.root, data_dir), **kwargs
+            )
+            meta["data_dir"] = data_dir
+            tmp = self._meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.rename(tmp, self._meta_path)
+            return results
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, timeout: float = 0.0) -> list[str]:
         """Remove data dirs superseded by a rebuild (kept on disk so
         in-flight readers of the old published pair finish; same
         retention contract as ``SnapshotTable.vacuum``). Returns the
-        removed dir names."""
+        removed dir names. ``timeout`` waits for the writer lock like
+        the other writer methods (ADVICE r8) — a vacuum contending
+        with a nightly append can wait instead of raising."""
         import os
         import shutil
 
         from ..operators.upsert import table_write_lock
 
-        with table_write_lock(self.root):
+        with table_write_lock(self.root, timeout=timeout):
             live = os.path.basename(self._data_path(self._meta()))
             removed = []
             for d in sorted(os.listdir(self.root)):

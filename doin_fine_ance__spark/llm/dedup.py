@@ -572,3 +572,72 @@ def incremental_near_dups(
     else:
         new_sigs.write.mode("append").parquet(signature_store)
     return out
+
+
+def semantic_dedup(
+    assigned: DataFrame,
+    threshold: float = 0.35,
+    max_cell_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "q",
+) -> DataFrame:
+    """SemDeDup pruning over IVF-assigned embeddings (Abbas et al.
+    2023): within each cell, every vector with a LOWER-id neighbor at
+    cosine ≥ ``threshold`` is marked dropped (greedy keep-first —
+    deterministic, no transitive closure). Input: (id, list_id, vec);
+    output: (id, list_id, keep).
+
+    Pairwise work is a per-GROUP Gram matrix in ``applyInPandas`` —
+    quadratic in the group, so the group must stay bounded.
+    ``max_cell_size`` is the hot-cell cap (VERDICT r8 #5): cells whose
+    count exceeds it are salted into ``ceil(count/max)`` sub-cells by
+    a deterministic id hash BEFORE the applyInPandas, so a skewed
+    embedding distribution (or a degenerate centroid set) can never
+    hand one task a corpus-sized Gram. Salting is the split that still
+    works when a mega-cell is one giant duplicate group — identical
+    vectors defeat any geometry-based sub-clustering. Documented
+    recall tradeoff: duplicates that land in different sub-cells are
+    not compared, so a duplicate group spanning a split cell keeps one
+    representative PER sub-cell (≤ ceil(count/max) survivors instead
+    of 1); cells at or under the cap are untouched, byte-identical to
+    the uncapped semantics. At 100 TB the first-order defense is a
+    centroid count that scales with the corpus (SemDeDup uses ~10k
+    cells); the cap is the guardrail for the skew that survives it.
+    """
+    import numpy as np
+
+    sub = lit(0)
+    if max_cell_size:
+        hot = (
+            assigned.groupBy("list_id")
+            .agg(F.count("*").alias("cnt"))
+            .filter(col("cnt") > max_cell_size)
+            .collect()
+        )
+        for r in hot:  # bounded by the (small) cell count
+            n_sub = -(-int(r["cnt"]) // int(max_cell_size))
+            sub = F.when(
+                col("list_id") == int(r["list_id"]),
+                F.pmod(F.xxhash64(col(id_col)), lit(n_sub)),
+            ).otherwise(sub)
+    salted = assigned.withColumn("_sub", sub.cast("int"))
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        n = np.sqrt((E * E).sum(axis=1))
+        n[n == 0.0] = 1.0
+        # same op order as the SQL oracle: dot / (sqrt * sqrt)
+        S = (E @ E.T) / (n[:, None] * n[None, :])
+        has_lower_dup = np.tril(S >= threshold, -1).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "list_id": pdf["list_id"],
+                "keep": ~has_lower_dup,
+            }
+        )
+
+    return salted.groupBy("list_id", "_sub").applyInPandas(
+        prune, f"{id_col} long, list_id int, keep boolean"
+    )

@@ -232,6 +232,67 @@ def compact_table(
     return results
 
 
+def compact_table_versioned(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+    zorder: list[str] | None = None,
+) -> dict[str, int]:
+    """Reader-safe compaction (VERDICT r8 #6): build a COMPLETE
+    compacted copy of the table at ``dst`` instead of swapping
+    partitions in place — fragmented leaf dirs are rewritten to
+    ~``target_file_bytes`` files, already-compact leaves are
+    HARD-LINKED file-by-file (O(files), no data copied; falls back to
+    a real copy across filesystems). The caller publishes ``dst``
+    atomically (``IvfIndex.compact`` republishes ``centroids.json``,
+    the same pointer swap rebuild uses), so a concurrent reader sees
+    the old complete tree or the new complete tree — never the
+    absent-partition instant :func:`compact_table`'s two-rename swap
+    has. On an object store the hard link becomes a server-side
+    metadata copy. Returns {relative_partition_path: files_after} for
+    REWRITTEN dirs (linked dirs are not listed, same contract as
+    compact_table)."""
+    results: dict[str, int] = {}
+    if os.path.exists(dst):
+        raise ValueError(f"versioned compaction target already exists: {dst}")
+    for cur, dirs, files in os.walk(src):
+        dirs[:] = [
+            x for x in dirs if not x.startswith(("_stage_", "_old_"))
+        ]
+        frags = [f for f in files if f.endswith(".parquet")]
+        if not frags:
+            continue
+        rel = os.path.relpath(cur, src)
+        out_dir = dst if rel == "." else os.path.join(dst, rel)
+        if len(frags) <= min_files:
+            os.makedirs(out_dir, exist_ok=True)
+            for f in frags:
+                try:
+                    os.link(os.path.join(cur, f), os.path.join(out_dir, f))
+                except OSError:  # cross-device: fall back to a copy
+                    shutil.copy2(os.path.join(cur, f), os.path.join(out_dir, f))
+            continue
+        total = sum(os.path.getsize(os.path.join(cur, f)) for f in frags)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        df = spark.read.parquet(cur)
+        if zorder:
+            from .zorder import zorder_key
+
+            df = (
+                df.withColumn("_z", zorder_key(df, zorder))
+                .repartitionByRange(n_out, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        else:
+            df = df.coalesce(n_out)
+        df.write.mode("overwrite").parquet(out_dir)
+        results[rel] = len(_parquet_files(out_dir))
+    return results
+
+
 def repair_compaction(path: str) -> dict[str, list[str]]:
     """Recover from a :func:`compact_table` crash (ADVICE r8).
 

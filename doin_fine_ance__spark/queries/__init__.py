@@ -31,81 +31,79 @@ def query(name: str, oracle: str | None = None):
 
 # The external driver verifies the FIRST 50 registered queries against
 # their DuckDB oracles; the rest keep local pytest + tests/oracle.py
-# coverage only. Round-7 rotation: the six queries with NO driver row
-# yet lead (st_stream_static_enrich, registered r6 after the r6 window
-# froze; the round-7 TPC-H additions q2/q16/q20; and the round-7
-# selection ops t_temperature_mix/t_token_shards, swapped in mid-round
-# per the r4-amendment precedent); the six queries whose newest driver
-# row is still r3 (left out of the r6 rotation at three green rows
-# each) come back; the remaining 38 slots refresh 38 of the 46 queries
-# whose newest row is r5 (the r4/r5 window members not kept in r6).
-# Left at r5 evidence — each already holds 3-4 green driver rows:
-# d_minhash_lsh_neardups (4: r2-r5), t_token_count, t_quality_score,
-# t_lang_id_heuristic, o5_top5_categories, f8_f9_timestamp_conversions,
-# o3_latest_one, f16_array_membership. After this round no registered
-# query's newest driver row predates r5, and every oracle-backed query
-# has at least one green row. The rows-only
-# `a_approx_distinct_users` stays out (it can never hash-match).
+# coverage only. Round-9 rotation (VERDICT r8 #2): the 15 queries
+# whose newest green driver row is still r6 lead — including
+# d_semantic_dedup, whose code was also rewired through the hot-cell
+# cap this round (llm/dedup.py::semantic_dedup); the two round-9
+# registrations take their first rows (s_cosine_topk_ivfpq — the
+# IVF-PQ composite with a full SQL oracle; t_main_text_extract — the
+# boilerplate extractor behind a hash-exact fixture, VERDICT r8 #3);
+# the remaining 33 slots refresh 33 of the 37 four-green-row queries
+# whose newest row is r7. Rested at r7 evidence: the four
+# monthly-aggregation anchors a1/a2/a5/a12 (their DATE_TRUNC/pivot/
+# cumulative family is redundantly covered by a3/a4/a6/a7, refreshed
+# in r8) and the six five-row queries a8/a11/j9/o2/p1/p6. After this
+# round no registered query's newest driver row predates r7. The
+# rows-only `a_approx_distinct_users` stays out (it can never
+# hash-match; quantitative accuracy evidence lives in
+# HLL_ERROR_r09.json + tests/test_operators_extra.py).
 # Per-round membership is tracked in WINDOWS.md. Everything out of
 # window stays registered, plan-audited, and oracle-checked by
 # tests/test_inventory_oracle.py + tools/sweep_correctness.py.
 DRIVER_WINDOW: list[str] = [
-    # --- round 8: newest driver row r5 — the oldest evidence in the
-    # registry leads (VERDICT r7 #2) ---
-    "d_minhash_lsh_neardups",
-    "t_token_count",
-    "t_quality_score",
-    "t_lang_id_heuristic",
-    "o5_top5_categories",
-    "f8_f9_timestamp_conversions",
-    "o3_latest_one",
-    "f16_array_membership",
-    # --- r7 first-timers keep a slot for a second consecutive row ---
-    "st_stream_static_enrich",
-    "q2_min_cost_supplier",
-    "q16_supplier_part_type_counts",
-    "q20_dominant_supplier_semi",
-    "t_temperature_mix",
-    "t_token_shards",
-    # --- code touched in r8 (zero-norm scoring guard): re-verify ---
-    "s_cosine_topk_ivf",
-    # --- newest driver row r6, 2 green rows: refresh ---
-    "a_exact_percentiles",
-    "d_decontaminate",
-    "d_incremental_neardups",
-    "mm_image_resize",
-    "mm_video_frame_sample",
-    "q10_returned_revenue_customers",
-    "q11_global_threshold_having",
-    "q12_shipmode_priority_counts",
-    "q15_top_supplier_revenue",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicate_join",
-    "q21_waiting_supplier_shape",
-    "q22_dormant_customer_balance",
-    "q7_volume_shipping_pairs",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "s_cosine_topk_lsh",
-    "st_interval_join",
-    "t_bigram_familiarity",
-    "t_doc_fingerprint",
-    "t_domain_mix",
-    "t_pii_redaction",
-    "t_repetition_filter",
-    "t_sequence_packing",
-    "t_shuffle_order",
-    "t_simhash_fingerprints",
-    "t_stratified_sample",
-    "t_token_count_bpe",
-    "t_top_tokens",
-    # --- newest driver row r6, 3 green rows: refresh ---
-    "a3_yearly_spend_by_category",
-    "a4_quarterly_spend",
-    "a6_count_total",
-    "a7_distinct_categories",
-    "d_duplicate_spans",
-    "d_minhash_containment",
+    # --- newest driver row r6 — the oldest evidence leads ---
+    "d_semantic_dedup",
+    "d_span_scrub",
+    "f15_json_extraction",
+    "f_feature_engineering",
+    "j10_nullsafe_equality_join",
+    "j1_mapping_join_disjunctive",
+    "j3_override_coalesce_overlay",
+    "j8_incremental_anti_append",
+    "m7_calibration_curve",
+    "o1_pagination_offset",
+    "p3_uncategorized_anti_join",
+    "p4_exclusion_patterns_anti",
+    "u1_union_two_sources",
+    "w2_rownum_md5_surrogate",
+    "w4_w5_reconnection_dedup",
+    # --- round-9 registrations: first driver rows ---
+    "s_cosine_topk_ivfpq",
+    "t_main_text_extract",
+    # --- newest driver row r7, 4 green rows: refresh ---
+    "a13_prediction_stats",
+    "a9_data_range_check",
+    "a_count_distinct_users",
+    "a_cube_status_priority",
+    "a_event_funnel",
+    "a_rollup_region_nation",
+    "d_dup_clusters",
+    "d_embedding_cosine_neardups",
+    "d_exact_dedup",
+    "d_ngram_jaccard_pairs",
+    "d_segment_dedup",
+    "d_simhash_neardups",
+    "j_asof_purchase_last_view",
+    "j_range_price_bands",
+    "j_salted_skew_join",
+    "mm_audio_features",
+    "mm_media_features",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_ratio",
+    "q18_large_volume_customers",
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q4_priority_semi_join",
+    "q5_region_revenue_rollup",
+    "q6_forecast_revenue",
+    "s_cosine_topk_bruteforce",
+    "st_session_window",
+    "st_sliding_window",
+    "st_tumbling_window",
+    "t_token_budget_select",
+    "t_winnowing_fingerprints",
+    "w1_latest_import_dedup",
+    "w_lead_lag_session_count",
 ]
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
-from ..llm.ann import ann_topk_ivf, ann_topk_lsh
+from ..llm.ann import ann_topk_ivf, ann_topk_ivfpq, ann_topk_lsh
 from ..llm.dedup import (
     PERM_COEFFS,
     minhash_containment_pairs,
@@ -907,6 +907,114 @@ def s_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_cosine_topk_ivfpq",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS q
+      FROM embeddings WHERE vec_id <> 0
+    ), qv AS (
+      SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS q
+      FROM embeddings WHERE vec_id = 0
+    ), samp AS (
+      SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn
+      FROM corpus ORDER BY vec_id LIMIT 128
+    ), cents AS (
+      SELECT CAST((rn - 1) / 8 AS INT) AS list_id, q AS c
+      FROM samp WHERE (rn - 1) % 8 = 0
+    ), books AS (
+      -- PQ codebook init state (pq_iters=0): the first 8 sampled rows
+      SELECT CAST(rn - 1 AS INT) AS code, q FROM samp WHERE rn <= 8
+    ), probes AS (
+      SELECT c.list_id
+      FROM cents c, qv
+      ORDER BY {qc} DESC, c.list_id ASC
+      LIMIT 4
+    ), assigned AS (
+      SELECT vec_id, q, list_id FROM (
+        SELECT v.vec_id, v.q, c.list_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {vc} DESC, c.list_id ASC) AS rnk
+        FROM corpus v CROSS JOIN cents c
+      ) WHERE rnk = 1
+    ), probed AS (
+      SELECT a.vec_id, a.q FROM assigned a JOIN probes p ON a.list_id = p.list_id
+    ), enc0 AS (
+      -- block-0 code: argmin |c|^2 - 2 x.c over the 8 codebook rows
+      SELECT vec_id, code FROM (
+        SELECT p.vec_id, b.code,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_dot_product(b.q[1:32], b.q[1:32])
+                 - 2 * list_dot_product(p.q[1:32], b.q[1:32]) ASC,
+                 b.code ASC) AS rnk
+        FROM probed p CROSS JOIN books b
+      ) WHERE rnk = 1
+    ), enc1 AS (
+      SELECT vec_id, code FROM (
+        SELECT p.vec_id, b.code,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_dot_product(b.q[33:64], b.q[33:64])
+                 - 2 * list_dot_product(p.q[33:64], b.q[33:64]) ASC,
+                 b.code ASC) AS rnk
+        FROM probed p CROSS JOIN books b
+      ) WHERE rnk = 1
+    ), adc AS (
+      -- ADC: score = sum over blocks of q_block . codebook[code]_block
+      SELECT p.vec_id,
+             list_dot_product(qv.q[1:32], b0.q[1:32])
+             + list_dot_product(qv.q[33:64], b1.q[33:64]) AS score
+      FROM probed p
+      JOIN enc0 e0 ON e0.vec_id = p.vec_id
+      JOIN enc1 e1 ON e1.vec_id = p.vec_id
+      JOIN books b0 ON b0.code = e0.code
+      JOIN books b1 ON b1.code = e1.code, qv
+    ), cand AS (
+      SELECT vec_id FROM adc ORDER BY score DESC, vec_id ASC LIMIT 100
+    )
+    SELECT p.vec_id, CAST(list_dot_product(p.q, qv.q) AS DOUBLE) AS score
+    FROM probed p JOIN cand c ON p.vec_id = c.vec_id, qv
+    ORDER BY score DESC, p.vec_id ASC
+    LIMIT 10
+    """.format(
+        qc=_IVF_COSINE.format(a="c.c", b="qv.q"),
+        vc=_IVF_COSINE.format(a="v.q", b="c.c"),
+    ),
+)
+def s_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-k (VERDICT r8 #1 — the FAISS IVFPQ composite,
+    llm/ann.py::ann_topk_ivfpq): IVF cells prune WHICH vectors a query
+    touches (4 of 16 cells probed, a partition-pruned read at scale),
+    PQ codes compress WHAT gets scored (64 floats → 2 codes; ADC = 2
+    table lookups per candidate), and an exact rerank over the top
+    10×k ADC candidates restores fine order.
+
+    Fully deterministic and SQL-replayable: stride-sampled centroids,
+    init-state codebooks (``pq_iters=0`` — the first 8 sampled rows'
+    subvector halves), and quantized integer-valued vectors make every
+    distance, code and score an exact integer, so the oracle replays
+    sample→probe→assign→encode→ADC→rerank bit-for-bit. Production
+    recall (trained codebooks, residual encoding, 8×256 geometry) is
+    measured on the persisted IvfIndex PQ path in PQ_RECALL_r09.json.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    quant = e.select("vec_id", _quantize(col("embedding")).alias("q"))
+    qrow = quant.filter(col("vec_id") == 0).select("q").first()
+    qvec = [float(x) for x in qrow[0]]
+    return ann_topk_ivfpq(
+        quant.filter(col("vec_id") != 0),
+        qvec,
+        k=10,
+        n_centroids=16,
+        nprobe=4,
+        pq_m=2,
+        pq_k=8,
+        pq_iters=0,
+        pq_sample=128,
+        rerank_factor=10,
+        vec_col="q",
+    ).select("vec_id", "score")
+
+
+@query(
     "d_embedding_cosine_neardups",
     oracle="""
     WITH quant AS (
@@ -1353,32 +1461,70 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is per-CELL Gram matrices in applyInPandas, never corpus-wide; at
     100 TB the cell count scales with the corpus (SemDeDup uses ~10k
     clusters) so each Gram stays bounded — exactly this code with a
-    bigger centroid list. Threshold 0.35 reflects the synthetic
-    gaussian corpus (cf. d_embedding_cosine_neardups).
+    bigger centroid list — and the hot-cell cap (llm/dedup.py::
+    semantic_dedup, VERDICT r8 #5) salts any cell a skewed
+    distribution pushes past 200k vectors into bounded sub-cells, so
+    one mega-cell can never OOM a task with a corpus-sized Gram. The
+    cap never triggers at the driver's scale factors (≤ ~50k vectors
+    TOTAL at sf1), so the oracle semantics are unchanged; the capped
+    path is pinned by tests/test_llm_ops.py with a planted mega-cell.
+    Threshold 0.35 reflects the synthetic gaussian corpus (cf.
+    d_embedding_cosine_neardups).
     """
-    import numpy as np
-
     from ..llm.ann import ivf_assign
+    from ..llm.dedup import semantic_dedup
 
     e = load_table(spark, sf_dir, "embeddings")
     quant = e.select("vec_id", _quantize(col("embedding")).alias("q"))
     sample = quant.orderBy("vec_id").limit(128).collect()
     centroids = [[float(x) for x in r.q] for r in sample[::8]][:16]
     assigned = ivf_assign(quant, centroids, vec_col="q")
-
-    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        E = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["q"]])
-        n = np.sqrt((E * E).sum(axis=1))
-        n[n == 0.0] = 1.0
-        # same op order as the oracle: dot / (sqrt * sqrt)
-        S = (E @ E.T) / (n[:, None] * n[None, :])
-        has_lower_dup = np.tril(S >= 0.35, -1).any(axis=1)
-        return pd.DataFrame(
-            {"vec_id": pdf["vec_id"], "list_id": pdf["list_id"], "keep": ~has_lower_dup}
-        )
-
-    out = assigned.groupBy("list_id").applyInPandas(
-        prune, "vec_id long, list_id int, keep boolean"
-    )
+    out = semantic_dedup(assigned, threshold=0.35, max_cell_size=200_000)
     return out.orderBy("vec_id")
+
+
+@query(
+    "t_main_text_extract",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(text, '\\s+', ' ', 'g')) AS main_text
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def t_main_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate extraction (sources/warc.py::extract_main_text —
+    the jusText/Arc90-style block text-density classifier) behind a
+    driver-checkable oracle (VERDICT r8 #3).
+
+    The fixture synthesizes a realistic page around each document's
+    text deterministically IN the engine: head+title, a kill-tag
+    script, a link-only <nav>, the document body as a <p>, and a
+    <footer> with a link. A correct classifier must drop every
+    boilerplate block (title fragment too short, nav links at density
+    1.0, footer section) and keep exactly the body paragraph — so the
+    extracted text equals the whitespace-normalized document text,
+    which IS SQL-expressible, giving the stdlib classifier a
+    hash-exact cross-engine gate rather than pytest-only coverage.
+    min_good_chars=25 clears the corpus floor (shortest document is
+    44 chars at every shipped SF, incl. sf1/sf1-skew).
+    """
+    from ..sources.warc import extract_main_text
+
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        lit(
+            "<html><head><title>t</title><script>var x=1;</script></head>"
+            "<body><nav><a href='/'>home</a> <a href='/about'>about</a> "
+            "<a href='/blog'>blog</a></nav><p>"
+        ),
+        col("text"),
+        lit(
+            "</p><footer>copyright 2026 <a href='/terms'>terms</a>"
+            "</footer></body></html>"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        extract_main_text(html, min_good_chars=25).alias("main_text"),
+    ).orderBy("doc_id")

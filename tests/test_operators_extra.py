@@ -500,3 +500,21 @@ def test_connected_components_clique_contraction_reduces_to_stars(spark):
     }
     assert all(cc[i] == 0 for i in range(n))
     assert all(cc[1000 + i] == 1000 for i in range(21))
+
+
+def test_hll_error_within_rsd_floor(spark):
+    """VERDICT r8 #4: the rows-only a_approx_distinct_users gets
+    quantitative accuracy evidence. The same report tools/hll_error.py
+    commits as HLL_ERROR_r09.json must keep every per-event-type AND
+    overall relative error within rsd × safety (0.02 × 3 = 6%) — a 3σ
+    bound on HLL++'s standard error that a correct implementation
+    essentially never breaches."""
+    from tools.hll_error import RSD, SAFETY, hll_error_report
+
+    rep = hll_error_report(spark, "/root/testdata/sf0.01")
+    assert rep["groups"], rep
+    assert rep["max_rel_err"] <= RSD * SAFETY, rep
+    # the overall row aggregates every group (a real merge of partial
+    # sketches across the whole table), not just the per-type slices
+    names = {g["event_type"] for g in rep["groups"]}
+    assert "__all__" in names and len(names) >= 3

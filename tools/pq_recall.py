@@ -1,30 +1,140 @@
-"""Record PQ recall evidence (VERDICT r4 #6 / r5 #6).
+"""Record PQ + IVF-PQ recall evidence (VERDICT r4 #6 / r5 #6 / r8 #1).
 
-Measures recall@10 of ADC and ADC+exact-rerank against the exact
-cosine top-10 (the ``s_cosine_topk_bruteforce`` ranking) on the
-driver-generated embeddings table, across codebook sizes, and writes
-one JSON file the judge can diff round-over-round.
+Two measurements on the driver-generated embeddings table, written to
+one JSON file the judge can diff round-over-round:
+
+- flat PQ (tables of codes, no cell pruning): recall@10 of ADC and
+  ADC+exact-rerank vs the exact cosine top-10, across codebook sizes —
+  unchanged from PQ_RECALL_r06 so the series stays comparable;
+- the persisted IVF-PQ composite (``IvfIndex.build(pq_m=...)``,
+  residual-encoded codes per cell, ADC over probed cells only), swept
+  over nprobe, with the flat-IVF (same centroids, full vectors) recall
+  at the same nprobe recorded as the cell-pruning ceiling — separating
+  "lost to the coarse quantizer" from "lost to PQ distortion".
 
 Usage::
 
     python tools/pq_recall.py [sf_dir] [out_json]
 
-Defaults: ``/root/testdata/sf0.1`` → ``PQ_RECALL_r06.json``.
+Defaults: ``/root/testdata/sf0.1`` → ``PQ_RECALL_r09.json``.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def ivfpq_recall_report(
+    spark,
+    embeddings,
+    n_queries: int = 20,
+    k: int = 10,
+    n_centroids: int = 16,
+    pq_m: int = 8,
+    pq_k: int = 256,
+    nprobes: tuple[int, ...] = (2, 4, 8, 16),
+    rerank_factor: int = 10,
+) -> list[dict]:
+    """recall@k of the persisted IVF-PQ index (ADC and ADC+rerank) and
+    of the flat IVF index with the SAME deterministic centroids (the
+    cell-pruning ceiling), per nprobe, vs exact cosine top-k."""
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.llm.ann import IvfIndex, _dot
+
+    col = F.col
+    nrm = F.sqrt(_dot(col("embedding"), col("embedding")))
+    unit = (
+        embeddings.filter(nrm > 0)
+        .select(
+            "vec_id",
+            F.transform(col("embedding"), lambda x: x / nrm).alias("embedding"),
+        )
+        .persist()
+    )
+    tmp = tempfile.mkdtemp(dir="/dev/shm")
+    try:
+        corpus_size = unit.count()
+        pq_idx = IvfIndex.build(
+            unit, os.path.join(tmp, "pq"), n_centroids=n_centroids,
+            pq_m=pq_m, pq_k=pq_k,
+        )
+        flat_idx = IvfIndex.build(
+            unit, os.path.join(tmp, "flat"), n_centroids=n_centroids
+        )
+        queries = unit.orderBy("vec_id").limit(n_queries).collect()
+        truths = {}
+        for qr in queries:
+            qvec = [float(x) for x in qr["embedding"]]
+            qarr = F.array(*[F.lit(v) for v in qvec])
+            truths[qr["vec_id"]] = {
+                r["vec_id"]
+                for r in unit.select(
+                    "vec_id", _dot(col("embedding"), qarr).alias("s")
+                )
+                .orderBy(col("s").desc(), "vec_id")
+                .limit(k)
+                .collect()
+            }
+        out = []
+        for nprobe in nprobes:
+            hits_adc = hits_rr = hits_flat = 0
+            t0 = time.time()
+            for qr in queries:
+                qvec = [float(x) for x in qr["embedding"]]
+                truth = truths[qr["vec_id"]]
+                adc = {
+                    r["vec_id"]
+                    for r in pq_idx.topk(spark, qvec, k=k, nprobe=nprobe).collect()
+                }
+                rr = {
+                    r["vec_id"]
+                    for r in pq_idx.topk(
+                        spark, qvec, k=k, nprobe=nprobe,
+                        rerank_with=unit, rerank_factor=rerank_factor,
+                    ).collect()
+                }
+                flat = {
+                    r["vec_id"]
+                    for r in flat_idx.topk(spark, qvec, k=k, nprobe=nprobe).collect()
+                }
+                hits_adc += len(adc & truth)
+                hits_rr += len(rr & truth)
+                hits_flat += len(flat & truth)
+            denom = len(queries) * k
+            out.append(
+                {
+                    "nprobe": nprobe,
+                    "recall_adc": hits_adc / denom,
+                    "recall_rerank": hits_rr / denom,
+                    "recall_ivf_flat_ceiling": hits_flat / denom,
+                    "n_queries": len(queries),
+                    "k": k,
+                    "n_centroids": n_centroids,
+                    "pq_m": pq_m,
+                    "pq_k": pq_k,
+                    "rerank_factor": rerank_factor,
+                    "corpus_size": corpus_size,
+                    "wall_sec": round(time.time() - t0, 2),
+                }
+            )
+            print(out[-1], flush=True)
+        return out
+    finally:
+        unit.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out = sys.argv[2] if len(sys.argv) > 2 else "PQ_RECALL_r06.json"
+    out = sys.argv[2] if len(sys.argv) > 2 else "PQ_RECALL_r09.json"
 
     from doin_fine_ance__spark.llm.ann import pq_recall_report
     from doin_fine_ance__spark.session import get_spark
@@ -43,7 +153,8 @@ def main() -> None:
         rep["wall_sec"] = round(time.time() - t0, 2)
         results.append(rep)
         print(rep, flush=True)
-    payload = {"sf_dir": sf_dir, "k": 10, "results": results}
+    ivfpq = ivfpq_recall_report(spark, emb, n_queries=20)
+    payload = {"sf_dir": sf_dir, "k": 10, "results": results, "ivfpq": ivfpq}
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
