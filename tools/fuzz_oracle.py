@@ -158,7 +158,19 @@ DEC_JOIN = [
     ("part", "p_retailprice"),
 ]
 
+# point columns eligible for the binned-range-join production
+# (VERDICT r8 #7): raw 2-dp money columns, incl. a negative-capable
+# one so grid binning exercises floor() on negatives
+RANGE_POINTS = [
+    ("lineitem", "l_extendedprice"),
+    ("orders", "o_totalprice"),
+    ("customer", "c_acctbal"),
+]
+
 NUM_RANGE: dict[str, tuple[float, float, int]] = {
+    # fuzz-generated columns: as-of payloads + range-join band bounds
+    "rval_x": (0, 1000, 2), "rid_x": (1, 6000, 0),
+    "fz_lo": (-999, 400000, 2), "fz_hi": (-999, 400000, 2),
     "l_quantity": (1, 50, 0), "l_extendedprice": (1000, 90000, 2),
     "l_discount": (0.0, 0.1, 2), "l_tax": (0.0, 0.08, 2),
     "l_orderkey": (1, 6000, 0), "l_partkey": (1, 200, 0),
@@ -621,6 +633,48 @@ def plan_case(seed: int) -> list[dict]:
         by_name = dict(TABLES[t])
         cols = [(n, by_name[n]) for n in keep]
         uniq = list(keep)
+    elif start < 0.76:
+        # as-of backward join (VERDICT r8 #7): one event type picks up
+        # the latest earlier-or-simultaneous row of another per user —
+        # the operators/asof.py union+running-last plan vs DuckDB's
+        # native ASOF JOIN. The right side pre-aggregates to one row
+        # per (user, ts) (both implementations' determinism contract);
+        # unmatched left rows keep NULL payloads (the null fountain).
+        types = STR_VOCAB["event_type"]
+        lt, rt = rng.sample(types, 2)
+        payload = rng.choice(["value", "event_id"])
+        ops.append({"op": "base_asof", "lt": lt, "rt": rt,
+                    "payload": payload})
+        pname = "rval_x" if payload == "value" else "rid_x"
+        pkind = "double" if payload == "value" else "int"
+        cols = [("event_id", "int"), ("user_id", "int"), ("ts", "ts"),
+                ("value", "double"), (pname, pkind), ("ts_x", "ts")]
+        uniq = ["event_id"]  # asof preserves the left row count
+        nullable.update({pname, "ts_x"})
+    elif start < 0.82:
+        # binned range join (VERDICT r8 #7): points against seeded
+        # random (possibly overlapping, possibly empty) literal bands —
+        # operators/range_join.py's grid-binned equi-join + residual
+        # BETWEEN vs DuckDB's native interval join (IEJoin). The bin
+        # width is varied against the band widths so cell-boundary
+        # rounding (incl. floor() on negative points) gets exercised.
+        t, pc = rng.choice(RANGE_POINTS)
+        lo_r, hi_r, _ = NUM_RANGE[pc]
+        bands = []
+        for i in range(rng.randint(2, 4)):
+            a = round(rng.uniform(lo_r, hi_r), 2)
+            b = round(rng.uniform(lo_r, hi_r), 2)
+            bands.append((f"band{i}", min(a, b), max(a, b)))
+        width = max(h - l for _, l, h in bands) or 1.0
+        bin_w = round(width / rng.choice([1, 2, 4]) + 0.01, 2)
+        ops.append({"op": "base_range", "table": t, "point": pc,
+                    "bands": bands, "bin": bin_w})
+        cols = list(TABLES[t]) + [("fzband", "str"), ("fz_lo", "double"),
+                                  ("fz_hi", "double")]
+        # fan-out: a point inside two overlapping bands emits two rows
+        # that differ in the band columns, so ordering by EVERY output
+        # column is a total order (full-duplicate ties only)
+        uniq = [n for n, _ in cols]
     else:
         t = rng.choice(list(TABLES))
         ops.append({"op": "base", "table": t})
@@ -929,6 +983,76 @@ def build_case(ops: list[dict]):
             )
 
         steps.append(_join_dec)
+    elif base["op"] == "base_asof":
+        lt, rt, payload = base["lt"], base["rt"], base["payload"]
+        pname = "rval_x" if payload == "value" else "rid_x"
+        sql = (
+            f"SELECT l.event_id, l.user_id, l.ts, l.value,"
+            f" r.rpay AS {pname}, r.ts AS ts_x"
+            f" FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,"
+            f" value FROM events WHERE event_type = {_q(lt)}) l"
+            f" ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,"
+            f" MAX({payload}) AS rpay FROM events"
+            f" WHERE event_type = {_q(rt)}"
+            f" GROUP BY user_id, CAST(ts AS TIMESTAMP)) r"
+            f" ON l.user_id = r.user_id AND l.ts >= r.ts"
+        )
+
+        def _asof(spark, sf, _b=base, _pn=pname):
+            from doin_fine_ance__spark.operators.asof import asof_join
+
+            ev = load_table(spark, sf, "events")
+            left = ev.filter(F.col("event_type") == _b["lt"]).select(
+                "event_id", "user_id", "ts", "value"
+            )
+            right = (
+                ev.filter(F.col("event_type") == _b["rt"])
+                .groupBy("user_id", "ts")
+                .agg(F.max(_b["payload"]).alias("rpay"))
+            )
+            out = asof_join(
+                left, right, by=["user_id"], left_ts="ts", right_ts="ts",
+                value_cols=["rpay"], suffix="_x",
+            )
+            return out.select(
+                "event_id", "user_id", "ts", "value",
+                F.col("rpay_x").alias(_pn), "ts_x",
+            )
+
+        cols = [("event_id", "int"), ("user_id", "int"), ("ts", "ts"),
+                ("value", "double"), (pname, "double" if payload == "value"
+                                      else "int"), ("ts_x", "ts")]
+        steps.append(_asof)
+    elif base["op"] == "base_range":
+        t, pc = base["table"], base["point"]
+        # CAST the band bounds to DOUBLE: a bare 2-dp literal would
+        # type as DECIMAL in DuckDB and the output column's type (and
+        # the driver's schema hash) would diverge from Spark's double
+        vals = ", ".join(
+            f"({_q(nm)}, CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE))"
+            for nm, lo, hi in base["bands"]
+        )
+        sql = (
+            f"SELECT l.*, b.fzband, b.fz_lo, b.fz_hi FROM {t} l JOIN"
+            f" (VALUES {vals}) AS b(fzband, fz_lo, fz_hi)"
+            f" ON l.{pc} BETWEEN b.fz_lo AND b.fz_hi"
+        )
+
+        def _range(spark, sf, _b=base):
+            from doin_fine_ance__spark.operators.range_join import range_join
+
+            src = load_table(spark, sf, _b["table"])
+            bands_df = spark.createDataFrame(
+                _b["bands"], "fzband string, fz_lo double, fz_hi double"
+            )
+            return range_join(
+                src, bands_df, _b["point"], "fz_lo", "fz_hi",
+                bin_width=_b["bin"],
+            )
+
+        cols = list(TABLES[t]) + [("fzband", "str"), ("fz_lo", "double"),
+                                  ("fz_hi", "double")]
+        steps.append(_range)
     else:
         left, right, lk, rk, how = (base["left"], base["right"], base["lk"],
                                     base["rk"], base["how"])
