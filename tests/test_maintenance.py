@@ -273,3 +273,47 @@ def test_compact_table_writes_and_clears_origin_marker(spark, tmp_path):
     ]
     assert leftovers == []
     assert spark.read.parquet(path).count() == 200
+
+
+def test_compact_table_versioned_rewrites_and_links(spark, tmp_path):
+    """VERDICT r8 #6 unit coverage: the versioned compaction rewrites
+    fragmented leaves into the target tree, HARD-LINKS already-compact
+    leaves (same inode, no bytes copied), handles the unpartitioned
+    (src-is-leaf) layout, and refuses to clobber an existing target."""
+    import pytest as _pytest
+
+    # partitioned: p=0 fragmented (rewritten), p=1 compact (linked)
+    src = str(tmp_path / "t")
+    for i in range(4):
+        spark.range(i * 50, (i + 1) * 50).selectExpr(
+            "id", "CAST(0 AS STRING) AS p"
+        ).repartition(3).write.mode("append").partitionBy("p").parquet(src)
+    spark.range(1000, 1100).selectExpr(
+        "id", "CAST(1 AS STRING) AS p"
+    ).coalesce(1).write.mode("append").partitionBy("p").parquet(src)
+    dst = str(tmp_path / "t_v2")
+    out = mnt.compact_table_versioned(spark, src, dst, min_files=2)
+    assert set(out) == {"p=0"}  # only the fragmented leaf is listed
+    assert spark.read.parquet(dst).count() == 300
+    # linked leaf shares inodes with the source (no data copied)
+    src_files = sorted(os.listdir(os.path.join(src, "p=1")))
+    for f in src_files:
+        if f.endswith(".parquet"):
+            a = os.stat(os.path.join(src, "p=1", f))
+            b = os.stat(os.path.join(dst, "p=1", f))
+            assert a.st_ino == b.st_ino
+    # target must be fresh
+    with _pytest.raises(ValueError, match="already exists"):
+        mnt.compact_table_versioned(spark, src, dst)
+
+    # unpartitioned: the source root itself is the leaf
+    flat = str(tmp_path / "flat")
+    for i in range(3):
+        spark.range(i * 10, (i + 1) * 10).repartition(2).write.mode(
+            "append"
+        ).parquet(flat)
+    flat2 = str(tmp_path / "flat_v2")
+    out2 = mnt.compact_table_versioned(spark, flat, flat2, min_files=2)
+    assert set(out2) == {"."}
+    assert spark.read.parquet(flat2).count() == 30
+    assert len([f for f in os.listdir(flat2) if f.endswith(".parquet")]) == 1
