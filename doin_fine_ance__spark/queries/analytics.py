@@ -473,12 +473,17 @@ def a_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS view_event_id
       FROM events WHERE event_type = 'view'
       GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ), matched AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             (SELECT MAX(v2.ts) FROM views v2
+               WHERE v2.user_id = p.user_id AND v2.ts <= p.ts) AS t_match
+      FROM purchases p
     )
-    SELECT p.event_id, p.user_id, p.ts,
+    SELECT m.event_id, m.user_id, m.ts,
            v.view_event_id AS view_event_id_asof,
-           v.ts AS view_ts_asof
-    FROM purchases p ASOF LEFT JOIN views v
-      ON p.user_id = v.user_id AND p.ts >= v.ts
+           m.t_match AS view_ts_asof
+    FROM matched m LEFT JOIN views v
+      ON v.user_id = m.user_id AND v.ts = m.t_match
     """,
 )
 def j_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,9 +492,15 @@ def j_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark has no ASOF JOIN; operators/asof.py implements the
     union+sort+running-last plan (one exchange over n+m rows, no range
-    explosion). DuckDB HAS native ASOF JOIN — so this custom operator
-    is hash-checked against a first-class engine implementation, tie
-    semantics included.
+    explosion). The oracle was DuckDB's native ASOF JOIN through round
+    8; round-9 fuzzing (seeds 10233/11030, base_asof production) caught
+    duckdb 1.0.0's ASOF silently matching a STALE — older than latest —
+    right row on the error/view event shape, with an independent
+    pure-Python replay siding with Spark. The oracle is now the
+    greatest-per-group formulation (scalar-subquery max(ts ≤ p.ts) +
+    equi-join back for the payload) — still a fully independent
+    re-derivation of the tie-inclusive backward-match semantics, minus
+    the buggy operator.
     """
     from ..operators.asof import asof_join
 

@@ -986,16 +986,28 @@ def build_case(ops: list[dict]):
     elif base["op"] == "base_asof":
         lt, rt, payload = base["lt"], base["rt"], base["payload"]
         pname = "rval_x" if payload == "value" else "rid_x"
+        # NOT DuckDB's native ASOF JOIN: fuzz seeds 10233/11030 (r9)
+        # caught duckdb 1.0.0's ASOF silently matching a STALE (older
+        # than latest) right row on this data shape — an independently
+        # verified pure-Python replay sided with Spark. The oracle is
+        # the greatest-per-group formulation instead: scalar-subquery
+        # max(ts <= l.ts) then an equi-join back for the payload
+        # (still independent of Spark's union+running-last plan).
         sql = (
-            f"SELECT l.event_id, l.user_id, l.ts, l.value,"
-            f" r.rpay AS {pname}, r.ts AS ts_x"
-            f" FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,"
-            f" value FROM events WHERE event_type = {_q(lt)}) l"
-            f" ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,"
+            f"WITH fzl AS (SELECT event_id, user_id,"
+            f" CAST(ts AS TIMESTAMP) AS ts, value FROM events"
+            f" WHERE event_type = {_q(lt)}),"
+            f" fzr AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,"
             f" MAX({payload}) AS rpay FROM events"
             f" WHERE event_type = {_q(rt)}"
-            f" GROUP BY user_id, CAST(ts AS TIMESTAMP)) r"
-            f" ON l.user_id = r.user_id AND l.ts >= r.ts"
+            f" GROUP BY user_id, CAST(ts AS TIMESTAMP)),"
+            f" fzm AS (SELECT fzl.*, (SELECT MAX(r2.ts) FROM fzr r2"
+            f" WHERE r2.user_id = fzl.user_id AND r2.ts <= fzl.ts)"
+            f" AS t_match FROM fzl)"
+            f" SELECT m.event_id, m.user_id, m.ts, m.value,"
+            f" r.rpay AS {pname}, m.t_match AS ts_x"
+            f" FROM fzm m LEFT JOIN fzr r"
+            f" ON r.user_id = m.user_id AND r.ts = m.t_match"
         )
 
         def _asof(spark, sf, _b=base, _pn=pname):
