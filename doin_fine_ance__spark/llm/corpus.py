@@ -467,3 +467,55 @@ def remove_duplicate_spans(
             out_col,
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (RAG / context-window sharding).
+
+    Splits each document's whitespace tokens into windows of
+    ``window`` tokens starting every ``stride`` tokens (overlap =
+    ``window - stride``), the standard shape for retrieval chunking
+    and for sharding long documents across a model's context budget.
+    Chunk ``k`` covers tokens ``[k*stride, min(k*stride + window, n))``;
+    a document with ``n >= 1`` tokens yields ``(n-1) div stride + 1``
+    chunks, so every token lands in at least one chunk and only the
+    final chunk may be short. Zero-token documents yield no chunks.
+
+    Returns ``(id_col, chunk_id int, start_tok bigint,
+    n_chunk_tokens int, chunk_text string)``.
+
+    Scale shape: map-only — tokenize, per-row ``sequence`` explode,
+    ``slice`` — all JVM built-ins inside one whole-stage-codegen span;
+    no shuffle at any corpus size. Output grows by roughly
+    ``window/stride``x the input token mass; downstream writers should
+    partition by a hash of (id, chunk_id), never by document, so one
+    long document cannot skew a partition.
+    """
+    if window < 1 or stride < 1 or stride > window:
+        raise ValueError("require 1 <= stride <= window")
+    base = (
+        docs.select(col(id_col), _words(col(text_col)).alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(col("n") >= 1)
+    )
+    ex = base.select(
+        col(id_col),
+        "t",
+        F.explode(F.expr(f"sequence(0, int((n - 1) div {stride}))")).alias("chunk_id"),
+    )
+    return ex.select(
+        col(id_col),
+        col("chunk_id"),
+        (col("chunk_id") * stride).cast("bigint").alias("start_tok"),
+        F.size(F.slice(col("t"), col("chunk_id") * stride + 1, window))
+        .alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice(col("t"), col("chunk_id") * stride + 1, window)
+        ).alias("chunk_text"),
+    )

@@ -49,7 +49,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import col
+from pyspark.sql.functions import col, lit
 
 from .checkpoint import materialize
 
@@ -231,3 +231,82 @@ def dedup_keepers(
     """
     cc = connected_components(pairs, id_a, id_b)
     return cc.select(col("node").alias("doc_id"), col("component").alias("keeper_id"))
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+    ppm: int = 1_000_000,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Weighted PageRank in deterministic integer fixed-point.
+
+    Crawl pipelines rank domains/hosts to prioritize fetching and to
+    weight training-mix sampling (Common Crawl publishes harmonic/
+    PageRank host ranks for exactly this). Floating-point PageRank is
+    NOT reproducible across engines or even across partitionings —
+    double addition is order-dependent — so this implementation keeps
+    every quantity integral:
+
+    - edge transition shares are precomputed once in parts-per-million:
+      ``share(u,v) = (w(u,v) * ppm) div W(u)`` (bounded by ``ppm``
+      regardless of corpus size, so per-edge products never overflow);
+    - ranks live in fixed-point units of ``scale``:
+      ``r0(u) = scale``; each round
+      ``r'(v) = ((100-damping_pct)*scale) div 100
+      + (damping_pct * sum_u (r(u)*share(u,v)) div ppm) div 100``.
+
+    Integer sums are associative, so the result is bit-identical under
+    any partitioning and matches a SQL oracle exactly. Dangling mass
+    (nodes with no out-edges) is dropped, the common simplification —
+    ranking order is what pipelines consume, not the exact stationary
+    distribution; floor rounding biases every node identically by
+    < iterations ulps of 1/scale.
+
+    Scale shape: the only data-sized work is whatever builds/aggregates
+    ``edges``; ``iterations`` rounds then join rank(node) against the
+    aggregated edge list — shuffles keyed on node, partial-agg
+    (map-side combine) on the contribution sum, AQE free to broadcast
+    the rank side when the graph is small. The loop unrolls into one
+    declarative plan (no driver-side data movement).
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    e = edges.groupBy(col(src).alias("u"), col(dst).alias("v")).agg(
+        F.sum(weight).cast("bigint").alias("w")
+    )
+    tot = e.groupBy("u").agg(F.sum("w").alias("wtot"))
+    p = e.join(tot, "u").select(
+        "u", "v", F.expr(f"(w * {ppm}) div wtot").alias("share")
+    )
+    nodes = (
+        edges.select(col(src).alias("node"))
+        .union(edges.select(col(dst).alias("node")))
+        .distinct()
+    )
+    base = (100 - damping_pct) * scale // 100
+    r = nodes.select("node", lit(scale).cast("bigint").alias("rank_fp"))
+    for _ in range(iterations):
+        contrib = (
+            p.join(r, p["u"] == r["node"])
+            .select("v", F.expr(f"(rank_fp * share) div {ppm}").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("inc"))
+        )
+        r = (
+            nodes.join(contrib, nodes["node"] == contrib["v"], "left")
+            .select(
+                "node",
+                (
+                    lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(inc, 0L)) div 100")
+                )
+                .cast("bigint")
+                .alias("rank_fp"),
+            )
+        )
+    return r

@@ -1,0 +1,87 @@
+"""Count-min sketch: fixed-memory frequency estimation.
+
+A 100 TB token/URL/entity stream cannot hold an exact frequency table
+per executor, but many pipeline decisions only need approximate counts
+with a one-sided error guarantee: heavy-hitter token lists for
+vocabulary pruning, hot-URL throttling, skew detection before a join.
+The count-min sketch (Cormode & Muthukrishnan 2005) gives
+``exact <= estimate <= exact + eps * N`` with probability
+``1 - delta`` using ``depth = ceil(ln 1/delta)`` rows of
+``width = ceil(e / eps)`` counters — a few KB regardless of stream
+size.
+
+Engine-exactness: bucket hashing is md5-based (stable across engines
+and partitionings — NOT Spark's ``hash()``, which is engine-private),
+and cells are integer sums, so the sketch an oracle computes from
+exact counts equals the sketch the engine computes from the raw
+stream — summation into a cell is associative.
+
+Scale shape: building the sketch is one partial-agg shuffle of at most
+``depth * width`` cells (map-side combine collapses each task's stream
+to cell counts before anything moves); estimation broadcasts the tiny
+cell table. Nothing is ever collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+
+def _bucket(j, token, width: int):
+    """md5-derived bucket for sketch row ``j`` — identical in DuckDB as
+    ``CAST(('0x' || substr(md5(j || ':' || token), 1, 8)) AS UBIGINT)
+    % width`` (parity pinned in tests)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat_ws(":", j, token)), 1, 8), 16, 10)
+        .cast("bigint"),
+        lit(width),
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    token_col: str = "token",
+    count_col: str | None = None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build the sketch cells ``(j int, bucket bigint, cell bigint)``
+    from a raw item stream (``count_col=None`` — each row counts 1) or
+    a pre-aggregated ``(token, count)`` table. Both yield identical
+    cells."""
+    rows = df.select(
+        col(token_col).alias("_tok"),
+        (lit(1) if count_col is None else col(count_col)).cast("bigint").alias("_c"),
+    )
+    ex = rows.select(
+        "_tok", "_c", F.explode(F.sequence(lit(0), lit(depth - 1))).alias("j")
+    )
+    return (
+        ex.select("j", _bucket(col("j"), col("_tok"), width).alias("bucket"), "_c")
+        .groupBy("j", "bucket")
+        .agg(F.sum("_c").alias("cell"))
+    )
+
+
+def cms_estimate(
+    tokens: DataFrame,
+    cells: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 256,
+    out_col: str = "cms_estimate",
+) -> DataFrame:
+    """Point-query the sketch: for each row of ``tokens`` append the
+    count-min estimate ``min_j cell[j][bucket_j(token)]``. The cell
+    table is at most ``depth * width`` rows — always broadcast."""
+    keys = tokens.select(
+        "*", F.explode(F.sequence(lit(0), lit(depth - 1))).alias("j")
+    ).withColumn("bucket", _bucket(col("j"), col(token_col), width))
+    group_cols = tokens.columns
+    return (
+        keys.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy(*group_cols)
+        .agg(F.min("cell").alias(out_col))
+    )

@@ -114,6 +114,7 @@ def load_registry() -> tuple[dict, dict]:
     from . import corpus_ops  # noqa: F401
     from . import inventory  # noqa: F401
     from . import llm_ops  # noqa: F401
+    from . import pipeline_extra  # noqa: F401
     from . import streaming_batch  # noqa: F401
     from . import tpch_extra  # noqa: F401
 

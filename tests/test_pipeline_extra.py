@@ -1,0 +1,213 @@
+"""Operator-level tests for the round-9 pipeline additions: chunking,
+fixed-point PageRank, and the count-min sketch. The registered queries
+are oracle-checked by test_inventory_oracle; these pin the operator
+CONTRACTS — invariants, pure-Python reference equality, partitioning
+invariance, and the plan shapes the 100 TB story depends on."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from doin_fine_ance__spark.llm.corpus import chunk_documents
+from doin_fine_ance__spark.operators.graph import pagerank_fixed_point
+from doin_fine_ance__spark.operators.sketches import cms_build, cms_estimate
+
+# ------------------------------------------------------------ chunking
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_overlap_invariants(spark):
+    texts = [
+        (0, " ".join(f"w{i}" for i in range(100))),  # multi-chunk
+        (1, "one two three"),  # single short chunk
+        (2, " ".join(f"x{i}" for i in range(32))),  # exactly one window
+        (3, " ".join(f"y{i}" for i in range(33))),  # one full + one tail
+        (4, "   "),  # zero tokens -> no chunks
+        (5, ""),  # zero tokens -> no chunks
+    ]
+    out = chunk_documents(_docs(spark, texts), window=32, stride=24)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+
+    by_doc = defaultdict(list)
+    for (d, k), r in rows.items():
+        by_doc[d].append(r)
+    # zero-token docs emit nothing
+    assert 4 not in by_doc and 5 not in by_doc
+    for d, text in texts:
+        toks = text.lower().split()
+        n = len(toks)
+        if n == 0:
+            continue
+        chunks = sorted(by_doc[d], key=lambda r: r.chunk_id)
+        # chunk count formula
+        assert len(chunks) == (n - 1) // 24 + 1
+        covered = set()
+        for r in chunks:
+            want = toks[r.start_tok : r.start_tok + 32]
+            assert r.chunk_text.split(" ") == want
+            assert r.n_chunk_tokens == len(want)
+            covered.update(range(r.start_tok, r.start_tok + r.n_chunk_tokens))
+        # every token position is covered by at least one chunk
+        assert covered == set(range(n))
+        # consecutive full chunks overlap by exactly window - stride
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_tok - a.start_tok == 24
+
+
+def test_chunk_rejects_bad_params(spark):
+    d = _docs(spark, [(0, "a b c")])
+    with pytest.raises(ValueError):
+        chunk_documents(d, window=8, stride=9)  # stride > window
+    with pytest.raises(ValueError):
+        chunk_documents(d, window=0, stride=0)
+
+
+def test_chunk_plan_is_map_only(spark):
+    """The operator itself must not shuffle — the only Exchange allowed
+    in the registered query is its final orderBy (oracle comparison)."""
+    d = _docs(spark, [(0, "a b c d e")])
+    plan = (
+        chunk_documents(d, window=4, stride=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------ pagerank
+
+
+def _py_pagerank(edges, iterations=5, damping_pct=85, scale=10**9, ppm=10**6):
+    w: dict = defaultdict(int)
+    for u, v, wt in edges:
+        w[(u, v)] += wt
+    wtot: dict = defaultdict(int)
+    for (u, _v), x in w.items():
+        wtot[u] += x
+    share = {(u, v): (x * ppm) // wtot[u] for (u, v), x in w.items()}
+    nodes = {u for u, _ in w} | {v for _, v in w}
+    base = (100 - damping_pct) * scale // 100
+    r = {n: scale for n in nodes}
+    for _ in range(iterations):
+        inc: dict = defaultdict(int)
+        for (u, v), s in share.items():
+            inc[v] += (r[u] * s) // ppm
+        r = {n: base + (damping_pct * inc.get(n, 0)) // 100 for n in nodes}
+    return r
+
+
+_GRAPH = [
+    (1, 2, 3),
+    (1, 3, 1),
+    (2, 3, 5),
+    (3, 1, 2),
+    (2, 1, 1),
+    (4, 1, 7),  # 4 is dangling (no in-edges feed it back)
+    (1, 2, 2),  # duplicate edge: weights must accumulate
+]
+
+
+def test_pagerank_matches_python_reference_exactly(spark):
+    e = spark.createDataFrame(_GRAPH, "src int, dst int, weight long")
+    got = {r.node: r.rank_fp for r in pagerank_fixed_point(e).collect()}
+    assert got == _py_pagerank(_GRAPH)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """Integer arithmetic makes the result bit-identical under any
+    partitioning — the property float PageRank cannot give."""
+    e1 = spark.createDataFrame(_GRAPH, "src int, dst int, weight long")
+    e7 = e1.repartition(7)
+    r1 = sorted(pagerank_fixed_point(e1).collect())
+    r7 = sorted(pagerank_fixed_point(e7).collect())
+    assert r1 == r7
+
+
+def test_pagerank_mass_bounded(spark):
+    """Floor rounding and dropped dangling mass only LOSE rank mass:
+    total never exceeds n_nodes * scale."""
+    e = spark.createDataFrame(_GRAPH, "src int, dst int, weight long")
+    rows = pagerank_fixed_point(e, scale=10**9).collect()
+    assert sum(r.rank_fp for r in rows) <= len(rows) * 10**9
+    assert all(r.rank_fp >= 150_000_000 for r in rows)  # teleport floor
+
+
+def test_pagerank_rejects_bad_damping(spark):
+    e = spark.createDataFrame(_GRAPH, "src int, dst int, weight long")
+    with pytest.raises(ValueError):
+        pagerank_fixed_point(e, damping_pct=101)
+
+
+# ------------------------------------------------------------ count-min
+
+
+def _py_bucket(j: int, token: str, width: int) -> int:
+    return int(hashlib.md5(f"{j}:{token}".encode()).hexdigest()[:8], 16) % width
+
+
+def _py_cells(counts: dict, depth: int, width: int) -> dict:
+    cells: dict = defaultdict(int)
+    for tok, c in counts.items():
+        for j in range(depth):
+            cells[(j, _py_bucket(j, tok, width))] += c
+    return dict(cells)
+
+
+def test_cms_cells_match_python_reference(spark):
+    toks = [f"t{i % 37}" for i in range(1000)] + ["hot"] * 300
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    got = {
+        (r.j, r.bucket): r.cell
+        for r in cms_build(df, "token", depth=4, width=64).collect()
+    }
+    counts: dict = defaultdict(int)
+    for t in toks:
+        counts[t] += 1
+    assert got == _py_cells(counts, 4, 64)
+
+
+def test_cms_raw_stream_and_preaggregated_builds_identical(spark):
+    toks = [f"t{i % 11}" for i in range(500)]
+    raw = spark.createDataFrame([(t,) for t in toks], "token string")
+    agg = raw.groupBy("token").agg(F.count("*").alias("c"))
+    a = sorted(cms_build(raw, "token", depth=4, width=64).collect())
+    b = sorted(cms_build(agg, "token", count_col="c", depth=4, width=64).collect())
+    assert a == b
+
+
+def test_cms_estimate_one_sided_for_every_token(spark):
+    """exact <= estimate for ALL tokens, not just the reported top-k —
+    the count-min theorem, checked exhaustively on a skewed stream."""
+    toks = [f"t{i % 97}" for i in range(2000)] + ["hot"] * 500
+    raw = spark.createDataFrame([(t,) for t in toks], "token string")
+    cells = cms_build(raw, "token", depth=4, width=64)
+    exact = raw.groupBy("token").agg(F.count("*").cast("bigint").alias("exact"))
+    est = cms_estimate(exact, cells, "token", depth=4, width=64)
+    rows = est.collect()
+    assert len(rows) == 98
+    assert all(r.cms_estimate >= r.exact for r in rows)
+    # width 64 >> 98 distinct tokens: the error stays well under the
+    # eps*N worst case; generous deterministic ceiling
+    n = len(toks)
+    assert all(r.cms_estimate - r.exact <= n // 8 for r in rows)
+
+
+def test_cms_estimate_broadcasts_cells(spark):
+    toks = [(f"t{i}",) for i in range(100)]
+    raw = spark.createDataFrame(toks, "token string")
+    cells = cms_build(raw, "token", depth=4, width=64)
+    plan = (
+        cms_estimate(raw, cells, "token", depth=4, width=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
