@@ -85,3 +85,90 @@ def cms_estimate(
         .groupBy(*group_cols)
         .agg(F.min("cell").alias(out_col))
     )
+
+
+# --------------------------------------------------------------- bloom
+#
+# Bloom pre-screen: distributed membership against a compact bitset.
+# Decontamination/blocklist joins at 100 TB shouldn't shuffle the full
+# candidate stream against the reference set; a Bloom filter of the
+# reference (a few KB-MB) broadcasts everywhere and eliminates the
+# overwhelming majority of non-members map-side, with the exact check
+# running only on survivors. One-sided by construction: a member is
+# NEVER screened out; false positives only cost extra exact checks.
+#
+# The bit array is n_words x 62-bit words (62, not 64: DuckDB raises
+# on 1<<63 and bit 62 would be the sign bit — staying below keeps the
+# mask arithmetic identical in both engines' signed BIGINT).
+
+_BLOOM_BITS_PER_WORD = 62
+
+
+def bloom_build(
+    items: DataFrame,
+    item_col: str = "item",
+    n_words: int = 256,
+    k: int = 3,
+) -> DataFrame:
+    """OR-fold the reference set into ``(word bigint, bits bigint)``
+    (at most ``n_words`` rows — broadcast-sized at any reference-set
+    cardinality). md5 position hashes, so the identical filter can be
+    rebuilt in SQL."""
+    m = n_words * _BLOOM_BITS_PER_WORD
+    ex = items.select(col(item_col).alias("_it")).select(
+        "_it", F.explode(F.sequence(lit(0), lit(k - 1))).alias("j")
+    )
+    pos = F.pmod(
+        F.conv(F.substring(F.md5(F.concat_ws(":", col("j"), col("_it"))), 1, 8), 16, 10)
+        .cast("bigint"),
+        lit(m),
+    )
+    return (
+        ex.select(pos.alias("pos"))
+        .select(
+            F.expr(f"pos div {_BLOOM_BITS_PER_WORD}").alias("word"),
+            F.expr(f"shiftleft(1L, cast(pos % {_BLOOM_BITS_PER_WORD} as int))")
+            .alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_hits(
+    candidates: DataFrame,
+    words: DataFrame,
+    item_col: str = "item",
+    n_words: int = 256,
+    k: int = 3,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Append ``out_col`` (boolean): true iff all ``k`` of the item's
+    bits are set — the candidate survives the pre-screen. The word
+    table is broadcast; the probe is map-side except the k-way
+    all-bits-set regroup on the candidate's own key."""
+    m = n_words * _BLOOM_BITS_PER_WORD
+    group_cols = candidates.columns
+    keys = candidates.select(
+        "*", F.explode(F.sequence(lit(0), lit(k - 1))).alias("j")
+    ).withColumn(
+        "pos",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", col("j"), col(item_col))), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            lit(m),
+        ),
+    ).withColumn("word", F.expr(f"pos div {_BLOOM_BITS_PER_WORD}")).withColumn(
+        "mask",
+        F.expr(f"shiftleft(1L, cast(pos % {_BLOOM_BITS_PER_WORD} as int))"),
+    )
+    probed = keys.join(F.broadcast(words), "word", "left").withColumn(
+        "_set", (F.coalesce(col("bits"), lit(0)).bitwiseAND(col("mask")) != 0)
+    )
+    return (
+        probed.groupBy(*group_cols)
+        .agg((F.sum(F.when(col("_set"), 1).otherwise(0)) == k).alias(out_col))
+    )

@@ -236,3 +236,121 @@ def a_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_count"), "token")
     )
+
+
+_BLOOM_NW, _BLOOM_K = 256, 3
+_BLOOM_M = _BLOOM_NW * 62
+
+# md5 position hash for bloom bit j of gram column {g} (DuckDB side)
+_BPOS = (
+    "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {g}), 1, 8))"
+    f" AS UBIGINT) % {_BLOOM_M}"
+)
+
+
+@query(
+    "d_bloom_prescreen",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS w FROM documents
+    ), grams_l AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                                      i -> md5(array_to_string(list_slice(w, i, i + 2), ' ')))
+                  ELSE [] END AS gl
+      FROM toks
+    ), grams_all AS (
+      SELECT doc_id, unnest(gl) AS g FROM grams_l
+    ), grams AS (
+      SELECT DISTINCT doc_id, g FROM grams_all
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    ), js AS (
+      SELECT unnest(range(0, {_BLOOM_K})) AS j
+    ), posed AS (
+      SELECT {_BPOS.format(j='j', g='g')} AS pos
+      FROM bench CROSS JOIN js
+    ), words AS (
+      SELECT CAST(pos // 62 AS BIGINT) AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
+      FROM posed GROUP BY 1
+    ), cand AS (
+      SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0
+    ), cand_pos AS (
+      SELECT c.doc_id, c.g, {_BPOS.format(j='js.j', g='c.g')} AS pos
+      FROM cand c CROSS JOIN js
+    ), probe AS (
+      SELECT p.doc_id, p.g,
+             ((COALESCE(w.bits, 0) & (CAST(1 AS BIGINT) << CAST(p.pos % 62 AS INT))) <> 0)
+               AS is_set
+      FROM cand_pos p
+      LEFT JOIN words w ON w.word = CAST(p.pos // 62 AS BIGINT)
+    ), per_gram AS (
+      SELECT doc_id, g,
+             (SUM(CASE WHEN is_set THEN 1 ELSE 0 END) = {_BLOOM_K}) AS bloom_hit
+      FROM probe GROUP BY 1, 2
+    ), flagged AS (
+      SELECT pg.doc_id, pg.bloom_hit, (b.g IS NOT NULL) AS exact_hit
+      FROM per_gram pg LEFT JOIN bench b ON b.g = pg.g
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS prescreen_hits,
+           CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits,
+           CAST(SUM(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS bloom_false_positives
+    FROM flagged GROUP BY 1 ORDER BY doc_id
+    """,
+)
+def d_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-screen, with its error visible.
+
+    Builds a 256x62-bit Bloom filter (k=3) of the benchmark split's
+    3-gram md5s and probes every training doc's grams against it,
+    reporting per doc: distinct grams, pre-screen survivors, exact
+    contaminated grams, and the filter's false positives. One-sidedness
+    (exact_hits <= prescreen_hits, members never screened out) is part
+    of the hashed output, so the driver checks the Bloom THEOREM, not
+    just the arithmetic.
+
+    Scale: the filter is ~2 KB regardless of benchmark size and
+    broadcasts; the 100 TB training side is probed map-side (the only
+    candidate-sized shuffles key on (doc, gram) and doc — uniform md5
+    keys, skew-free). The exact join that a real pipeline would run
+    AFTER this pre-screen touches only the survivors.
+    """
+    from ..llm.corpus import ngram_hashes
+    from ..operators.sketches import bloom_build, bloom_hits
+
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    grams = ngram_hashes(d, 3).distinct()
+    bench = (
+        grams.filter(col("doc_id") % 97 == 0).select("ngram_hash").distinct()
+    )
+    words = bloom_build(bench, "ngram_hash", n_words=_BLOOM_NW, k=_BLOOM_K)
+    cand = grams.filter(col("doc_id") % 97 != 0)
+    marked = bloom_hits(cand, words, "ngram_hash", n_words=_BLOOM_NW, k=_BLOOM_K)
+    flagged = marked.join(
+        bench.withColumn("_exact", lit(True)), "ngram_hash", "left"
+    ).select(
+        "doc_id",
+        "bloom_hit",
+        F.coalesce(col("_exact"), lit(False)).alias("exact_hit"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(col("bloom_hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("prescreen_hits"),
+            F.sum(F.when(col("exact_hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("exact_hits"),
+            F.sum(F.when(col("bloom_hit") & ~col("exact_hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("bloom_false_positives"),
+        )
+        .orderBy("doc_id")
+    )

@@ -211,3 +211,68 @@ def test_cms_estimate_broadcasts_cells(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------ bloom
+
+from doin_fine_ance__spark.operators.sketches import (  # noqa: E402
+    _BLOOM_BITS_PER_WORD,
+    bloom_build,
+    bloom_hits,
+)
+
+
+def _py_bloom_words(items, n_words, k):
+    m = n_words * _BLOOM_BITS_PER_WORD
+    words: dict = defaultdict(int)
+    for it in items:
+        for j in range(k):
+            pos = int(hashlib.md5(f"{j}:{it}".encode()).hexdigest()[:8], 16) % m
+            words[pos // _BLOOM_BITS_PER_WORD] |= 1 << (pos % _BLOOM_BITS_PER_WORD)
+    return dict(words)
+
+
+def test_bloom_words_match_python_reference(spark):
+    items = [f"gram-{i}" for i in range(500)]
+    df = spark.createDataFrame([(i,) for i in items], "item string")
+    got = {r.word: r.bits for r in bloom_build(df, "item", n_words=64, k=3).collect()}
+    assert got == _py_bloom_words(items, 64, 3)
+
+
+def test_bloom_members_never_screened_out(spark):
+    """One-sidedness, exhaustively: every inserted item must survive
+    the pre-screen — the Bloom guarantee downstream exact checks rely
+    on to stay correct (a screened-out member would be silently lost)."""
+    items = [f"member-{i}" for i in range(1000)]
+    df = spark.createDataFrame([(i,) for i in items], "item string")
+    words = bloom_build(df, "item", n_words=64, k=3)
+    hit = bloom_hits(df, words, "item", n_words=64, k=3)
+    assert hit.filter(~F.col("bloom_hit")).count() == 0
+
+
+def test_bloom_false_positive_rate_in_expected_band(spark):
+    """Non-members mostly screened out: with n=500 inserted into
+    64x62 = 3968 bits at k=3 the theoretical FP rate is
+    (1 - e^(-3*500/3968))^3 ~ 3.1%; md5 buckets make the measured rate
+    deterministic — pin a generous band around theory."""
+    members = [f"member-{i}" for i in range(500)]
+    outsiders = [f"outsider-{i}" for i in range(2000)]
+    mdf = spark.createDataFrame([(i,) for i in members], "item string")
+    odf = spark.createDataFrame([(i,) for i in outsiders], "item string")
+    words = bloom_build(mdf, "item", n_words=64, k=3)
+    fp = bloom_hits(odf, words, "item", n_words=64, k=3).filter(
+        F.col("bloom_hit")
+    ).count()
+    assert 0 < fp / len(outsiders) < 0.10
+
+
+def test_bloom_probe_broadcasts_word_table(spark):
+    df = spark.createDataFrame([(f"i{i}",) for i in range(50)], "item string")
+    words = bloom_build(df, "item", n_words=64, k=3)
+    plan = (
+        bloom_hits(df, words, "item", n_words=64, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
