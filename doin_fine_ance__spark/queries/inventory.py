@@ -1031,8 +1031,9 @@ def a_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-identical, so the probe is hash-exact. Scale note: Spark's
     exact `percentile` holds a per-group value multiset — fine for
     bounded groups like this; at 100 TB with huge groups the default
-    is the approx_percentile sketch already probed (with error-bound
-    tests) by a_approx_distinct_users.
+    is the approx_percentile sketch, whose GK rank-error bound is
+    measured by tools/quantile_error.py (QUANTILE_ERROR_r09.json +
+    tests/test_operators_extra.py floor).
     """
     o = load_table(spark, sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
     return (

@@ -518,3 +518,25 @@ def test_hll_error_within_rsd_floor(spark):
     # sketches across the whole table), not just the per-type slices
     names = {g["event_type"] for g in rep["groups"]}
     assert "__all__" in names and len(names) >= 3
+
+
+def test_approx_percentile_rank_error_within_floor(spark):
+    """approx_percentile is the 100 TB quantile path (exact percentile
+    holds a per-group multiset); its GK rank guarantee — returned
+    value's rank within N/accuracy of q*N — gets the same quantitative
+    treatment as HLL. The report tools/quantile_error.py commits as
+    QUANTILE_ERROR_r09.json must keep every probe's rank error within
+    safety/accuracy (2/1000 = 0.2%), per order-status group AND
+    overall."""
+    from tools.quantile_error import ACCURACY, PROBES, SAFETY, quantile_error_report
+
+    rep = quantile_error_report(spark, "/root/testdata/sf0.01")
+    assert rep["groups"], rep
+    assert rep["max_rank_err"] <= SAFETY / ACCURACY, rep
+    names = {g["group"] for g in rep["groups"]}
+    assert "__all__" in names and len(names) >= 3
+    # every probe quantile measured in every group
+    assert all(
+        len([g for g in rep["groups"] if g["group"] == s]) == len(PROBES)
+        for s in names
+    )
