@@ -279,13 +279,19 @@ def pagerank_fixed_point(
     e = edges.groupBy(col(src).alias("u"), col(dst).alias("v")).agg(
         F.sum(weight).cast("bigint").alias("w")
     )
+    # Materialize the aggregated graph ONCE: every iteration references
+    # p and nodes, and without lineage truncation Spark re-executes the
+    # whole upstream edge build (a fact-table join chain at real scale)
+    # per iteration — 22 scans of lineitem in the 5-iteration plan
+    # before this, 1 after.
+    e = materialize(e)
     tot = e.groupBy("u").agg(F.sum("w").alias("wtot"))
     p = e.join(tot, "u").select(
         "u", "v", F.expr(f"(w * {ppm}) div wtot").alias("share")
     )
     nodes = (
-        edges.select(col(src).alias("node"))
-        .union(edges.select(col(dst).alias("node")))
+        e.select(col("u").alias("node"))
+        .union(e.select(col("v").alias("node")))
         .distinct()
     )
     base = (100 - damping_pct) * scale // 100
