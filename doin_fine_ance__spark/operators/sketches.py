@@ -46,23 +46,41 @@ def cms_build(
     count_col: str | None = None,
     depth: int = 4,
     width: int = 256,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Build the sketch cells ``(j int, bucket bigint, cell bigint)``
     from a raw item stream (``count_col=None`` — each row counts 1) or
     a pre-aggregated ``(token, count)`` table. Both yield identical
-    cells."""
+    cells. ``partition_cols`` keeps one PARTIAL sketch per partition
+    value (e.g. per day) — the rollup shape: persist partials, merge
+    later with :func:`cms_merge` instead of rescanning history."""
+    parts = list(partition_cols or [])
     rows = df.select(
+        *parts,
         col(token_col).alias("_tok"),
         (lit(1) if count_col is None else col(count_col)).cast("bigint").alias("_c"),
     )
     ex = rows.select(
-        "_tok", "_c", F.explode(F.sequence(lit(0), lit(depth - 1))).alias("j")
+        *parts, "_tok", "_c", F.explode(F.sequence(lit(0), lit(depth - 1))).alias("j")
     )
     return (
-        ex.select("j", _bucket(col("j"), col("_tok"), width).alias("bucket"), "_c")
-        .groupBy("j", "bucket")
+        ex.select(
+            *parts, "j", _bucket(col("j"), col("_tok"), width).alias("bucket"), "_c"
+        )
+        .groupBy(*parts, "j", "bucket")
         .agg(F.sum("_c").alias("cell"))
     )
+
+
+def cms_merge(partials: DataFrame) -> DataFrame:
+    """Merge partial sketches (any union of ``cms_build`` outputs,
+    extra partition columns welcome) into one cell table. Count-min
+    cells are plain sums, so merge-of-partials == build-over-the-whole
+    EXACTLY (pinned in tests and driver-hashed by
+    ``a_cms_rollup_merge``) — the property that lets a pipeline keep
+    per-day sketch parquet and answer over any date range without
+    rescanning raw history."""
+    return partials.groupBy("j", "bucket").agg(F.sum("cell").alias("cell"))
 
 
 def cms_estimate(
@@ -171,4 +189,43 @@ def bloom_hits(
     return (
         probed.groupBy(*group_cols)
         .agg((F.sum(F.when(col("_set"), 1).otherwise(0)) == k).alias(out_col))
+    )
+
+
+# ----------------------------------------------------------------- hll
+#
+# Mergeable distinct-count rollups via Spark's built-in Apache
+# DataSketches HLL (hll_sketch_agg / hll_union_agg — JVM-side,
+# sketch binaries never touch Python). Same rollup contract as
+# cms_build/cms_merge: persist one partial sketch per partition,
+# union later. Sketch bytes are engine-specific, so there is no SQL
+# oracle — accuracy is floored in pytest against exact counts, the
+# HLL_ERROR evidence pattern.
+
+
+def hll_partials(
+    df: DataFrame,
+    item_col: str,
+    partition_cols: list[str],
+    lg_k: int = 12,
+) -> DataFrame:
+    """One HLL sketch (binary) per partition value — the persistable
+    daily/ hourly rollup unit."""
+    return df.groupBy(*partition_cols).agg(
+        F.expr(f"hll_sketch_agg({item_col}, {lg_k})").alias("hll")
+    )
+
+
+def hll_merge_estimate(
+    partials: DataFrame,
+    group_cols: list[str] | None = None,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Union partial sketches (optionally regrouped on a coarser key,
+    e.g. day -> month) and estimate the merged distinct count. Merging
+    sketches is lossless relative to sketching the union — the
+    estimate equals what one pass over the raw history would give."""
+    gb = partials.groupBy(*group_cols) if group_cols else partials.groupBy()
+    return gb.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(hll))").alias(out_col)
     )

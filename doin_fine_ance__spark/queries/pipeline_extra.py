@@ -354,3 +354,82 @@ def d_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_RU_D, _RU_W, _RU_TOPK = 4, 512, 10
+
+_RU_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || CAST({u} AS VARCHAR)), 1, 8))"
+    f" AS UBIGINT) % {_RU_W}"
+)
+
+
+@query(
+    "a_cms_rollup_merge",
+    oracle=f"""
+    WITH exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM events GROUP BY user_id
+    ), js AS (
+      SELECT unnest(range(0, {_RU_D})) AS j
+    ), cells AS (
+      SELECT j, {_RU_BUCKET.format(j='j', u='user_id')} AS bucket,
+             SUM(exact_count) AS cell
+      FROM exact CROSS JOIN js GROUP BY 1, 2
+    ), top AS (
+      SELECT user_id, exact_count FROM exact
+      ORDER BY exact_count DESC, user_id LIMIT {_RU_TOPK}
+    ), est AS (
+      SELECT t.user_id, t.exact_count, MIN(c.cell) AS cms_estimate
+      FROM top t CROSS JOIN js
+      JOIN cells c
+        ON c.j = js.j
+       AND c.bucket = {_RU_BUCKET.format(j='js.j', u='t.user_id')}
+      GROUP BY 1, 2
+    )
+    SELECT user_id, exact_count,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
+    FROM est ORDER BY exact_count DESC, user_id
+    """,
+)
+def a_cms_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch rollup: per-DAY count-min partials over the event stream,
+    merged, then probed for the top-10 users by activity.
+
+    The engine takes the production rollup path — one partial cell
+    table per event day (the unit a pipeline persists), merged with
+    ``cms_merge`` — while the oracle builds one sketch over the whole
+    stream. The driver hash-matching both proves merge-of-partials ==
+    build-over-the-whole exactly, which is what lets 100 TB of history
+    answer heavy-hitter queries from a few KB of daily sketch parquet
+    instead of a rescan.
+    """
+    from ..operators.sketches import _bucket, cms_build, cms_merge
+
+    ev = load_table(spark, sf_dir, "events", ["ts", "user_id"]).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = cms_build(
+        ev, "user_id", depth=_RU_D, width=_RU_W, partition_cols=["day"]
+    )
+    cells = cms_merge(daily)
+    exact = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("exact_count")
+    )
+    top = exact.orderBy(F.desc("exact_count"), "user_id").limit(_RU_TOPK)
+    keys = top.select(
+        "*", F.explode(F.sequence(lit(0), lit(_RU_D - 1))).alias("j")
+    ).withColumn("bucket", _bucket(col("j"), col("user_id"), _RU_W))
+    return (
+        keys.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("cell").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_estimate",
+            (col("cms_estimate") - col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_count"), "user_id")
+    )

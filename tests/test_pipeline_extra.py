@@ -276,3 +276,62 @@ def test_bloom_probe_broadcasts_word_table(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ----------------------------------------------------- mergeable rollups
+
+from doin_fine_ance__spark.operators.sketches import (  # noqa: E402
+    cms_merge,
+    hll_merge_estimate,
+    hll_partials,
+)
+
+
+def test_cms_merge_of_partials_equals_whole_build(spark):
+    """The rollup theorem, exactly: per-day partial sketches merged ==
+    one sketch over the whole stream. Lets history answer heavy-hitter
+    queries from daily sketch parquet without a rescan."""
+    rows = [(f"d{i % 5}", f"t{i % 53}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "day string, token string")
+    daily = cms_build(df, "token", depth=4, width=64, partition_cols=["day"])
+    merged = sorted(cms_merge(daily).collect())
+    whole = sorted(cms_build(df, "token", depth=4, width=64).collect())
+    assert merged == whole
+    # and the partials really are per-day (5 sketches' worth of cells)
+    assert daily.select("day").distinct().count() == 5
+
+
+def test_hll_rollup_merge_within_error_floor(spark):
+    """Daily HLL partials unioned must estimate the TRUE overall
+    distinct count (users active on many days collapse), within the
+    sketch's error at lg_k=12 (~1.6% rsd; floored at 5%)."""
+    rows = [(i % 7, i % 997) for i in range(20000)]
+    df = spark.createDataFrame(rows, "day int, user long")
+    parts = hll_partials(df, "user", ["day"], lg_k=12)
+    assert parts.count() == 7
+    est = hll_merge_estimate(parts).first()["approx_distinct"]
+    assert abs(est - 997) / 997 <= 0.05
+
+
+def test_hll_rollup_regroup_to_coarser_key(spark):
+    """day -> week regroup: merged estimates per coarse group, each
+    within the floor of its exact distinct."""
+    rows = [(i % 14, i % (200 + (i % 14 >= 7) * 300)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "day int, user long")
+    parts = hll_partials(df, "user", ["day"], lg_k=12).withColumn(
+        "week", F.col("day") / 7 >= 1
+    )
+    ests = {
+        r.week: r.approx_distinct
+        for r in hll_merge_estimate(parts, ["week"]).collect()
+    }
+    exact = {
+        r.week: r.x
+        for r in df.withColumn("week", F.col("day") / 7 >= 1)
+        .groupBy("week")
+        .agg(F.countDistinct("user").alias("x"))
+        .collect()
+    }
+    assert set(ests) == set(exact)
+    for wk, ex in exact.items():
+        assert abs(ests[wk] - ex) / ex <= 0.05
