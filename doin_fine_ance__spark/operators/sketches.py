@@ -164,7 +164,10 @@ def bloom_hits(
     """Append ``out_col`` (boolean): true iff all ``k`` of the item's
     bits are set — the candidate survives the pre-screen. The word
     table is broadcast; the probe is map-side except the k-way
-    all-bits-set regroup on the candidate's own key."""
+    all-bits-set regroup on the candidate's own key. ``candidates``
+    rows must be unique (the regroup counts k probe rows per input
+    row; duplicates would collapse and miscount — ``.distinct()``
+    first if unsure)."""
     m = n_words * _BLOOM_BITS_PER_WORD
     group_cols = candidates.columns
     keys = candidates.select(
