@@ -92,6 +92,13 @@ HEADLINE = [
     # extractor behind its hash-exact fixture
     "s_cosine_topk_ivfpq",
     "t_main_text_extract",
+    # round 9, second sitting: chunking, fixed-point PageRank,
+    # count-min heavy hitters + rollup merge, Bloom pre-screen
+    "t_chunk_overlap",
+    "g_pagerank_nation_trade",
+    "a_heavy_hitters_cms",
+    "a_cms_rollup_merge",
+    "d_bloom_prescreen",
 ]
 
 
