@@ -63,6 +63,13 @@ explode/UNNEST (Spark ``explode(array(a, b))`` vs DuckDB
 column subset is unique, so window total order falls back to
 every-column ordering, the fan-out-join precedent).
 
+Round-9 second-sitting extensions guard the sketch/bitset idioms the
+engine now leans on: proj_md5mod (md5 -> first-8-hex -> int -> % width;
+Spark conv(,16,10) vs DuckDB CAST('0x'||.. AS UBIGINT) — the CMS/LSH
+bucket hash), proj_bitmask (shiftleft into a signed BIGINT word & mask,
+shift bounded to [0,29] — the Bloom word fold), and the bit_or
+aggregate (integer OR fold: exact, order-independent on both engines).
+
 Usage:
     python tools/fuzz_oracle.py [--n 200] [--sf-dir DIR] [--seed N]
 """
@@ -404,7 +411,9 @@ def _plan_project(rng: random.Random, cols: list[tuple[str, str]],
     if "str" in kinds:
         choices += ["keyword"]
     if "int" in kinds:
-        choices += ["mod"]
+        choices += ["mod", "bitmask"]
+    if kinds.get("int") or kinds.get("str"):
+        choices += ["md5mod"]
     if nullif_str or nullif_int:
         choices += ["nullif"]
     if coalesce_cands:
@@ -437,6 +446,20 @@ def _plan_project(rng: random.Random, cols: list[tuple[str, str]],
         lo, hi, _ = NUM_RANGE[c]
         return {"op": "proj_nullif", "col": c, "kind": "int",
                 "lit": str(rng.randint(int(lo), int(hi))), "as": new}
+    if kind == "bitmask":
+        # the Bloom-filter idiom: shift-left into a signed-BIGINT word,
+        # mask with &. abs()%30 keeps the shift in [0,29] — below
+        # DuckDB's 1<<63 overflow and the sign bit — on both engines.
+        return {"op": "proj_bitmask", "col": rng.choice(kinds["int"]),
+                "mask": rng.choice([1431655765, 2863311530, 4042322160]),
+                "as": new}
+    if kind == "md5mod":
+        # the sketch-bucket idiom: md5 -> first 8 hex -> int -> % width
+        # (Spark conv(,16,10) vs DuckDB CAST('0x'||... AS UBIGINT));
+        # doubles excluded — their string forms differ across engines.
+        c = rng.choice(kinds.get("int", []) + kinds.get("str", []))
+        return {"op": "proj_md5mod", "col": c,
+                "m": rng.choice([16, 64, 256, 1024]), "as": new}
     if kind == "coalesce":
         c, k = rng.choice(coalesce_cands)
         if k == "str":
@@ -459,7 +482,8 @@ def _apply_to_schema(op: dict, cols: list[tuple[str, str]]) -> list[tuple[str, s
     if o.startswith("proj_"):
         kind = {"proj_bucket": "int", "proj_dow": "int", "proj_keyword": "int",
                 "proj_mod": "int", "proj_month": "date", "proj_arith": "double",
-                "proj_explode": "double"}[o]
+                "proj_explode": "double", "proj_bitmask": "int",
+                "proj_md5mod": "int"}[o]
         return cols + [(op["as"], kind)]
     if o == "agg":
         out = [(g, k) for g, k in cols if g in op["groups"]]
@@ -519,6 +543,13 @@ def _plan_agg(rng: random.Random, cols: list[tuple[str, str]],
             c = rng.choice(anycol)
             aggs.append({"fn": "count_distinct", "col": c,
                          "as": f"cd_{c}", "kind": "int"})
+        elif (int_cands := [n for n, k in cols
+                            if k == "int" and n not in groups]) and pick < 0.9:
+            # bit_or: the Bloom/bitset fold — integer OR is exact and
+            # order-independent on both engines (two's complement)
+            c = rng.choice(int_cands)
+            aggs.append({"fn": "bit_or", "col": c,
+                         "as": f"bo_{c}", "kind": "int"})
         elif anycol:
             c, k = rng.choice([(n, k) for n, k in cols if n not in groups])
             fn = rng.choice(["min", "max"])
@@ -783,6 +814,14 @@ def build_case(ops: list[dict]):
                     f" {_q(op['pat'])}) THEN 1 ELSE 0 END AS INTEGER)")
         if o == "proj_mod":
             return f"CAST({op['col']} % {op['m']} AS BIGINT)"
+        if o == "proj_bitmask":
+            c = op["col"]
+            return (f"((CAST(1 AS BIGINT) << CAST(abs({c}) % 30 AS INT))"
+                    f" & CAST({op['mask']} AS BIGINT))")
+        if o == "proj_md5mod":
+            c = op["col"]
+            return (f"CAST(CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 8))"
+                    f" AS UBIGINT) % {op['m']} AS BIGINT)")
         if o == "proj_nullif":
             lit = _q(op["lit"]) if op["kind"] == "str" else op["lit"]
             return f"NULLIF({op['col']}, {lit})"
@@ -814,6 +853,19 @@ def build_case(ops: list[dict]):
             return pg.keyword_flag(op["col"], op["pat"])
         if op["op"] == "proj_mod":
             return (F.col(op["col"]) % op["m"]).cast("bigint")
+        if op["op"] == "proj_bitmask":
+            c = op["col"]
+            return F.expr(
+                f"shiftleft(1L, cast(abs({c}) % 30 as int))"
+                f" & cast({op['mask']} as bigint)"
+            )
+        if op["op"] == "proj_md5mod":
+            return F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col(op["col"]).cast("string")), 1, 8), 16, 10
+                ).cast("bigint"),
+                F.lit(op["m"]),
+            )
         if op["op"] == "proj_nullif":
             lit = op["lit"] if op["kind"] == "str" else int(op["lit"])
             c = F.col(op["col"])
@@ -1208,6 +1260,8 @@ def build_case(ops: list[dict]):
                 if fn == "avg_dec":
                     return (f"CAST(SUM(CAST({a['col']} AS DECIMAL(18,2))) AS DOUBLE)"
                             f" / CAST(COUNT({a['col']}) AS DOUBLE) AS {a['as']}")
+                if fn == "bit_or":
+                    return f"CAST(bit_or({a['col']}) AS BIGINT) AS {a['as']}"
                 return f"{fn}({a['col']}) AS {a['as']}"
 
             sel = ", ".join(list(groups) + [agg_sql(a) for a in aggs])
@@ -1246,6 +1300,8 @@ def build_case(ops: list[dict]):
                     elif fn == "avg_dec":
                         e = (F.sum(F.col(a["col"]).cast("decimal(18,2)")).cast("double")
                              / F.count(a["col"]).cast("double"))
+                    elif fn == "bit_or":
+                        e = F.expr(f"bit_or({a['col']})").cast("bigint")
                     elif fn == "min":
                         e = F.min(a["col"])
                     else:
