@@ -167,6 +167,150 @@ def decode_bmp(data: bytes):
     return rows[::-1, :, ::-1].copy()  # bottom-up BGR → top-down RGB
 
 
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr, filter_type: int = 0) -> bytes:
+    """numpy (H, W, 3) uint8 RGB → real PNG bytes (color type 2,
+    8-bit, non-interlaced; stdlib zlib deflate). ``filter_type``
+    selects the per-row filter (0-4) — 0 for production, the others
+    exist so tests exercise every unfilter path in decode_png."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    raw = arr.astype(np.int16)
+    left = np.zeros_like(raw)
+    left[:, 1:] = raw[:, :-1]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, 1:] = raw[:-1, :-1]
+    if filter_type == 0:
+        filt = raw
+    elif filter_type == 1:
+        filt = raw - left
+    elif filter_type == 2:
+        filt = raw - up
+    elif filter_type == 3:
+        filt = raw - (left + up) // 2
+    elif filter_type == 4:
+        p = left + up - upleft
+        pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+        filt = raw - pred
+    else:
+        raise ValueError(f"PNG filter type must be 0-4, got {filter_type}")
+    scan = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8),
+         (filt & 0xFF).astype(np.uint8).reshape(h, 3 * w)],
+        axis=1,
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes):
+    """Real PNG bytes → numpy (H, W, 3) uint8 RGB. Stdlib-only (zlib
+    inflate + the five unfilters in numpy). Supports 8-bit non-
+    interlaced grayscale / RGB / palette / gray+alpha / RGBA (alpha is
+    dropped — the registry contract is (H, W, 3)); other variants
+    raise with the unsupported parameters named. A baseline codec for
+    the registry seam — deployments with PIL/libpng register that
+    instead (llm/multimodal.py registry docs)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte = len(PNG_SIGNATURE), None, [], None
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt_method, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt_method != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color_type={color}, "
+            f"interlace={interlace}) — register a full codec for these"
+        )
+    stride = w * channels
+    scan = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    scan = scan.reshape(h, stride + 1)
+    filters, rows = scan[:, 0], scan[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    for y in range(h):
+        f, cur = int(filters[y]), rows[y].copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            out[y] = cur
+        elif f == 2:  # Up — no left dependency, vectorized
+            out[y] = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+            row = out[y]
+            for x in range(stride):
+                a = row[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f} on row {y}")
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if color == 2:
+        return px.copy()
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[px[:, :, 0]]
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()  # RGBA → drop alpha
+
+
 def _resize_nearest(arr, width: int, height: int):
     import numpy as np
 
@@ -208,7 +352,12 @@ def decode_raw_bmp_video(data: bytes):
 
 
 # mime → (decode bytes → ndarray, encode ndarray → bytes)
-IMAGE_DECODERS: dict[str, tuple] = {"image/bmp": (decode_bmp, encode_bmp)}
+# image/png is a REAL compressed format (zlib deflate + the five PNG
+# filters), stdlib-only — see encode_png/decode_png above.
+IMAGE_DECODERS: dict[str, tuple] = {
+    "image/bmp": (decode_bmp, encode_bmp),
+    "image/png": (decode_png, encode_png),
+}
 # mime → decode bytes → (frame_ms, [frame payload bytes])
 VIDEO_DECODERS: dict[str, object] = {"video/x-raw-bmp": decode_raw_bmp_video}
 
@@ -226,8 +375,8 @@ def _require(registry: dict, mime: str, stage: str):
         raise NotImplementedError(
             f"{stage}: no decoder registered for mime {mime!r} (this "
             "container ships no codec libraries — register one via "
-            "register_image_decoder/register_video_decoder; image/bmp and "
-            "video/x-raw-bmp work out of the box)"
+            "register_image_decoder/register_video_decoder; image/bmp, "
+            "image/png and video/x-raw-bmp work out of the box)"
         )
     return registry[mime]
 

@@ -155,11 +155,11 @@ def test_ann_ivf_recall_on_near_neighbors(spark):
 
 def test_multimodal_plumbing_batch_shape(spark):
     rows = [
-        (1, "image", "image/png", 64, 64, None, b"\x89PNG fake bytes 1"),
-        (2, "image", "image/png", 32, 32, None, b"\x89PNG fake bytes 2"),
+        (1, "image", "image/jpeg", 64, 64, None, b"\xff\xd8 fake jpeg 1"),
+        (2, "image", "image/jpeg", 32, 32, None, b"\xff\xd8 fake jpeg 2"),
         (3, "audio", "audio/wav", None, None, 4000, b"RIFF fake audio"),
         (4, "video", "video/mp4", 640, 480, 120000, b"\x00\x00ftyp fake video"),
-        (5, "image", "image/png", 8, 8, None, None),  # NULL payload
+        (5, "image", "image/jpeg", 8, 8, None, None),  # NULL payload
     ]
     media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
     feats = extract_media_features(media)
@@ -173,7 +173,9 @@ def test_multimodal_plumbing_batch_shape(spark):
     # unregistered mimes declare themselves loudly at execution
     from doin_fine_ance__spark.llm.multimodal import resize_images
 
-    with pytest.raises(Exception, match="no decoder registered.*image/png"):
+    # image/png now HAS a real stdlib codec; jpeg remains the
+    # registry's designed unregistered-mime contract
+    with pytest.raises(Exception, match="no decoder registered.*image/jpeg"):
         resize_images(media, 32, 32).collect()
 
 
@@ -1523,3 +1525,93 @@ def test_semantic_dedup_hot_cell_cap_bounds_group_size(spark):
     }
     capped = {(r["vec_id"], r["keep"]) for r in res if r["vec_id"] >= 10_000}
     assert capped == uncapped
+
+
+def test_png_codec_round_trip_all_filters():
+    """Real PNG (zlib deflate + the five scanline filters), stdlib-only:
+    every filter type must survive encode -> decode bit-exactly."""
+    import numpy as np
+
+    from doin_fine_ance__spark.llm.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(23, 17, 3), dtype=np.uint8)
+    for ft in range(5):
+        assert np.array_equal(decode_png(encode_png(img, filter_type=ft)), img)
+    with pytest.raises(ValueError, match="filter type"):
+        encode_png(img, filter_type=5)
+
+
+def test_png_decode_color_variants():
+    """Grayscale, palette, gray+alpha, and RGBA all decode to the
+    registry's (H, W, 3) RGB contract (alpha dropped, palette looked
+    up); unsupported depths name their parameters."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from doin_fine_ance__spark.llm.multimodal import (
+        PNG_SIGNATURE,
+        _png_chunk,
+        decode_png,
+    )
+
+    def make_png(color, px, w, h, plte=None, channels=1, depth=8):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+        rows = b"".join(
+            b"\x00" + px[y * w * channels : (y + 1) * w * channels]
+            for y in range(h)
+        )
+        chunks = _png_chunk(b"IHDR", ihdr)
+        if plte is not None:
+            chunks += _png_chunk(b"PLTE", plte)
+        chunks += _png_chunk(b"IDAT", zlib.compress(rows)) + _png_chunk(b"IEND", b"")
+        return PNG_SIGNATURE + chunks
+
+    g = bytes(range(12))
+    img = decode_png(make_png(0, g, 4, 3))
+    assert img.shape == (3, 4, 3)
+    assert (img[:, :, 0] == img[:, :, 2]).all()
+    assert (img[:, :, 0].flatten() == np.frombuffer(g, dtype=np.uint8)).all()
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    img = decode_png(make_png(3, bytes([0, 1, 2, 1]), 2, 2, plte=pal))
+    assert tuple(img[0, 0]) == (255, 0, 0) and tuple(img[1, 0]) == (0, 0, 255)
+
+    img = decode_png(make_png(6, bytes([10, 20, 30, 255, 40, 50, 60, 0]), 2, 1,
+                              channels=4))
+    assert tuple(img[0, 1]) == (40, 50, 60)  # alpha dropped, not composited
+
+    img = decode_png(make_png(4, bytes([100, 255, 200, 0]), 2, 1, channels=2))
+    assert tuple(img[0, 0]) == (100, 100, 100)
+
+    with pytest.raises(ValueError, match="depth=16"):
+        decode_png(make_png(0, bytes(24), 4, 3, depth=16))
+
+
+def test_resize_images_end_to_end_png(spark):
+    """The full distributed path over a REAL compressed format: PNG
+    rows decode, resize, and re-encode as PNG inside mapInPandas."""
+    import numpy as np
+
+    from doin_fine_ance__spark.llm.multimodal import (
+        decode_png,
+        encode_png,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(17)
+    imgs = {i: rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8) for i in (1, 2)}
+    media = spark.createDataFrame(
+        [(i, "image", "image/png", 12, 16, None, encode_png(a))
+         for i, a in imgs.items()],
+        schema=MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in resize_images(media, 6, 4).collect()}
+    assert set(out) == {1, 2}
+    for i, r in out.items():
+        arr = decode_png(bytes(r.content))
+        assert arr.shape == (4, 6, 3)
+        src = imgs[i].reshape(-1, 3)
+        assert all(any((src == px).all(axis=1)) for px in arr.reshape(-1, 3))
