@@ -32,10 +32,21 @@ from pyspark.sql.functions import col, lit
 def _bucket(j, token, width: int):
     """md5-derived bucket for sketch row ``j`` — identical in DuckDB as
     ``CAST(('0x' || substr(md5(j || ':' || token), 1, 8)) AS UBIGINT)
-    % width`` (parity pinned in tests)."""
+    % width`` (parity pinned in tests). NULL-parity too (ADVICE r9):
+    ``F.concat`` null-propagates exactly like SQL ``||``, so a NULL
+    token yields a NULL bucket in BOTH engines — it can never silently
+    collide into the bucket of ``str(j)`` the way ``concat_ws`` (which
+    skips NULLs) allowed."""
     return F.pmod(
-        F.conv(F.substring(F.md5(F.concat_ws(":", j, token)), 1, 8), 16, 10)
-        .cast("bigint"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(j.cast("string"), lit(":"), token.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
         lit(width),
     )
 
@@ -53,9 +64,12 @@ def cms_build(
     a pre-aggregated ``(token, count)`` table. Both yield identical
     cells. ``partition_cols`` keeps one PARTIAL sketch per partition
     value (e.g. per day) — the rollup shape: persist partials, merge
-    later with :func:`cms_merge` instead of rescanning history."""
+    later with :func:`cms_merge` instead of rescanning history.
+    NULL tokens are dropped up front (ADVICE r9): they have no
+    meaningful identity to count, and the null-propagating bucket hash
+    would otherwise emit a junk NULL-bucket cell."""
     parts = list(partition_cols or [])
-    rows = df.select(
+    rows = df.filter(col(token_col).isNotNull()).select(
         *parts,
         col(token_col).alias("_tok"),
         (lit(1) if count_col is None else col(count_col)).cast("bigint").alias("_c"),
@@ -93,15 +107,39 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-query the sketch: for each row of ``tokens`` append the
     count-min estimate ``min_j cell[j][bucket_j(token)]``. The cell
-    table is at most ``depth * width`` rows — always broadcast."""
+    table is at most ``depth * width`` rows — always broadcast.
+
+    Empty buckets count as 0 (ADVICE r9: the previous inner join
+    dropped probe rows whose cell was never touched — a token absent
+    from the stream vanished from the output instead of estimating 0,
+    and partially-empty probes over-estimated by taking min over only
+    the non-empty cells). Every input row survives: out-of-stream
+    tokens estimate 0, and NULL tokens estimate 0 (their bucket is
+    NULL, so every probe misses — see :func:`_bucket`).
+
+    ``tokens`` rows must be unique: the regroup keys on all candidate
+    columns, so duplicate rows collapse to one output row
+    (``.distinct()`` first if unsure) — same contract as
+    :func:`bloom_hits`. Internal probe columns are ``__cms_``-prefixed
+    and a candidate column with those names raises rather than
+    corrupting the probe."""
+    for reserved in ("__cms_j", "__cms_bucket", "cell", out_col):
+        if reserved in tokens.columns:
+            raise ValueError(
+                f"cms_estimate: candidate column {reserved!r} collides "
+                "with an internal probe column — rename it first"
+            )
     keys = tokens.select(
-        "*", F.explode(F.sequence(lit(0), lit(depth - 1))).alias("j")
-    ).withColumn("bucket", _bucket(col("j"), col(token_col), width))
+        "*", F.explode(F.sequence(lit(0), lit(depth - 1))).alias("__cms_j")
+    ).withColumn("__cms_bucket", _bucket(col("__cms_j"), col(token_col), width))
     group_cols = tokens.columns
+    cells = cells.select(
+        col("j").alias("__cms_j"), col("bucket").alias("__cms_bucket"), "cell"
+    )
     return (
-        keys.join(F.broadcast(cells), ["j", "bucket"])
+        keys.join(F.broadcast(cells), ["__cms_j", "__cms_bucket"], "left")
         .groupBy(*group_cols)
-        .agg(F.min("cell").alias(out_col))
+        .agg(F.min(F.coalesce(col("cell"), lit(0))).alias(out_col))
     )
 
 
@@ -131,13 +169,19 @@ def bloom_build(
     """OR-fold the reference set into ``(word bigint, bits bigint)``
     (at most ``n_words`` rows — broadcast-sized at any reference-set
     cardinality). md5 position hashes, so the identical filter can be
-    rebuilt in SQL."""
+    rebuilt in SQL. NULL items are dropped (ADVICE r9): a NULL has no
+    membership identity and must not set bits — the null-propagating
+    position hash (see :func:`_bucket`) backs the same behavior on the
+    probe side."""
     m = n_words * _BLOOM_BITS_PER_WORD
-    ex = items.select(col(item_col).alias("_it")).select(
-        "_it", F.explode(F.sequence(lit(0), lit(k - 1))).alias("j")
+    ex = (
+        items.filter(col(item_col).isNotNull())
+        .select(col(item_col).alias("_it"))
+        .select("_it", F.explode(F.sequence(lit(0), lit(k - 1))).alias("j"))
     )
     pos = F.pmod(
-        F.conv(F.substring(F.md5(F.concat_ws(":", col("j"), col("_it"))), 1, 8), 16, 10)
+        F.conv(F.substring(F.md5(F.concat(col("j").cast("string"), lit(":"),
+                                          col("_it").cast("string"))), 1, 8), 16, 10)
         .cast("bigint"),
         lit(m),
     )
@@ -167,31 +211,52 @@ def bloom_hits(
     all-bits-set regroup on the candidate's own key. ``candidates``
     rows must be unique (the regroup counts k probe rows per input
     row; duplicates would collapse and miscount — ``.distinct()``
-    first if unsure)."""
+    first if unsure). A NULL item never passes: its position hash
+    null-propagates, every word lookup misses, and the hit flag comes
+    out false — matching :func:`bloom_build` dropping NULLs. Internal
+    probe columns are ``__bloom_``-prefixed (ADVICE r9) and a
+    candidate column with those names raises rather than corrupting
+    the probe."""
+    for reserved in ("__bloom_j", "__bloom_pos", "__bloom_word",
+                     "__bloom_mask", "__bloom_set", "bits", out_col):
+        if reserved in candidates.columns:
+            raise ValueError(
+                f"bloom_hits: candidate column {reserved!r} collides "
+                "with an internal probe column — rename it first"
+            )
     m = n_words * _BLOOM_BITS_PER_WORD
     group_cols = candidates.columns
     keys = candidates.select(
-        "*", F.explode(F.sequence(lit(0), lit(k - 1))).alias("j")
+        "*", F.explode(F.sequence(lit(0), lit(k - 1))).alias("__bloom_j")
     ).withColumn(
-        "pos",
+        "__bloom_pos",
         F.pmod(
             F.conv(
-                F.substring(F.md5(F.concat_ws(":", col("j"), col(item_col))), 1, 8),
+                F.substring(
+                    F.md5(F.concat(col("__bloom_j").cast("string"), lit(":"),
+                                   col(item_col).cast("string"))),
+                    1,
+                    8,
+                ),
                 16,
                 10,
             ).cast("bigint"),
             lit(m),
         ),
-    ).withColumn("word", F.expr(f"pos div {_BLOOM_BITS_PER_WORD}")).withColumn(
-        "mask",
-        F.expr(f"shiftleft(1L, cast(pos % {_BLOOM_BITS_PER_WORD} as int))"),
+    ).withColumn(
+        "__bloom_word", F.expr(f"__bloom_pos div {_BLOOM_BITS_PER_WORD}")
+    ).withColumn(
+        "__bloom_mask",
+        F.expr(f"shiftleft(1L, cast(__bloom_pos % {_BLOOM_BITS_PER_WORD} as int))"),
     )
-    probed = keys.join(F.broadcast(words), "word", "left").withColumn(
-        "_set", (F.coalesce(col("bits"), lit(0)).bitwiseAND(col("mask")) != 0)
+    words = words.select(col("word").alias("__bloom_word"), "bits")
+    probed = keys.join(F.broadcast(words), "__bloom_word", "left").withColumn(
+        "__bloom_set",
+        (F.coalesce(col("bits"), lit(0)).bitwiseAND(col("__bloom_mask")) != 0),
     )
     return (
         probed.groupBy(*group_cols)
-        .agg((F.sum(F.when(col("_set"), 1).otherwise(0)) == k).alias(out_col))
+        .agg((F.sum(F.when(col("__bloom_set"), 1).otherwise(0)) == k).alias(out_col))
     )
 
 

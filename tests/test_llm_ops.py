@@ -1463,19 +1463,23 @@ def test_ivf_compact_is_reader_safe(spark, tmp_path, monkeypatch):
 
 
 def test_semantic_dedup_hot_cell_cap_bounds_group_size(spark):
-    """VERDICT r8 #5: a skewed embedding distribution can land one
-    giant cell whose quadratic Gram would OOM a task. With the cap,
-    the planted mega-cell (2000 near-identical vectors → ONE cell,
-    including the degenerate all-duplicates case geometry can't split)
-    is salted into sub-cells no task sees more of than ~cap rows; the
-    dedup still collapses the group to ≤ n_sub survivors. Cells under
-    the cap are byte-identical to the uncapped semantics."""
+    """VERDICT r8 #5 / r9 #1: a skewed embedding distribution can land
+    one giant cell whose quadratic Gram would OOM a task. At the
+    PRODUCTION cap (default_cell_cap() = 16,384 rows for the 2 GiB
+    task Gram budget — no test-only constant), the planted mega-cell
+    (17,000 near-identical vectors → ONE cell, including the
+    degenerate all-duplicates case geometry can't split) is salted
+    into sub-cells no task sees more of than ~cap rows; the dedup
+    still collapses the group to ≤ n_sub survivors. Cells under the
+    cap are byte-identical to the uncapped semantics."""
     import numpy as np
 
     from doin_fine_ance__spark.llm.ann import ivf_assign
-    from doin_fine_ance__spark.llm.dedup import semantic_dedup
+    from doin_fine_ance__spark.llm.dedup import default_cell_cap, semantic_dedup
 
-    dim, n_hot, cap = 8, 2000, 200
+    cap = default_cell_cap()
+    assert cap == 16_384  # floor(sqrt(2 GiB / 8 bytes))
+    dim, n_hot = 8, cap + 616  # 17,000: exceeds the production cap
     base = [1.0] * dim
     rows = [
         # near-identical mega-group: all cosine ≈ 1 with each other
@@ -1484,7 +1488,7 @@ def test_semantic_dedup_hot_cell_cap_bounds_group_size(spark):
     ]
     # a small far-away cluster that must stay under uncapped semantics
     rows += [
-        (10_000 + i, [(-1.0) ** j * (2.0 + 0.3 * ((i + j) % 3)) for j in range(dim)])
+        (100_000 + i, [(-1.0) ** j * (2.0 + 0.3 * ((i + j) % 3)) for j in range(dim)])
         for i in range(5)
     ]
     emb = spark.createDataFrame(rows, "vec_id long, q array<double>")
@@ -1497,33 +1501,39 @@ def test_semantic_dedup_hot_cell_cap_bounds_group_size(spark):
     }
     assert sizes[0] == n_hot
 
-    out = semantic_dedup(assigned, threshold=0.35, max_cell_size=cap)
+    out = semantic_dedup(assigned, threshold=0.35)  # production default cap
     res = out.collect()
     assert len(res) == n_hot + 5
-    kept_hot = [r["vec_id"] for r in res if r["keep"] and r["vec_id"] < 10_000]
+    kept_hot = [r["vec_id"] for r in res if r["keep"] and r["vec_id"] < 100_000]
     n_sub = -(-n_hot // cap)
     # the mega-group collapses to at most one survivor per sub-cell
     assert 1 <= len(kept_hot) <= n_sub, len(kept_hot)
-    # the task-level bound: replicate the salting and check group sizes
+    # the task-level bound: replicate the (md5, engine-exact) salting
+    # and check no task group exceeds ~1.5× the cap
     salted = assigned.withColumn(
         "_sub",
         F.when(
             F.col("list_id") == 0,
-            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_sub)),
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+                ).cast("bigint"),
+                F.lit(n_sub),
+            ),
         ).otherwise(F.lit(0)).cast("int"),
     )
     biggest = (
         salted.groupBy("list_id", "_sub").count().agg(F.max("count")).first()[0]
     )
-    # xxhash64 salting is near-uniform: no group beyond ~1.5× the cap
+    # md5 salting is near-uniform: no group beyond ~1.5× the cap
     assert biggest <= 1.5 * cap, biggest
-    # cold cells: identical to the uncapped run
+    # cold cells: identical to the truly-uncapped run (max_cell_size=0)
     uncapped = {
         (r["vec_id"], r["keep"])
-        for r in semantic_dedup(assigned, threshold=0.35).collect()
-        if r["vec_id"] >= 10_000
+        for r in semantic_dedup(assigned, threshold=0.35, max_cell_size=0).collect()
+        if r["vec_id"] >= 100_000
     }
-    capped = {(r["vec_id"], r["keep"]) for r in res if r["vec_id"] >= 10_000}
+    capped = {(r["vec_id"], r["keep"]) for r in res if r["vec_id"] >= 100_000}
     assert capped == uncapped
 
 
@@ -1615,3 +1625,136 @@ def test_resize_images_end_to_end_png(spark):
         assert arr.shape == (4, 6, 3)
         src = imgs[i].reshape(-1, 3)
         assert all(any((src == px).all(axis=1)) for px in arr.reshape(-1, 3))
+
+
+def test_semantic_dedup_capped_path_matches_duckdb_salted_oracle(spark):
+    """Cross-engine parity of the SALTED path itself (VERDICT r9 #1):
+    with a cap small enough to trigger, the md5 sub-cell assignment
+    and the within-(cell, sub) greedy keep-first must reproduce
+    bit-for-bit in DuckDB running the same salted SQL the
+    d_semantic_dedup oracle uses. The driver's scale factors never
+    trigger the cap, so this pins the live branch of the oracle."""
+    import duckdb
+    import pandas as pd
+
+    from doin_fine_ance__spark.llm.ann import ivf_assign
+    from doin_fine_ance__spark.llm.dedup import semantic_dedup
+
+    cap, dim = 50, 6
+    rows = []
+    # hot cell: 170 vectors around +1 (many mutual dups at 0.35)
+    for i in range(170):
+        rows.append((i, [float(round(1000.0 + (i % 13) * (j + 1))) for j in range(dim)]))
+    # cold cell: 30 spread-out vectors around -1
+    for i in range(30):
+        rows.append(
+            (1000 + i, [float(round(-1000.0 - ((i + j) % 17) * 40.0 * ((-1) ** j)))
+                        for j in range(dim)])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, q array<double>")
+    centroids = [[1000.0] * dim, [-1000.0 if j % 2 == 0 else 1000.0
+                                  for j in range(dim)]]
+    # make centroid 1 actually capture the cold cluster
+    centroids[1] = [-1000.0] * dim
+    assigned = ivf_assign(emb, centroids, vec_col="q")
+    got = {
+        (r["vec_id"], r["keep"])
+        for r in semantic_dedup(assigned, threshold=0.35,
+                                max_cell_size=cap).collect()
+    }
+
+    apdf = assigned.toPandas()
+    apdf["q"] = apdf["q"].apply(list)
+    con = duckdb.connect()
+    con.register("assigned", apdf)
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    sql = """
+    WITH counts AS (
+      SELECT list_id, count(*) AS cnt FROM assigned GROUP BY list_id
+    ), salted AS (
+      SELECT a.vec_id, a.q, a.list_id,
+             CASE WHEN c.cnt > {cap}
+                  THEN CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))
+                            AS UBIGINT) % ((c.cnt + {cap} - 1) // {cap})
+                  ELSE 0 END AS sub
+      FROM assigned a JOIN counts c USING (list_id)
+    ), dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM salted a JOIN salted b
+        ON a.list_id = b.list_id AND a.sub = b.sub
+       AND b.vec_id < a.vec_id AND {ab} >= 0.35
+    )
+    SELECT a.vec_id, (d.vec_id IS NULL) AS keep
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """.format(cap=cap, ab=cos.format(a="a.q", b="b.q"))
+    want = {(int(r[0]), bool(r[1])) for r in con.execute(sql).fetchall()}
+    # precondition: the cap genuinely triggered (hot cell > cap)
+    hot = con.execute(
+        "SELECT max(cnt) FROM (SELECT count(*) cnt FROM assigned GROUP BY list_id)"
+    ).fetchone()[0]
+    assert hot > cap
+    assert got == want
+    # and the salting actually dropped fewer pairs than uncapped would
+    # (one keeper PER sub-cell can survive) — sanity that the branch ran
+    uncapped = {
+        (r["vec_id"], r["keep"])
+        for r in semantic_dedup(assigned, threshold=0.35,
+                                max_cell_size=0).collect()
+    }
+    assert sum(k for _, k in got) >= sum(k for _, k in uncapped)
+
+
+def test_containment_prefix_recall_floor_and_banded_bias(spark):
+    """VERDICT r9 #4, the pytest floor behind
+    CONTAINMENT_QUALITY_r10.json: on planted short-inside-long
+    inclusions the exact prefix-filter join finds EVERY pair at every
+    length ratio (recall 1.0 by pigeonhole theorem — including
+    ratio 0.05, where Jaccard-banded candidate generation measures
+    0.0), and returns no pair below threshold (exact verify)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.containment_quality import containment_corpus
+
+    from doin_fine_ance__spark.llm.dedup import (
+        containment_prefix_pairs,
+        release_token_stores,
+    )
+
+    docs, planted = containment_corpus(
+        spark, n_base=120, n_planted_per_ratio=8, vocab_size=4000,
+        ratios=(0.05, 0.25, 0.9),
+    )
+    got = containment_prefix_pairs(docs, threshold=0.9).collect()
+    release_token_stores()
+    found = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in got}
+    for p in planted:
+        key = (min(p["id_a"], p["id_b"]), max(p["id_a"], p["id_b"]))
+        assert key in found, f"missed planted inclusion at ratio {p['ratio']}"
+    assert all(r.containment >= 0.9 for r in got)
+    # id ordering contract
+    assert all(r.id_a < r.id_b for r in got)
+
+
+def test_containment_prefix_threshold_arithmetic_exact(spark):
+    """The per-mille integer prefix length must honor the pigeonhole
+    bound where the naive float form fails: |A|=10 at t=0.9 needs a
+    2-token prefix (floor((1-0.9)*10)+1 computes 1 in binary float).
+    Planted: a 10-distinct-token doc sharing exactly 9 tokens with its
+    host — containment exactly 0.9, must be found."""
+    host = " ".join(f"w{i}" for i in range(40))
+    short = " ".join([f"w{i}" for i in range(9)] + ["zzz_unique"])
+    docs = spark.createDataFrame(
+        [(0, host), (1, short)], "doc_id long, text string"
+    )
+    from doin_fine_ance__spark.llm.dedup import (
+        containment_prefix_pairs,
+        release_token_stores,
+    )
+
+    rows = containment_prefix_pairs(docs, threshold=0.9).collect()
+    release_token_stores()
+    assert [(r.id_a, r.id_b, round(r.containment, 6)) for r in rows] == [
+        (0, 1, 0.9)
+    ]

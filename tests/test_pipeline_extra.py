@@ -146,6 +146,39 @@ def test_pagerank_rejects_bad_damping(spark):
         pagerank_fixed_point(e, damping_pct=101)
 
 
+def test_pagerank_30_iterations_bounded_plan_and_exact(spark):
+    """VERDICT r9 #8: crawl-rank iteration counts (30+) must not blow
+    up Catalyst planning. With periodic lineage truncation the FINAL
+    plan holds at most materialize_every iterations of joins — its
+    size is pinned well below the unbounded unroll — and the ranks
+    still match the pure-Python fixed-point reference bit-for-bit."""
+    e = spark.createDataFrame(_GRAPH, "src int, dst int, weight long")
+    out = pagerank_fixed_point(e, iterations=30, materialize_every=8)
+    plan = out._jdf.queryExecution().logical().toString()
+    got = {r.node: r.rank_fp for r in out.collect()}
+    assert got == _py_pagerank(_GRAPH, iterations=30)
+    # plan of the truncated loop covers <= 8 iterations of lineage:
+    # compare against a 8-iteration unmaterialized plan as the bound
+    ref_plan = (
+        pagerank_fixed_point(e, iterations=8, materialize_every=0)
+        ._jdf.queryExecution().logical().toString()
+    )
+    assert len(plan) <= len(ref_plan)
+
+
+def test_pagerank_safe_scale():
+    from doin_fine_ance__spark.operators.graph import pagerank_safe_scale
+
+    # the documented hub-absorbs-everything worst case stays in bigint
+    for n in (25, 9_000, 90_000_000):
+        s = pagerank_safe_scale(n)
+        assert n * s * 10**6 < 2**63
+        assert n * (s * 10) * 10**6 > 2**63 - 1  # largest such power of 10
+    assert pagerank_safe_scale(90_000_000) == 10**5
+    with pytest.raises(ValueError):
+        pagerank_safe_scale(10**12, ppm=10**7)
+
+
 # ------------------------------------------------------------ count-min
 
 
@@ -335,3 +368,59 @@ def test_hll_rollup_regroup_to_coarser_key(spark):
     assert set(ests) == set(exact)
     for wk, ex in exact.items():
         assert abs(ests[wk] - ex) / ex <= 0.05
+
+
+def test_cms_estimate_out_of_stream_and_null_tokens(spark):
+    """ADVICE r9: the probe left-joins the cell table, so a token the
+    stream never saw still gets an output row with estimate 0 (empty
+    buckets count as 0 — the CMS contract), and a NULL token estimates
+    0 via the null-propagating bucket hash instead of colliding into
+    str(j)'s bucket."""
+    stream = spark.createDataFrame(
+        [("alpha",)] * 5 + [("beta",)] * 2, "token string"
+    )
+    cells = cms_build(stream, "token", depth=4, width=64)
+    probes = spark.createDataFrame(
+        [("alpha",), ("never_seen_token",), (None,)], "token string"
+    )
+    got = {r["token"]: r["cms_estimate"]
+           for r in cms_estimate(probes, cells, "token", depth=4, width=64).collect()}
+    assert len(got) == 3  # every probe row survives, incl. NULL
+    assert got["alpha"] >= 5
+    assert got["never_seen_token"] == 0
+    assert got[None] == 0
+
+
+def test_cms_build_drops_null_tokens(spark):
+    stream = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,)], "token string"
+    )
+    cells = cms_build(stream, "token", depth=2, width=16)
+    # only 'a' contributes: every cell is exactly 2, none reflects NULLs
+    assert sorted(r["cell"] for r in cells.collect()) == [2, 2]
+
+
+def test_cms_estimate_rejects_colliding_candidate_columns(spark):
+    import pytest as _pytest
+
+    stream = spark.createDataFrame([("a",)], "token string")
+    cells = cms_build(stream, "token", depth=2, width=16)
+    bad = spark.createDataFrame([("a", 1)], "token string, __cms_j int")
+    with _pytest.raises(ValueError, match="__cms_j"):
+        cms_estimate(bad, cells, "token", depth=2, width=16)
+
+
+def test_bloom_null_items_dropped_and_never_hit(spark):
+    """ADVICE r9: NULL reference items set no bits; NULL candidates
+    never pass the pre-screen (position hash null-propagates)."""
+    import pytest as _pytest
+
+    ref = spark.createDataFrame([("x",), (None,), ("y",)], "item string")
+    words = bloom_build(ref, "item", n_words=64, k=3)
+    cand = spark.createDataFrame([("x",), (None,)], "item string")
+    got = {r["item"]: r["bloom_hit"]
+           for r in bloom_hits(cand, words, "item", n_words=64, k=3).collect()}
+    assert got == {"x": True, None: False}
+    bad = spark.createDataFrame([("x", 0)], "item string, __bloom_pos int")
+    with _pytest.raises(ValueError, match="__bloom_pos"):
+        bloom_hits(bad, words, "item", n_words=64, k=3)
