@@ -100,9 +100,10 @@ HEADLINE = [
     "a_cms_rollup_merge",
     "d_bloom_prescreen",
     # round 10: exact prefix-filter containment join; PNG-round-tripped
-    # perceptual image dedup
+    # perceptual image dedup; real-JPEG encode->decode readback
     "d_containment_prefix",
     "mm_image_neardups",
+    "mm_jpeg_roundtrip",
 ]
 
 

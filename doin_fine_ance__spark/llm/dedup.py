@@ -270,6 +270,7 @@ def containment_prefix_pairs(
     text_col: str = "text",
     threshold: float = 0.9,
     tokens_col: str | None = None,
+    proper: bool = False,
 ) -> DataFrame:
     """EXACT containment join via df-ordered prefix filtering — the
     unbiased candidate generator Jaccard-banded LSH cannot be for the
@@ -308,6 +309,20 @@ def containment_prefix_pairs(
     as the token sets directly — e.g. word-n-gram hashes for n-gram
     containment — instead of whitespace-splitting ``text_col``.
 
+    ``proper=True`` restricts to PROPER inclusions — the smaller set
+    strictly smaller than the larger (|A| < |B|) — the actual
+    quote/boilerplate/nested-document use case. This is also the
+    scale guardrail: a near-duplicate CLIQUE (N docs whose sets are
+    near-identical and equal-sized — replicated boilerplate) has
+    O(N²) qualifying equal-size pairs, so the unrestricted join's
+    OUTPUT is inherently quadratic in clique size (measured: 12.7M
+    pairs on the sf1-skew corpus, where the planted boilerplate
+    clique members differ only in an id token). Proper mode excludes
+    equal-size pairs at candidate generation, so cliques cost nothing;
+    equal-size duplicates are exact/near-dup DEDUP's job
+    (d_exact_dedup / MinHash-LSH), which a production pipeline runs
+    BEFORE a containment join anyway.
+
     The prefix length uses INTEGER arithmetic on a per-mille threshold
     (``required = ceil(t‰·|A| / 1000)``, ``prefix = |A| − required + 1``):
     the float form ``floor((1−t)·|A|)+1`` under-counts when ``1−t``
@@ -326,36 +341,52 @@ def containment_prefix_pairs(
         token_set = F.array_distinct(
             F.filter(F.split(F.lower(col(text_col)), r"\s+"), lambda x: x != "")
         )
+    # fan the tokenize/gram-hash map stage to full width: interpreted
+    # higher-order transforms (e.g. per-gram md5 when tokens_col is an
+    # n-gram expression) cost ~18 µs/element and a small parquet scan
+    # arrives in 1-2 partitions — same treatment as ngram_hashes
+    docs = _fan_out(docs)
     toks_flat = docs.select(
         col(id_col).alias("_id"), F.explode(token_set).alias("_tok")
     )
+    # The flat token table feeds FOUR plan branches (df counts, sizes,
+    # the ranked prefix, the inverted index) — without a persist the
+    # tokenize+explode (and any upstream n-gram/md5 work) runs four
+    # times. Same persist-not-checkpoint reasoning as _verified_pairs:
+    # keep statistics so small corpora still broadcast. Registered in
+    # the shared token-store cache for release_token_stores().
+    toks_flat = toks_flat.persist()
     dfreq = toks_flat.groupBy("_tok").agg(F.count("*").alias("_df"))
-    sized = toks_flat.groupBy("_id").agg(F.count("*").alias("_sz"))
-    w = Window.partitionBy("_id").orderBy(col("_df").asc(), col("_tok").asc())
-    ranked = toks_flat.join(dfreq, "_tok").withColumn(
-        "_rn", F.row_number().over(w)
+    # ONE window pass computes both the per-doc set size and the
+    # rarest-first rank (same _id partitioning — one exchange, two
+    # window ops); the inverted index reuses the same frame, so the
+    # earlier separate sized-groupBy + two _id joins are gone.
+    w_part = Window.partitionBy("_id")
+    w_rank = w_part.orderBy(col("_df").asc(), col("_tok").asc())
+    ranked = (
+        toks_flat.join(dfreq, "_tok")
+        .withColumn("_sz", F.count("*").over(w_part))
+        .withColumn("_rn", F.row_number().over(w_rank))
     )
-    prefix = (
-        ranked.join(sized, "_id")
-        .filter(
-            col("_rn")
-            <= col("_sz")
-            - F.expr(f"(_sz * {t_permille} + 999) div 1000")
-            + lit(1)
-        )
-        .select(col("_id").alias("_id_p"), "_tok", col("_sz").alias("_sz_p"))
-    )
-    index = toks_flat.join(sized, "_id").select(
+    prefix = ranked.filter(
+        col("_rn")
+        <= col("_sz") - F.expr(f"(_sz * {t_permille} + 999) div 1000") + lit(1)
+    ).select(col("_id").alias("_id_p"), "_tok", col("_sz").alias("_sz_p"))
+    index = ranked.select(
         col("_id").alias("_id_x"), "_tok", col("_sz").alias("_sz_x")
     )
     # probe with the SMALLER side's prefix (containment denominator is
     # min-size); equal sizes keep one orientation to avoid dup pairs
+    # (proper mode drops them entirely — see docstring)
+    if proper:
+        size_ok = col("_sz_p") < col("_sz_x")
+    else:
+        size_ok = (col("_sz_p") < col("_sz_x")) | (
+            (col("_sz_p") == col("_sz_x")) & (col("_id_p") < col("_id_x"))
+        )
     cands = (
         prefix.join(index, "_tok")
-        .filter(
-            (col("_sz_p") < col("_sz_x"))
-            | ((col("_sz_p") == col("_sz_x")) & (col("_id_p") < col("_id_x")))
-        )
+        .filter(size_ok)
         .select(
             F.least("_id_p", "_id_x").alias("id_a"),
             F.greatest("_id_p", "_id_x").alias("id_b"),
@@ -363,14 +394,19 @@ def containment_prefix_pairs(
         .distinct()
     )
     # exact verify on hashed token sets (same idiom as _verified_pairs:
-    # xxhash64 longs intersect identically to strings, ship 8 bytes)
-    toks = docs.select(
-        col(id_col),
-        F.transform(token_set, lambda x: F.xxhash64(x)).alias("tokens"),
-    ).persist()
+    # xxhash64 longs intersect identically to strings, ship 8 bytes) —
+    # rebuilt from the PERSISTED flat table, not from docs, so the
+    # tokenize/gram-hash map stage runs exactly once per call
+    toks = (
+        toks_flat.groupBy("_id")
+        .agg(F.collect_list(F.xxhash64(col("_tok"))).alias("tokens"))
+        .withColumnRenamed("_id", id_col)
+        .persist()
+    )
     with _TOKEN_STORES_LOCK:
         while _TOKEN_STORES:
             _TOKEN_STORES.pop().unpersist()
+        _TOKEN_STORES.append(toks_flat)
         _TOKEN_STORES.append(toks)
     ta = toks.select(col(id_col).alias("id_a"), col("tokens").alias("tok_a"))
     tb = toks.select(col(id_col).alias("id_b"), col("tokens").alias("tok_b"))

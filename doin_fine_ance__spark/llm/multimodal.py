@@ -354,9 +354,15 @@ def decode_raw_bmp_video(data: bytes):
 # mime → (decode bytes → ndarray, encode ndarray → bytes)
 # image/png is a REAL compressed format (zlib deflate + the five PNG
 # filters), stdlib-only — see encode_png/decode_png above.
+# image/jpeg is a REAL entropy-coded lossy format (baseline ITU-T T.81:
+# DCT + Annex-K quant/Huffman, 4:4:4 and 4:2:0, restart markers),
+# stdlib+numpy — see llm/jpeg.py.
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+
 IMAGE_DECODERS: dict[str, tuple] = {
     "image/bmp": (decode_bmp, encode_bmp),
     "image/png": (decode_png, encode_png),
+    "image/jpeg": (decode_jpeg, encode_jpeg),
 }
 # mime → decode bytes → (frame_ms, [frame payload bytes])
 VIDEO_DECODERS: dict[str, object] = {"video/x-raw-bmp": decode_raw_bmp_video}

@@ -106,12 +106,12 @@ DRIVER_WINDOW: list[str] = [
     "t_sequence_packing",
     "t_stratified_sample",
     # --- round-10 registrations (mid-round amendment, r4/r7
-    # precedent): swapped in for t_shuffle_order / t_domain_mix, which
-    # keep their green r8 rows ---
+    # precedent): swapped in for t_shuffle_order / t_domain_mix /
+    # t_simhash_fingerprints, which keep their green r8 rows ---
     "d_containment_prefix",
     "mm_image_neardups",
+    "mm_jpeg_roundtrip",
     "t_bigram_familiarity",
-    "t_simhash_fingerprints",
     "t_token_count_bpe",
     "t_top_tokens",
     "d_minhash_containment",

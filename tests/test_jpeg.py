@@ -1,0 +1,256 @@
+"""Baseline JPEG codec (llm/jpeg.py) — spec-conformance + determinism.
+
+No reference JPEG implementation exists in this container (no
+PIL/libjpeg/ffmpeg), so the evidence is: analytic fixtures whose
+correct decode is computable by hand from ITU-T T.81 (uniform blocks,
+DC-only math), round-trip closeness at every supported layout (4:4:4 /
+4:2:0 / grayscale / restart markers), byte-level marker structure
+checks, pinned fixture hashes (decode is a frozen pure function), and
+loud rejection of the unsupported T.81 modes.
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from doin_fine_ance__spark.llm.jpeg import (
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    QUANT_LUMA,
+    ZIGZAG,
+    _canonical_codes,
+    _quality_scaled,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _smooth(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            np.clip(y * 3 + x * 2, 0, 255),
+            np.clip(128 + y, 0, 255),
+            np.clip(60 + x * 2, 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_uniform_images_decode_exactly():
+    """A constant image has only a DC coefficient; quantize/dequantize
+    of the DC round-trips the level exactly for any value (T.81 A.3 —
+    the analytic case a hand calculation verifies)."""
+    for v in (0, 1, 77, 128, 254, 255):
+        u = np.full((8, 8, 3), v, np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(u, quality=85)), u)
+    # non-8-multiple size: edge padding must not bleed into the crop
+    u = np.full((5, 11, 3), 200, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(u)), u)
+
+
+def test_round_trip_close_at_every_layout():
+    img = _smooth(37, 53)
+    for kw in (
+        {},
+        {"subsampling": "420"},
+        {"restart_interval": 2},
+        {"subsampling": "420", "restart_interval": 3},
+    ):
+        data = encode_jpeg(img, quality=90, **kw)
+        dec = decode_jpeg(data)
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= 12, (kw, int(err.max()))
+        assert err.mean() <= 3.0, (kw, float(err.mean()))
+
+
+def test_grayscale_single_component_scan():
+    g = np.clip(np.add.outer(np.arange(21) * 7, np.arange(33) * 3), 0, 255).astype(
+        np.uint8
+    )
+    dec = decode_jpeg(encode_jpeg(g, quality=92))
+    assert dec.shape == (21, 33, 3)
+    # all three output channels replicate luma
+    assert np.array_equal(dec[:, :, 0], dec[:, :, 1])
+    err = np.abs(dec[:, :, 0].astype(int) - g.astype(int))
+    assert err.max() <= 12 and err.mean() <= 3.0
+
+
+def test_encode_is_deterministic_and_decode_is_pure():
+    img = _smooth(24, 40)
+    b1, b2 = encode_jpeg(img, quality=75), encode_jpeg(img, quality=75)
+    assert b1 == b2
+    d1, d2 = decode_jpeg(b1), decode_jpeg(b1)
+    assert np.array_equal(d1, d2)
+
+
+def test_pinned_fixture_hashes():
+    """Frozen evidence: the encoder's bytes and the decoder's pixels
+    for a fixed input must never drift (any change to DCT/quant/
+    Huffman/upsampling shows up here first)."""
+    img = _smooth(16, 16)
+    data = encode_jpeg(img, quality=80, subsampling="420")
+    dec = decode_jpeg(data)
+    enc_md5 = hashlib.md5(data).hexdigest()
+    dec_md5 = hashlib.md5(dec.tobytes()).hexdigest()
+    assert (enc_md5, dec_md5) == (
+        hashlib.md5(encode_jpeg(img, quality=80, subsampling="420")).hexdigest(),
+        hashlib.md5(decode_jpeg(data).tobytes()).hexdigest(),
+    )
+    # regenerate with: python -c "import tests.test_jpeg as t; t._print_pins()"
+    assert enc_md5 == PINNED_ENC_MD5, enc_md5
+    assert dec_md5 == PINNED_DEC_MD5, dec_md5
+
+
+PINNED_ENC_MD5 = "f07ce6e3b0f899fb7755be9aac13e589"
+PINNED_DEC_MD5 = "0c927c55b1944778cbfc10e33e8f6cd8"
+
+
+def _print_pins():
+    img = _smooth(16, 16)
+    data = encode_jpeg(img, quality=80, subsampling="420")
+    print(hashlib.md5(data).hexdigest())
+    print(hashlib.md5(decode_jpeg(data).tobytes()).hexdigest())
+
+
+def test_marker_structure():
+    """Byte-level JFIF conformance of the emitted stream: SOI, APP0
+    with the JFIF tag, two DQTs, SOF0 with 3 components, four DHTs,
+    SOS, EOI — everything a foreign baseline decoder needs, in order."""
+    data = encode_jpeg(_smooth(8, 8), quality=85)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert data[2:4] == b"\xff\xe0" and data[6:11] == b"JFIF\x00"
+    markers = []
+    pos = 2
+    while pos < len(data) - 1:
+        assert data[pos] == 0xFF
+        m = data[pos + 1]
+        markers.append(m)
+        if m == 0xDA:
+            break
+        seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        pos += 2 + seglen
+    assert markers.count(0xDB) == 2  # two quant tables
+    assert markers.count(0xC4) == 4  # four Huffman tables
+    assert 0xC0 in markers and markers[-1] == 0xDA
+    # DRI appears iff restart_interval is set
+    with_dri = encode_jpeg(_smooth(24, 24), restart_interval=1)
+    assert b"\xff\xdd" in with_dri
+    assert b"\xff\xd0" in with_dri  # at least one RST0
+
+
+def test_byte_stuffing_round_trip():
+    """An image tuned to emit 0xFF bytes in the entropy stream must
+    still round-trip (stuffed 0xFF00 never parses as a marker)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    data = encode_jpeg(img, quality=95)
+    stuffed = sum(
+        1 for i in range(len(data) - 1)
+        if data[i] == 0xFF and data[i + 1] == 0x00
+    )
+    assert stuffed > 0  # precondition: stuffing actually occurred
+    dec = decode_jpeg(data)
+    assert dec.shape == img.shape
+
+
+def test_unsupported_modes_raise_loudly():
+    base = encode_jpeg(_smooth(8, 8))
+    # progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError, match="quality"):
+        encode_jpeg(_smooth(8, 8), quality=0)
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(_smooth(8, 8), subsampling="422")
+
+
+def test_quality_scaling_formula():
+    """quality=50 is the unscaled Annex-K table; quality=100 is all
+    ones (lossless quantization); lower quality → coarser steps."""
+    assert list(_quality_scaled(QUANT_LUMA, 50)) == QUANT_LUMA
+    assert set(_quality_scaled(QUANT_LUMA, 100).tolist()) == {1}
+    q10, q90 = _quality_scaled(QUANT_LUMA, 10), _quality_scaled(QUANT_LUMA, 90)
+    assert (q10 >= q90).all() and (q10 > q90).any()
+
+
+def test_canonical_huffman_codes_prefix_free():
+    codes = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    assert len(codes) == len(AC_LUMA_VALS)
+    as_bits = {format(c, f"0{n}b") for c, n in codes.values()}
+    assert len(as_bits) == len(codes)
+    for a in as_bits:
+        for b in as_bits:
+            if a != b:
+                assert not b.startswith(a)
+
+
+def test_zigzag_is_a_permutation():
+    assert sorted(ZIGZAG) == list(range(64))
+    # spot-check the documented T.81 Figure-5 corners
+    assert ZIGZAG[0] == 0 and ZIGZAG[1] == 1 and ZIGZAG[2] == 8
+    assert ZIGZAG[63] == 63
+
+
+def test_resize_images_end_to_end_jpeg(spark):
+    """The registry seam: JPEG rows flow through the distributed
+    resize (decode → nearest resize → re-encode as JPEG) and decode
+    back at the target size with content preserved within lossy
+    tolerance."""
+    from doin_fine_ance__spark.llm.multimodal import MEDIA_SCHEMA, resize_images
+
+    imgs = {i: np.full((16, 16, 3), 30 + i * 40, np.uint8) for i in range(4)}
+    rows = [
+        (i, "image", "image/jpeg", 16, 16, None, encode_jpeg(a))
+        for i, a in imgs.items()
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_images(media, 4, 4).collect()}
+    assert set(out) == set(imgs)
+    for i, r in out.items():
+        assert (r.width, r.height) == (4, 4)
+        arr = decode_jpeg(bytes(r.content))
+        assert arr.shape == (4, 4, 3)
+        err = np.abs(arr.astype(int) - int(30 + i * 40))
+        assert err.max() <= 4  # uniform image: near-exact through 2 lossy hops
+
+
+def test_image_ahash_over_jpeg(spark):
+    """Perceptual hashing accepts JPEG payloads through the registry:
+    a re-encoded (lossy) copy of an image hashes within a few bits of
+    the original — the dedup property JPEG ingestion needs."""
+    from doin_fine_ance__spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        image_ahash64,
+    )
+
+    # structured content (gradient + stripes): the perceptual-hash
+    # shape JPEG preserves — random noise is exactly what lossy
+    # coding deletes, so it is the wrong fixture here
+    y, x = np.mgrid[0:24, 0:24]
+    base = np.stack(
+        [
+            np.clip(y * 10, 0, 255),
+            np.clip(x * 10, 0, 255),
+            ((x // 4) % 2) * 200,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    jpg = decode_jpeg(encode_jpeg(base, quality=90))
+    rows = [
+        (1, "image", "image/png", 24, 24, None, encode_png(base)),
+        (2, "image", "image/jpeg", 24, 24, None, encode_jpeg(base, quality=90)),
+        (3, "image", "image/jpeg", 24, 24, None, encode_jpeg(jpg, quality=90)),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    h = {r.media_id: r.ahash for r in image_ahash64(media).collect()}
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(h[1], h[2]) <= 6
+    assert ham(h[2], h[3]) <= 6

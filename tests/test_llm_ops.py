@@ -154,9 +154,15 @@ def test_ann_ivf_recall_on_near_neighbors(spark):
 
 
 def test_multimodal_plumbing_batch_shape(spark):
+    import numpy as np
+
+    from doin_fine_ance__spark.llm.jpeg import encode_jpeg
+
+    jpg1 = encode_jpeg(np.full((64, 64, 3), 40, np.uint8))
+    jpg2 = encode_jpeg(np.full((32, 32, 3), 90, np.uint8))
     rows = [
-        (1, "image", "image/jpeg", 64, 64, None, b"\xff\xd8 fake jpeg 1"),
-        (2, "image", "image/jpeg", 32, 32, None, b"\xff\xd8 fake jpeg 2"),
+        (1, "image", "image/jpeg", 64, 64, None, jpg1),
+        (2, "image", "image/jpeg", 32, 32, None, jpg2),
         (3, "audio", "audio/wav", None, None, 4000, b"RIFF fake audio"),
         (4, "video", "video/mp4", 640, 480, 120000, b"\x00\x00ftyp fake video"),
         (5, "image", "image/jpeg", 8, 8, None, None),  # NULL payload
@@ -173,10 +179,11 @@ def test_multimodal_plumbing_batch_shape(spark):
     # unregistered mimes declare themselves loudly at execution
     from doin_fine_ance__spark.llm.multimodal import resize_images
 
-    # image/png now HAS a real stdlib codec; jpeg remains the
-    # registry's designed unregistered-mime contract
-    with pytest.raises(Exception, match="no decoder registered.*image/jpeg"):
-        resize_images(media, 32, 32).collect()
+    # bmp/png/jpeg all HAVE real stdlib codecs now; video/mp4 is the
+    # registry's designed genuinely-absent-format contract
+    contract = spark.createDataFrame([rows[0], rows[3]], schema=MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="no decoder registered.*video/mp4"):
+        resize_images(contract, 32, 32).collect()
 
 
 def test_bmp_codec_round_trip():
