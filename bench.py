@@ -104,6 +104,7 @@ HEADLINE = [
     "d_containment_prefix",
     "mm_image_neardups",
     "mm_jpeg_roundtrip",
+    "t_bm25_more_like_this",
 ]
 
 

@@ -1,0 +1,198 @@
+"""Lexical retrieval over the corpus: BM25 scoring, inverted-index shaped.
+
+Training-data pipelines use lexical retrieval constantly: benchmark
+decontamination beyond exact n-grams (find near-verbatim test items),
+"more-like-this" curation (expand a seed set of high-quality docs),
+and retrieval-based dedup candidate generation (Dolma, RefinedWeb use
+BM25-family filters). This module gives that capability two layers,
+following the repo's pattern for float-heavy algorithms (ml/, L18/L22):
+
+- :func:`bm25_topk` — REAL BM25 (Robertson/Spärck Jones probabilistic
+  idf, k1/b length normalization), float64, verified in pytest against
+  a pure-Python textbook implementation. `ln` is not bit-identical
+  across engines, so this layer has no SQL oracle — like k-means and
+  the quality scorer.
+- :func:`bm25_topk_fp` — integer FIXED-POINT variant (the PageRank
+  treatment): rational idf surrogate ``((N - df) * SCALE) div (df + 1)``
+  and div-rounded length normalization, every quantity integral, so
+  the score reproduces bit-for-bit in any engine and a DuckDB oracle
+  hash-checks the whole retrieval (`t_bm25_more_like_this`). Ranking
+  quality tracks BM25 (both idfs are monotone-decreasing in df, both
+  tf saturations are the same k1/b form); the docstring constant
+  choices are pinned by tests comparing the two rankings.
+
+Scale shape (both layers): tokenize (map) → per-(doc, term) tf
+(ONE partial-agg shuffle on (doc, term)) → join the BROADCAST query
+term table (a query has dozens of terms) → per-doc score sum (one
+shuffle on doc) → top-k via TakeOrderedAndProject. Corpus statistics
+(N, avgdl, df) are one extra aggregate over the same token stream.
+Nothing is ever quadratic; the only corpus-sized shuffles key on
+(doc, term) and doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from .corpus import _words
+
+SCALE = 1_000_000
+
+
+def _doc_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, term, tf, doclen) — the inverted-index building block."""
+    toks = docs.select(
+        col(id_col).alias("_doc"), F.explode(_words(col(text_col))).alias("_term")
+    )
+    tf = toks.groupBy("_doc", "_term").agg(F.count("*").alias("_tf"))
+    dl = tf.groupBy("_doc").agg(F.sum("_tf").alias("_dl"))
+    return tf.join(dl, "_doc")
+
+
+def _query_terms(query: str) -> list[str]:
+    """Distinct lowercased whitespace terms, first-seen order."""
+    return list(dict.fromkeys(w for w in query.lower().split() if w))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs for ``query`` by BM25 (float64). Returns
+    (id, score) ordered by score desc, id asc. Textbook formula:
+    ``sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``; terms absent from
+    the corpus contribute 0. Pytest-verified against a pure-Python
+    reference — no SQL oracle (ln is not cross-engine bit-stable).
+    """
+    terms = _query_terms(query)
+    if not terms:
+        raise ValueError("query has no terms")
+    spark = docs.sparkSession
+    dt = _doc_terms(docs, id_col, text_col)
+    n_docs = docs.count()
+    avgdl = (
+        dt.groupBy("_doc").agg(F.first("_dl").alias("_dl")).agg(F.avg("_dl")).first()[0]
+    )
+    qt = spark.createDataFrame([(t,) for t in terms], "_term string")
+    df_tab = (
+        dt.join(F.broadcast(qt), "_term", "left_semi")
+        .groupBy("_term")
+        .agg(F.countDistinct("_doc").alias("_df"))
+    )
+    idf = F.log(
+        lit(1.0)
+        + (lit(float(n_docs)) - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))
+    )
+    scored = (
+        dt.join(F.broadcast(qt), "_term")
+        .join(F.broadcast(df_tab), "_term")
+        .select(
+            "_doc",
+            (
+                idf
+                * (col("_tf") * lit(k1 + 1.0))
+                / (
+                    col("_tf")
+                    + lit(k1)
+                    * (lit(1.0 - b) + lit(b) * col("_dl") / lit(float(avgdl)))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("_doc")
+        .agg(F.sum("_s").alias("score"))
+    )
+    return (
+        scored.select(col("_doc").alias(id_col), "score")
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )
+
+
+def bm25_topk_fp(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1_pct: int = 120,
+    b_pct: int = 75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs for ``query`` by integer fixed-point BM25 — the
+    engine-exact variant (the PageRank treatment: every quantity
+    integral, floor division, bit-identical under any partitioning and
+    replayable by a SQL oracle).
+
+    Differences from real BM25, both documented and pinned by tests:
+    the idf is the rational surrogate ``idf_fp = ((N - df) * 1000)
+    div (df + 1)`` (monotone-decreasing in df like the log idf — at
+    web scale, where df spans orders of magnitude, monotonicity is
+    what drives the ranking; absent terms drop out via the join), and
+    the tf saturation uses integer percent parameters
+    (``k1_pct=120`` ≙ k1=1.2, ``b_pct=75`` ≙ b=0.75), computed as its
+    own bounded fixed-point factor BEFORE multiplying by idf so the
+    per-term product stays in int64 (the PageRank overflow lesson,
+    ADVICE r9):
+
+    ``denom_fp = tf * SCALE + (k1_pct * ((100 - b_pct) * SCALE
+    + b_pct * ((dl * SCALE) div avgdl))) div 100``
+    ``sat_fp   = (tf * (100 + k1_pct) * SCALE div 100) * SCALE
+    div denom_fp``           — bounded by (1 + k1) * SCALE ≈ 2.2e6
+    ``score_fp = sum_t (idf_fp * sat_fp) div SCALE``
+
+    Overflow precondition: ``idf_fp ≤ N*1000`` and ``sat_fp ≤ 2.2e6``,
+    so the product needs ``N < 2^63 / 2.2e9 ≈ 4e9`` documents and docs
+    under ~4M tokens (``tf * 2.2 * SCALE^2 < 2^63``) — comfortably
+    past web scale. avgdl is the floor of total tokens over N.
+    Returns (id, score_fp long) ordered by score_fp desc, id asc,
+    limit k.
+    """
+    terms = _query_terms(query)
+    if not terms:
+        raise ValueError("query has no terms")
+    spark = docs.sparkSession
+    dt = _doc_terms(docs, id_col, text_col)
+    n_docs = docs.count()
+    qt = spark.createDataFrame([(t,) for t in terms], "_term string")
+    trow = (
+        dt.groupBy("_doc")
+        .agg(F.first("_dl").alias("_dl"))
+        .agg(F.sum("_dl").alias("_tot"), F.count("*").alias("_n"))
+        .first()
+    )
+    avgdl = int(trow["_tot"]) // int(trow["_n"])
+    df_tab = (
+        dt.join(F.broadcast(qt), "_term", "left_semi")
+        .groupBy("_term")
+        .agg(F.countDistinct("_doc").alias("_df"))
+    )
+    sat = (
+        f"(((_tf * (100 + {k1_pct}) * {SCALE}) div 100) * {SCALE})"
+        f" div (_tf * {SCALE} + ({k1_pct} * ((100 - {b_pct}) * {SCALE}"
+        f" + {b_pct} * ((_dl * {SCALE}) div {avgdl}))) div 100)"
+    )
+    scored = (
+        dt.join(F.broadcast(qt), "_term")
+        .join(F.broadcast(df_tab), "_term")
+        .select(
+            "_doc",
+            F.expr(
+                f"((({n_docs} - _df) * 1000) div (_df + 1) * ({sat}))"
+                f" div {SCALE}"
+            ).alias("_s"),
+        )
+        .groupBy("_doc")
+        .agg(F.sum("_s").cast("bigint").alias("score_fp"))
+    )
+    return (
+        scored.select(col("_doc").alias(id_col), "score_fp")
+        .orderBy(F.desc("score_fp"), id_col)
+        .limit(k)
+    )

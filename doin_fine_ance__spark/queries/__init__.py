@@ -107,13 +107,14 @@ DRIVER_WINDOW: list[str] = [
     "t_stratified_sample",
     # --- round-10 registrations (mid-round amendment, r4/r7
     # precedent): swapped in for t_shuffle_order / t_domain_mix /
-    # t_simhash_fingerprints, which keep their green r8 rows ---
+    # t_simhash_fingerprints / t_top_tokens, which keep their green
+    # r8 rows ---
     "d_containment_prefix",
     "mm_image_neardups",
     "mm_jpeg_roundtrip",
+    "t_bm25_more_like_this",
     "t_bigram_familiarity",
     "t_token_count_bpe",
-    "t_top_tokens",
     "d_minhash_containment",
 ]
 

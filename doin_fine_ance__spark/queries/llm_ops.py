@@ -1518,6 +1518,69 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_bm25_more_like_this",
+    oracle="""
+    WITH bm_toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), bm_tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM bm_toks GROUP BY 1, 2
+    ), bm_dl AS (
+      SELECT doc_id, sum(tf) AS dl FROM bm_tf GROUP BY 1
+    ), bm_stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n,
+             (SELECT sum(dl) FROM bm_dl) // (SELECT count(*) FROM bm_dl)
+               AS avgdl
+    ), bm_q AS (
+      SELECT DISTINCT term FROM bm_toks WHERE doc_id = 0
+    ), bm_df AS (
+      SELECT term, count(DISTINCT doc_id) AS dfreq
+      FROM bm_tf
+      WHERE term IN (SELECT term FROM bm_q)
+      GROUP BY 1
+    ), bm_scored AS (
+      SELECT t.doc_id,
+             SUM((((s.n - d.dfreq) * 1000) // (d.dfreq + 1)
+                  * ((((t.tf * 220 * 1000000) // 100) * 1000000)
+                     // (t.tf * 1000000
+                         + (120 * (25 * 1000000
+                            + 75 * ((l.dl * 1000000) // s.avgdl))) // 100)))
+                 // 1000000) AS score_fp
+      FROM bm_tf t
+      JOIN bm_q q USING (term)
+      JOIN bm_df d USING (term)
+      JOIN bm_dl l ON l.doc_id = t.doc_id
+      CROSS JOIN bm_stats s
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(score_fp AS BIGINT) AS score_fp
+    FROM bm_scored ORDER BY score_fp DESC, doc_id LIMIT 10
+    """,
+)
+def t_bm25_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval, driver-hashed: top-10 "more-like-this" for
+    document 0 by integer fixed-point BM25 (llm/retrieval.py::
+    bm25_topk_fp — rational idf surrogate + div-rounded k1/b
+    saturation, every quantity integral, so the whole inverted-index
+    retrieval replays bit-for-bit in SQL; real float BM25 is the
+    sibling bm25_topk, pytest-verified against a textbook reference).
+
+    The shape a decontamination/curation pipeline runs at 100 TB: one
+    partial-agg shuffle to per-(doc, term) tf, broadcast query terms,
+    one per-doc sum, TakeOrderedAndProject for the top-k — no
+    quadratic stage, no driver data movement beyond the one-row query
+    fetch and the k results.
+    """
+    from ..llm.retrieval import bm25_topk_fp
+
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    qtext = d.filter(col("doc_id") == 0).first()["text"]
+    return bm25_topk_fp(d, qtext, k=10).orderBy(F.desc("score_fp"), "doc_id")
+
+
+@query(
     "mm_jpeg_roundtrip",
     oracle="""
     WITH jr_hx AS (

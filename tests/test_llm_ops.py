@@ -1765,3 +1765,71 @@ def test_containment_prefix_threshold_arithmetic_exact(spark):
     assert [(r.id_a, r.id_b, round(r.containment, 6)) for r in rows] == [
         (0, 1, 0.9)
     ]
+
+
+def test_bm25_matches_textbook_reference(spark):
+    """Real (float) BM25 must equal a pure-Python textbook
+    implementation term for term, and the fixed-point variant must
+    rank the clearly-relevant planted docs the same way."""
+    import math
+
+    from doin_fine_ance__spark.llm.retrieval import bm25_topk, bm25_topk_fp
+
+    corpus = {
+        0: "apple banana cherry apple",
+        1: "apple apple apple banana banana cherry date elderberry fig",
+        2: "date elderberry fig grape",
+        3: "apple cherry",
+        4: "banana banana banana banana",
+        5: "grape grape grape grape grape grape grape grape",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    query = "apple cherry"
+    got = [(r.doc_id, r.score) for r in bm25_topk(docs, query, k=6).collect()]
+
+    # textbook reference
+    tf = {i: {} for i in corpus}
+    for i, t in corpus.items():
+        for w in t.split():
+            tf[i][w] = tf[i].get(w, 0) + 1
+    n = len(corpus)
+    avgdl = sum(len(t.split()) for t in corpus.values()) / n
+    k1, b = 1.2, 0.75
+    scores = {}
+    for term in dict.fromkeys(query.split()):
+        dfreq = sum(1 for i in corpus if term in tf[i])
+        if not dfreq:
+            continue
+        idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        for i in corpus:
+            f = tf[i].get(term, 0)
+            if not f:
+                continue
+            dl = len(corpus[i].split())
+            scores[i] = scores.get(i, 0.0) + idf * f * (k1 + 1) / (
+                f + k1 * (1 - b + b * dl / avgdl)
+            )
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (gi, gs), (wi, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9, (gi, gs, ws)
+
+    # fixed-point variant: same relevance structure on this corpus —
+    # docs containing both query terms outrank single-term docs,
+    # no-term docs absent
+    fp = [r.doc_id for r in bm25_topk_fp(docs, query, k=6).collect()]
+    assert set(fp) == set(scores)  # exactly the docs matching >= 1 term
+    both = {i for i in corpus if "apple" in tf[i] and "cherry" in tf[i]}
+    assert set(fp[: len(both)]) == both
+    # determinism
+    assert fp == [r.doc_id for r in bm25_topk_fp(docs, query, k=6).collect()]
+
+
+def test_bm25_rejects_empty_query(spark):
+    import pytest as _pytest
+
+    from doin_fine_ance__spark.llm.retrieval import bm25_topk
+
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="no terms"):
+        bm25_topk(docs, "   ")
