@@ -185,6 +185,16 @@ def run_bench(spark, queries, sf_dir: str) -> dict:
             # stalls attributed to whatever query runs later.
             del df
             gc.collect()
+        # Release the finished query's JVM-side shuffle files NOW
+        # (untimed, between queries): the ContextCleaner acts on JVM
+        # GC, and waiting for the periodic sweep lets dead shuffle
+        # files pile up on the tmpfs scratch dir across a 68-query
+        # run — the sf10 OOM story in session.py. System.gc on a 24g
+        # heap costs well under a second here.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "").replace(

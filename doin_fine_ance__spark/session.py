@@ -68,6 +68,20 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The ContextCleaner deletes a query's shuffle files only after
+        # the JVM garbage-collects their RDD references, and the stock
+        # periodic-GC interval is 30 MINUTES — a session that runs
+        # hundreds of queries back-to-back (the bench, a sweep, a real
+        # multi-query pipeline) accumulates every dead query's shuffle
+        # files on spark.local.dir until then. With tmpfs scratch that
+        # is RAM: measured 97 GB of dead shuffle files during the sf10
+        # bench before the kernel OOM-killed the JVM. A tight periodic
+        # GC keeps scratch bounded by the WORKING set, not the session
+        # history; the minor-GC cost is noise next to any real query.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
