@@ -226,6 +226,14 @@ def minhash_near_dups(
     Returns (id_a, id_b, jaccard) for pairs whose *exact* token-set
     Jaccard ≥ threshold; LSH only bounds the candidate set, so the
     output has no false positives (and recall governed by (k, bands)).
+
+    One-live-pipeline contract (shared with the other dedup entry
+    points): each call evicts the previous call's persisted token
+    store on entry, so materialize (collect/write) this call's result
+    before starting another dedup pipeline — interleaving two lazy
+    pipelines stays CORRECT but recomputes the tokenize/hash map stage
+    on every action (see ``_TOKEN_STORES``). Call
+    :func:`release_token_stores` when done.
     """
     return _verified_pairs(docs, id_col, text_col, threshold, k, bands, "jaccard")
 
@@ -260,6 +268,9 @@ def minhash_containment_pairs(
     when one LSH index serves both measures and inclusions of
     interest are near-full-length — and the oracle recomputes the
     identical pipeline, so correctness does not ride on recall.
+
+    One-live-pipeline contract: see :func:`minhash_near_dups` —
+    materialize this result before starting another dedup pipeline.
     """
     return _verified_pairs(docs, id_col, text_col, threshold, k, bands, "containment")
 
@@ -328,6 +339,13 @@ def containment_prefix_pairs(
     the float form ``floor((1−t)·|A|)+1`` under-counts when ``1−t``
     rounds down in binary (1−0.9 < 0.1 exactly), which shortened the
     prefix below the theorem's bound and silently broke recall.
+
+    One-live-pipeline contract: see :func:`minhash_near_dups` — entry
+    evicts any previous dedup call's persisted token store, so a pairs
+    frame from an earlier minhash/containment call that has not been
+    materialized yet recomputes its token map stage on its next action
+    (correct results, lost cache). Materialize one pipeline before
+    starting the next; call :func:`release_token_stores` when done.
     """
     from pyspark.sql import Window
 

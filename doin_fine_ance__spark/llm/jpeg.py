@@ -426,7 +426,10 @@ class _BitReader:
         if n == 0:
             return 0
         self._fill()
-        if self.nbits < n:  # past the end: spec says pad with 1-bits
+        while self.nbits < n:  # past the end: spec says pad with 1-bits
+            # Loop (not a single pad): a DC category read near a truncated
+            # stream's end can demand more than nbits+8 bits; a single pad
+            # would drive nbits negative and raise an opaque shift error.
             self.acc = (self.acc << 8) | 0xFF
             self.nbits += 8
         self.nbits -= n

@@ -81,6 +81,8 @@ def bm25_topk(
     avgdl = (
         dt.groupBy("_doc").agg(F.first("_dl").alias("_dl")).agg(F.avg("_dl")).first()[0]
     )
+    if avgdl is None:  # empty corpus / all-empty documents
+        raise ValueError("corpus has no tokens (empty or all-empty documents)")
     qt = spark.createDataFrame([(t,) for t in terms], "_term string")
     df_tab = (
         dt.join(F.broadcast(qt), "_term", "left_semi")
@@ -167,7 +169,13 @@ def bm25_topk_fp(
         .agg(F.sum("_dl").alias("_tot"), F.count("*").alias("_n"))
         .first()
     )
+    if trow["_tot"] is None or int(trow["_n"]) == 0:
+        raise ValueError("corpus has no tokens (empty or all-empty documents)")
     avgdl = int(trow["_tot"]) // int(trow["_n"])
+    # avgdl >= 1 whenever the corpus has tokens (every counted doc has
+    # _dl >= 1), so the `div {avgdl}` below can never divide by zero;
+    # assert the invariant rather than silently embedding a 0 in SQL.
+    assert avgdl >= 1, "avgdl must be >= 1 for the fixed-point expression"
     df_tab = (
         dt.join(F.broadcast(qt), "_term", "left_semi")
         .groupBy("_term")

@@ -1606,8 +1606,11 @@ def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     value bit-exactly (llm/jpeg.py; pinned by
     tests/test_jpeg.py::test_uniform_images_decode_exactly). With all
     three RGB channels equal, chroma is uniformly 128 — so 4:2:0
-    box-averaging is exact too, and the query exercises the decoder's
-    subsampled-MCU + DRI/RSTn paths, not just the trivial layout. The
+    box-averaging is exact too. The 32×32 image is FOUR 16×16 MCUs at
+    4:2:0, so restart_interval=1 emits three RSTn markers INSIDE the
+    entropy stream — the driver hash exercises actual restart resync
+    and DC-predictor reset, not merely DRI-marker parsing (ADVICE r10:
+    a 16×16 image was a single MCU, so no RST ever landed). The
     oracle recomputes the four block values analytically from the
     md5-ascii recipe; a hash match therefore proves the full
     Huffman/DCT/quant/upsample pipeline reproduces the pixels, with
@@ -1629,22 +1632,29 @@ def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did, hx in zip(pdf["doc_id"], pdf["hx"]):
                 v = [(ord(hx[k]) * 7) % 256 for k in range(4)]
-                img = np.zeros((16, 16, 3), dtype=np.uint8)
-                img[:8, :8] = v[0]
-                img[:8, 8:] = v[1]
-                img[8:, :8] = v[2]
-                img[8:, 8:] = v[3]
+                img = np.zeros((32, 32, 3), dtype=np.uint8)
+                img[:16, :16] = v[0]
+                img[:16, 16:] = v[1]
+                img[16:, :16] = v[2]
+                img[16:, 16:] = v[3]
                 data = encode_jpeg(
                     img, quality=85, subsampling="420", restart_interval=1
                 )
+                n_rst = sum(
+                    data.count(bytes([0xFF, 0xD0 + i])) for i in range(8)
+                )
+                if n_rst < 3:  # 4 MCUs, DRI=1 → exactly 3 mid-stream RSTn
+                    raise AssertionError(
+                        f"expected >=3 RST markers in stream, got {n_rst}"
+                    )
                 dec = decode_jpeg(data)
                 rows.append(
                     (
                         int(did),
-                        int(dec[4, 4, 0]),
-                        int(dec[4, 12, 1]),
-                        int(dec[12, 4, 2]),
-                        int(dec[12, 12, 0]),
+                        int(dec[8, 8, 0]),
+                        int(dec[8, 24, 1]),
+                        int(dec[24, 8, 2]),
+                        int(dec[24, 24, 0]),
                     )
                 )
             yield pd.DataFrame(
