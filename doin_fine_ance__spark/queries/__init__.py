@@ -31,91 +31,85 @@ def query(name: str, oracle: str | None = None):
 
 # The external driver verifies the FIRST 50 registered queries against
 # their DuckDB oracles; the rest keep local pytest + tests/oracle.py
-# coverage only. Round-10 rotation (VERDICT r9 #3): the five round-9
-# second-sitting registrations take their FIRST driver rows
-# (t_chunk_overlap, g_pagerank_nation_trade, a_heavy_hitters_cms,
-# a_cms_rollup_merge, d_bloom_prescreen — registered after the r9
-# window froze, oracle-green at sf0.001/sf0.01/sf1/sf1-skew since);
-# d_semantic_dedup stays in because its code changed this round (the
-# memory-derived declarative hot-cell cap, VERDICT r9 #1); the ten
-# queries rested at r7 evidence come back (a1/a2/a5/a12/a8/a11/j9/
-# o2/p1/p6); the remaining 34 slots refresh the r8-evidence queries
-# with the FEWEST total green rows — all six two-row r7 first-timers,
-# every three-row query except the two rested below, and
-# d_minhash_containment (whose recall path gains evidence this round,
-# VERDICT r9 next #4). Rested at r8 evidence (3-5 green rows each):
-# the eight r8 leaders (d_minhash_lsh_neardups, t_token_count,
-# t_quality_score, t_lang_id_heuristic, o5, f8_f9, o3, f16), the four
-# aggregation anchors a3/a4/a6/a7, d_duplicate_spans,
-# s_cosine_topk_ivf, a_exact_percentiles, t_doc_fingerprint (its
-# rolling-hash family is redundantly covered by
-# t_winnowing_fingerprints, refreshed in r9). After this round no
-# registered query's newest driver row predates r8. The rows-only
-# `a_approx_distinct_users` stays out (it can never hash-match;
-# quantitative accuracy evidence lives in HLL_ERROR_r09.json +
+# coverage only. Round-11 rotation (VERDICT r10 #4): the ENTIRE
+# r8-evidenced cohort comes back — the 16 queries rested at the r10
+# rotation (d_minhash_lsh_neardups, t_token_count, t_quality_score,
+# t_lang_id_heuristic, o5, f8_f9, o3, f16, a3/a4/a6/a7,
+# d_duplicate_spans, s_cosine_topk_ivf, a_exact_percentiles,
+# t_doc_fingerprint) PLUS the four anchors swapped out by the r10
+# mid-round amendment (t_shuffle_order, t_domain_mix,
+# t_simhash_fingerprints, t_top_tokens) — so after this round no
+# registered query's newest driver row predates r9.
+# mm_jpeg_roundtrip re-enters because its query code changed this
+# round (32×32 4-MCU image so DRI=1 emits real RSTn markers, ADVICE
+# r10 #1). The remaining 29 slots refresh r9-evidenced queries,
+# fewest-green-rows first: the two one-row r9 registrations
+# (s_cosine_topk_ivfpq, t_main_text_extract), all twelve four-row
+# queries, and fifteen five-row queries chosen for family coverage
+# (the dedup family incl. d_dup_clusters — this round's skew
+# re-measure focus — ANN brute force, the three streaming windows,
+# as-of/range joins, window/session analytics, selection ops).
+# The rows-only `a_approx_distinct_users` stays out (it can never
+# hash-match; accuracy evidence lives in HLL_ERROR_r09.json +
 # tests/test_operators_extra.py).
 # Per-round membership is tracked in WINDOWS.md. Everything out of
 # window stays registered, plan-audited, and oracle-checked by
 # tests/test_inventory_oracle.py + tools/sweep_correctness.py.
 DRIVER_WINDOW: list[str] = [
-    # --- round-9 second-sitting registrations: first driver rows ---
-    "t_chunk_overlap",
-    "g_pagerank_nation_trade",
-    "a_heavy_hitters_cms",
-    "a_cms_rollup_merge",
-    "d_bloom_prescreen",
-    # --- code changed this round (hot-cell cap): re-verify ---
-    "d_semantic_dedup",
-    # --- rested at r7 evidence: come back ---
-    "a1_monthly_spend_by_category",
-    "a2_monthly_net_change",
-    "a5_pivot_month_by_status",
-    "a12_cumulative_monthly_net",
-    "a8_connection_health_rollup",
-    "a11_class_distribution",
-    "j9_latest_import_per_account",
-    "o2_sort_nulls_last_top",
-    "p1_projection_literals",
-    "p6_dynamic_where_search",
-    # --- newest driver row r8, fewest green rows: refresh ---
-    "st_stream_static_enrich",
-    "q2_min_cost_supplier",
-    "q16_supplier_part_type_counts",
-    "q20_dominant_supplier_semi",
-    "t_temperature_mix",
-    "t_token_shards",
-    "d_decontaminate",
-    "d_incremental_neardups",
-    "mm_image_resize",
-    "mm_video_frame_sample",
-    "s_cosine_topk_lsh",
-    "st_interval_join",
-    "q7_volume_shipping_pairs",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_revenue_customers",
-    "q11_global_threshold_having",
-    "q12_shipmode_priority_counts",
-    "q15_top_supplier_revenue",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicate_join",
-    "q21_waiting_supplier_shape",
-    "q22_dormant_customer_balance",
-    "t_repetition_filter",
-    "t_pii_redaction",
-    "t_sequence_packing",
-    "t_stratified_sample",
-    # --- round-10 registrations (mid-round amendment, r4/r7
-    # precedent): swapped in for t_shuffle_order / t_domain_mix /
-    # t_simhash_fingerprints / t_top_tokens, which keep their green
-    # r8 rows ---
-    "d_containment_prefix",
-    "mm_image_neardups",
+    # --- r8-evidenced cohort returns (newest row must reach r11) ---
+    "d_minhash_lsh_neardups",
+    "t_token_count",
+    "t_quality_score",
+    "t_lang_id_heuristic",
+    "o5_top5_categories",
+    "f8_f9_timestamp_conversions",
+    "o3_latest_one",
+    "f16_array_membership",
+    "a3_yearly_spend_by_category",
+    "a4_quarterly_spend",
+    "a6_count_total",
+    "a7_distinct_categories",
+    "d_duplicate_spans",
+    "s_cosine_topk_ivf",
+    "a_exact_percentiles",
+    "t_doc_fingerprint",
+    "t_shuffle_order",
+    "t_domain_mix",
+    "t_simhash_fingerprints",
+    "t_top_tokens",
+    # --- code changed this round (4-MCU restart stream): re-verify ---
     "mm_jpeg_roundtrip",
-    "t_bm25_more_like_this",
-    "t_bigram_familiarity",
-    "t_token_count_bpe",
-    "d_minhash_containment",
+    # --- r9-evidenced, fewest green rows: refresh ---
+    "s_cosine_topk_ivfpq",
+    "t_main_text_extract",
+    "a13_prediction_stats",
+    "a_cube_status_priority",
+    "a_rollup_region_nation",
+    "d_span_scrub",
+    "f15_json_extraction",
+    "f_feature_engineering",
+    "j_salted_skew_join",
+    "q18_large_volume_customers",
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_region_revenue_rollup",
+    "u1_union_two_sources",
+    # --- r9-evidenced five-row refreshes (family coverage) ---
+    "d_dup_clusters",
+    "d_exact_dedup",
+    "d_segment_dedup",
+    "d_simhash_neardups",
+    "d_embedding_cosine_neardups",
+    "d_ngram_jaccard_pairs",
+    "s_cosine_topk_bruteforce",
+    "st_tumbling_window",
+    "st_sliding_window",
+    "st_session_window",
+    "j_asof_purchase_last_view",
+    "j_range_price_bands",
+    "w_lead_lag_session_count",
+    "t_token_budget_select",
+    "t_winnowing_fingerprints",
 ]
 
 
