@@ -105,6 +105,8 @@ HEADLINE = [
     "mm_image_neardups",
     "mm_jpeg_roundtrip",
     "t_bm25_more_like_this",
+    # round 11: compressed video (MJPEG-in-AVI mux → sample → JPEG decode)
+    "mm_mjpeg_frame_sample",
 ]
 
 

@@ -275,16 +275,11 @@ def _emit_block(bw, blk, pred, dc_codes, ac_codes):
     return int(blk[0])
 
 
-def encode_jpeg(
-    arr, quality: int = 85, subsampling: str = "444", restart_interval: int = 0
-) -> bytes:
-    """numpy (H, W, 3) uint8 RGB (or (H, W) / (H, W, 1) grayscale) →
-    baseline JFIF bytes with the Annex-K Huffman tables.
-    ``subsampling``: '444' (default) or '420' (2×2-box-averaged
-    chroma, the web's common layout). ``restart_interval`` > 0 emits
-    DRI + RSTn markers every that many MCUs (T.81 B.2.4.4) — the
-    error-resilience layout real encoders produce, and the decoder
-    path tests exercise through this flag."""
+def _encode_preamble(arr, quality: int, subsampling: str):
+    """Shared encode front half: RGB→YCbCr, optional 4:2:0 subsample,
+    DCT + quantize, MCU-grid extension. Returns
+    (gray, samp, qt, coeffs, h, w, mcux, mcuy) — everything both the
+    baseline and progressive entropy back-ends need."""
     import numpy as np
 
     arr = np.asarray(arr, dtype=np.uint8)
@@ -316,7 +311,6 @@ def encode_jpeg(
           _quality_scaled(QUANT_CHROMA, quality)]
     C = _dct_c()
     zz = np.asarray(ZIGZAG)
-    dc_codes, ac_codes = _std_enc_tables()
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -336,6 +330,26 @@ def encode_jpeg(
                 np.minimum(np.arange(need_bx), bx - 1)[None, :],
             ]
         coeffs.append(q)
+    return gray, samp, qt, coeffs, h, w, mcux, mcuy
+
+
+def encode_jpeg(
+    arr, quality: int = 85, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
+    """numpy (H, W, 3) uint8 RGB (or (H, W) / (H, W, 1) grayscale) →
+    baseline JFIF bytes with the Annex-K Huffman tables.
+    ``subsampling``: '444' (default) or '420' (2×2-box-averaged
+    chroma, the web's common layout). ``restart_interval`` > 0 emits
+    DRI + RSTn markers every that many MCUs (T.81 B.2.4.4) — the
+    error-resilience layout real encoders produce, and the decoder
+    path tests exercise through this flag."""
+    import numpy as np
+
+    gray, samp, qt, coeffs, h, w, mcux, mcuy = _encode_preamble(
+        arr, quality, subsampling
+    )
+    planes = coeffs  # per-component presence; only len() is used below
+    dc_codes, ac_codes = _std_enc_tables()
 
     bw = _BitWriter()
     pred = [0] * len(planes)
@@ -392,6 +406,299 @@ def encode_jpeg(
     out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0 (baseline)
     out += entropy
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encoder
+#
+# T.81 Annex G (progressive DCT-based): the SAME quantized coefficients
+# as baseline, transmitted across multiple scans by spectral selection
+# (band [Ss, Se] per scan) and successive approximation (bit-plane
+# splits: first scan sends coefficients at reduced precision Al, later
+# Ah→Al scans refine one bit plane at a time). Progressive is a
+# LOSSLESS re-arrangement of coefficient transmission, which gives the
+# tests a hard oracle: decode(progressive bytes) must equal
+# decode(baseline bytes) PIXEL-FOR-PIXEL for any scan script, since
+# both end in identical dequantize+IDCT inputs. The encoder exists to
+# make that oracle (and driver fixtures) possible without PIL; real
+# ingest only needs the decoder.
+
+
+class _ScanSink:
+    """Two-pass scan emission: pass 1 (codes=None) collects the Huffman
+    symbol alphabet; pass 2 writes bits with the built table. Keeping
+    one code path for both passes is what makes the intricate AC-refine
+    ordering (symbols interleaved with buffered correction bits)
+    impossible to get out of sync between passes."""
+
+    def __init__(self, codes=None):
+        self.codes = codes
+        self.symbols: set[int] = set()
+        self.bw = _BitWriter() if codes is not None else None
+
+    def sym(self, s: int) -> None:
+        if self.codes is None:
+            self.symbols.add(s)
+        else:
+            code, length = self.codes[s]
+            self.bw.write(code, length)
+
+    def bits(self, val: int, n: int) -> None:
+        if n and self.bw is not None:
+            self.bw.write(val, n)
+
+
+def _flat_table(symbols):
+    """Symbol set → (codes, BITS, HUFFVAL) with every code 9 bits long
+    (canonical, flat). Suboptimal size but trivially valid: up to 256
+    symbols all fit at length 9 without using the all-ones code the
+    standard reserves (n ≤ 2^9 − 1). Optimal per-scan tables are an
+    encoder-quality matter, not a format one — decoders see a normal
+    DHT either way."""
+    vals = sorted(symbols)
+    if not vals:
+        raise ValueError("cannot build a Huffman table with no symbols")
+    bits = [0] * 16
+    bits[8] = len(vals)  # BITS[9] in 1-based spec numbering
+    codes = {v: (i, 9) for i, v in enumerate(vals)}
+    return codes, bits, vals
+
+
+# Default scan script, libjpeg-shaped: DC first at Al=1 (interleaved),
+# luma AC split into two spectral bands at Al=2 then refined in two
+# steps, chroma AC whole-band at Al=1 then refined, DC refined last.
+# Every decoder mode (DC/AC × first/refine) and both progressive
+# mechanisms (spectral selection, successive approximation) appear.
+_DEFAULT_SCAN_SCRIPT = [
+    # (component indices, Ss, Se, Ah, Al)
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_DEFAULT_SCAN_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _comp_block_grid(h, w, samp, ci, hmax, vmax):
+    """Non-interleaved scan geometry (T.81 A.2.2): the scan covers the
+    component's ACTUAL sample area's blocks, not the MCU-padded grid."""
+    ch, cv = samp[ci]
+    cw = (w * ch + hmax - 1) // hmax
+    chh = (h * cv + vmax - 1) // vmax
+    return (chh + 7) // 8, (cw + 7) // 8
+
+
+def _enc_dc_first(sink, coeffs, seq, Al):
+    pred: dict[int, int] = {}
+    for ci, by, bx in seq:
+        v = int(coeffs[ci][by, bx, 0]) >> Al  # arithmetic shift per G.1.2.1
+        diff = v - pred.get(ci, 0)
+        pred[ci] = v
+        s, bits = _magnitude(diff)
+        sink.sym(s)
+        sink.bits(bits, s)
+
+
+def _enc_dc_refine(sink, coeffs, seq, Al):
+    for ci, by, bx in seq:
+        sink.bits((int(coeffs[ci][by, bx, 0]) >> Al) & 1, 1)
+
+
+def _flush_eobrun(sink, state):
+    n = state["eobrun"]
+    if n:
+        r = n.bit_length() - 1
+        sink.sym(r << 4)
+        sink.bits(n - (1 << r), r)
+        state["eobrun"] = 0
+    for bit in state["be_bits"]:
+        sink.bits(bit, 1)
+    state["be_bits"] = []
+
+
+def _enc_ac_first(sink, blk, Ss, Se, Al, state):
+    """One block of an AC first scan (G.1.2.2): magnitude-shifted
+    values, zero runs, EOB-run accumulation across blocks."""
+    vals = []
+    for k in range(Ss, Se + 1):
+        c = int(blk[k])
+        vals.append(-((-c) >> Al) if c < 0 else (c >> Al))
+    if not any(vals):
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(sink, state)
+        return
+    _flush_eobrun(sink, state)
+    r = 0
+    last_nz = max(i for i, v in enumerate(vals) if v)
+    for i, v in enumerate(vals):
+        if i > last_nz:
+            state["eobrun"] = 1  # trailing zeros → this block ends in EOB
+            break
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            sink.sym(0xF0)  # ZRL
+            r -= 16
+        s, bits = _magnitude(v)
+        sink.sym((r << 4) | s)
+        sink.bits(bits, s)
+        r = 0
+
+
+def _enc_ac_refine(sink, blk, Ss, Se, Al, state):
+    """One block of an AC refinement scan — the G.1.2.3 correction-bit
+    algorithm (structured after the public libjpeg jcphuff.c shape):
+    already-nonzero coefficients contribute buffered correction bits
+    that are emitted AFTER the next Huffman symbol; newly-significant
+    coefficients (|c| >> Al == 1) are run-length coded like a first
+    scan with a sign bit instead of magnitude bits."""
+    absv = []
+    eob = -1
+    for k in range(Ss, Se + 1):
+        a = abs(int(blk[k])) >> Al
+        absv.append(a)
+        if a == 1:
+            eob = k - Ss  # last NEWLY-significant position
+    r = 0
+    br: list[int] = []  # correction bits buffered inside this block
+    for i, a in enumerate(absv):
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            _flush_eobrun(sink, state)
+            sink.sym(0xF0)
+            r -= 16
+            for bit in br:
+                sink.bits(bit, 1)
+            br = []
+        if a > 1:
+            # history coefficient: just its next magnitude bit
+            br.append(a & 1)
+            continue
+        _flush_eobrun(sink, state)
+        sink.sym((r << 4) | 1)
+        sink.bits(0 if int(blk[i + Ss]) < 0 else 1, 1)
+        for bit in br:
+            sink.bits(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state["eobrun"] += 1
+        # NOTE: read be_bits through state (never a stale local ref —
+        # _flush_eobrun swaps the list out mid-block on the ZRL path)
+        state["be_bits"].extend(br)
+        # force out the EOB run before the buffers can overflow
+        if state["eobrun"] == 0x7FFF or len(state["be_bits"]) > 937:
+            _flush_eobrun(sink, state)
+
+
+def encode_jpeg_progressive(
+    arr, quality: int = 85, subsampling: str = "444", scan_script=None
+) -> bytes:
+    """numpy RGB/grayscale → progressive JFIF bytes (SOF2).
+
+    Same front half as :func:`encode_jpeg` (identical quantized
+    coefficients), entropy-coded across ``scan_script`` — a list of
+    ``(component_indices, Ss, Se, Ah, Al)`` tuples, default the
+    libjpeg-shaped ``_DEFAULT_SCAN_SCRIPT``. Per-scan Huffman tables
+    are built from the symbols the scan actually uses (two-pass) and
+    redefined via DHT before each SOS, which is the normal progressive
+    layout. Scan-script constraints enforced per T.81: DC scans may
+    interleave components, AC scans are single-component;
+    refinements must step one bit plane (Ah == Al + 1)."""
+    gray, samp, qt, coeffs, h, w, mcux, mcuy = _encode_preamble(
+        arr, quality, subsampling
+    )
+    ncomp = len(coeffs)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    if scan_script is None:
+        scan_script = _DEFAULT_SCAN_SCRIPT_GRAY if gray else _DEFAULT_SCAN_SCRIPT
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + struct.pack(
+        ">HH", 1, 1
+    ) + b"\x00\x00"
+    n_qt = 1 if gray else 2
+    for t in range(n_qt):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([t])
+        out += bytes(int(qt[t][z]) for z in ZIGZAG)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        ch, cv = samp[ci]
+        out += bytes([ci + 1, (ch << 4) | cv, min(ci, 1)])
+
+    for comps_idx, Ss, Se, Ah, Al in scan_script:
+        comps_idx = tuple(c for c in comps_idx if c < ncomp)
+        if not comps_idx:
+            continue
+        is_dc = Ss == 0
+        if is_dc and Se != 0:
+            raise ValueError("progressive scan may not mix DC and AC (Ss=0 needs Se=0)")
+        if not is_dc and len(comps_idx) != 1:
+            raise ValueError("AC scans must be non-interleaved (one component)")
+        if Ah not in (0, Al + 1):
+            raise ValueError(f"refinement must step one bit plane (Ah={Ah}, Al={Al})")
+
+        if is_dc:
+            seq = [
+                (ci, my * samp[ci][1] + byi, mx * samp[ci][0] + bxi)
+                for my in range(mcuy)
+                for mx in range(mcux)
+                for ci in comps_idx
+                for byi in range(samp[ci][1])
+                for bxi in range(samp[ci][0])
+            ]
+        else:
+            ci = comps_idx[0]
+            cbh, cbw = _comp_block_grid(h, w, samp, ci, hmax, vmax)
+            seq = [(ci, by, bx) for by in range(cbh) for bx in range(cbw)]
+
+        def run(sink):
+            if is_dc and Ah == 0:
+                _enc_dc_first(sink, coeffs, seq, Al)
+            elif is_dc:
+                _enc_dc_refine(sink, coeffs, seq, Al)
+            else:
+                state = {"eobrun": 0, "be_bits": []}
+                enc = _enc_ac_first if Ah == 0 else _enc_ac_refine
+                for sci, by, bx in seq:
+                    enc(sink, coeffs[sci][by, bx], Ss, Se, Al, state)
+                _flush_eobrun(sink, state)
+
+        probe = _ScanSink()
+        run(probe)
+        if probe.symbols:
+            codes, bits, vals = _flat_table(probe.symbols)
+            tc = 0x00 if is_dc else 0x10  # class DC/AC, table id 0
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc])
+            out += bytes(bits) + bytes(vals)
+            sink = _ScanSink(codes)
+        else:  # pure-raw-bit scan (DC refine): no Huffman table needed
+            sink = _ScanSink({})
+        run(sink)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps_idx), len(comps_idx))
+        for sci in comps_idx:
+            out += bytes([sci + 1, 0x00])  # Td=0, Ta=0 (redefined per scan)
+        out += bytes([Ss, Se, (Ah << 4) | Al])
+        out += sink.bw.flush()
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -633,7 +940,13 @@ def decode_jpeg(data: bytes):
                             coeff[k] = _extend(reader.read(s), s)
                             k += 1
                         raster = np.zeros(64, dtype=np.float64)
-                        raster[zz] = coeff * q
+                        # coeff is zigzag-ordered; q is raster-ordered —
+                        # dequantize in matching (zigzag) order. The old
+                        # `coeff * q` mixed the orders: DC (index 0) was
+                        # unaffected, every AC coefficient was scaled by
+                        # the wrong table cell (caught by the progressive
+                        # codec's analytic self-consistency oracle, r11).
+                        raster[zz] = coeff * q[zz]
                         blk = C.T @ raster.reshape(8, 8) @ C + 128.0
                         y0 = (my * c["v"] + byi) * 8
                         x0 = (mx * c["h"] + bxi) * 8

@@ -103,13 +103,21 @@ DRIVER_WINDOW: list[str] = [
     "d_ngram_jaccard_pairs",
     "s_cosine_topk_bruteforce",
     "st_tumbling_window",
-    "st_sliding_window",
     "st_session_window",
     "j_asof_purchase_last_view",
-    "j_range_price_bands",
     "w_lead_lag_session_count",
     "t_token_budget_select",
     "t_winnowing_fingerprints",
+    # --- round-11 mid-round amendment (r4/r7/r10 precedent):
+    # mm_mjpeg_frame_sample is NEW (compressed MJPEG/AVI video,
+    # VERDICT r10 #5) and takes its first driver row;
+    # mm_video_frame_sample re-enters because sample_video_frames
+    # changed this round (per-container frame-mime contract). They
+    # replace st_sliding_window / j_range_price_bands, which keep
+    # their green r9 rows (5 greens each; the streaming and join
+    # families stay covered by st_tumbling/st_session and j_asof). ---
+    "mm_mjpeg_frame_sample",
+    "mm_video_frame_sample",
 ]
 
 

@@ -1454,6 +1454,93 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_mjpeg_frame_sample",
+    oracle="""
+    WITH mj_base AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx,
+             3 + CAST(doc_id % 5 AS INT) AS n_frames
+      FROM documents
+    ), mj_frames AS (
+      SELECT doc_id, CAST(k AS INT) AS frame_idx, hx
+      FROM mj_base, unnest(range(0, n_frames, 2)) AS u(k)
+    )
+    SELECT doc_id * 1000000 + frame_idx AS media_id,
+           frame_idx,
+           (ascii(substr(hx, frame_idx + 1, 1)) * 7) % 256 AS px
+    FROM mj_frames ORDER BY media_id
+    """,
+)
+def mm_mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED video pipeline end-to-end (VERDICT r10 #5): synthesize
+    → MJPEG-in-AVI encode (every frame a real baseline JPEG from
+    llm/jpeg.py) → distributed frame sampling → per-frame JPEG decode →
+    exact pixel readback.
+
+    Each document synthesizes a 3-7 frame video of 16×16 UNIFORM RGB
+    frames (frame k's value = (ascii(md5_hex[k]) * 7) % 256) muxed into
+    a real RIFF/AVI MJPEG container (llm/multimodal.py::
+    encode_mjpeg_avi — avih/strh/strf headers, movi '00dc' JPEG chunks,
+    idx1 keyframe index). sample_video_frames takes every 2nd frame
+    (every_ms=80 against frame_ms=40) and emits them with mime
+    image/jpeg via the registry's frame-mime contract; each sampled
+    frame is then JPEG-DECODED back to pixels. Uniform frames are
+    DC-only so the lossy round-trip is bit-exact at quality 85 (same
+    analysis as mm_jpeg_roundtrip), and the oracle recomputes every
+    sampled pixel analytically — a hash match proves the AVI mux/demux,
+    the sampling stride on a variable frame count, the frame-id
+    arithmetic AND the per-frame entropy-coded JPEG fidelity. The
+    reference has no media path at all (north-star surface); the raw
+    twin is mm_video_frame_sample.
+    """
+    import numpy as np
+
+    from ..llm.dedup import _fan_out
+    from ..llm.jpeg import decode_jpeg
+    from ..llm.multimodal import MEDIA_SCHEMA, encode_mjpeg_avi, sample_video_frames
+
+    d = _fan_out(
+        load_table(spark, sf_dir, "documents", ["doc_id"]).select(
+            "doc_id", F.md5(col("doc_id").cast("string")).alias("hx")
+        )
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did, hx in zip(pdf["doc_id"], pdf["hx"]):
+                n_frames = 3 + int(did) % 5
+                frames = [
+                    np.full((16, 16, 3), (ord(hx[k]) * 7) % 256, dtype=np.uint8)
+                    for k in range(n_frames)
+                ]
+                rows.append(
+                    (int(did), "video", "video/x-msvideo", 16, 16,
+                     40 * n_frames, encode_mjpeg_avi(frames, 40))
+                )
+            yield pd.DataFrame(rows, columns=MEDIA_SCHEMA.fieldNames())
+
+    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    sampled = sample_video_frames(media, every_ms=80)
+
+    def feat(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.mime != "image/jpeg":
+                    raise AssertionError(
+                        f"MJPEG frames must surface as image/jpeg, got {r.mime}"
+                    )
+                px = int(decode_jpeg(r.content)[8, 8, 0])
+                rows.append((int(r.media_id), int(r.media_id % 1_000_000), px))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "px"])
+
+    return (
+        sampled.mapInPandas(feat, "media_id long, frame_idx int, px int")
+        .orderBy("media_id")
+    )
+
+
+@query(
     "mm_image_resize",
     oracle="""
     WITH base AS (

@@ -21,6 +21,17 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import os
 
     con = duckdb.connect()
+    # Bound the ORACLE's memory so a quadratic oracle (e.g. the
+    # d_ngram_jaccard_pairs all-pairs CTE on the sf1-skew boilerplate
+    # clique) spills to disk instead of OOM-killing the box — the r10
+    # sf1-skew sweep died at 107/119 on the DuckDB side (VERDICT r10
+    # #3). Opt-in via env so small-SF local runs keep default behavior.
+    mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+    if mem:
+        spill = os.environ.get("SPARK_GRAFT_DUCK_TMP", "/tmp/duck-spill")
+        os.makedirs(spill, exist_ok=True)
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute(f"SET temp_directory='{spill}'")
     for t in TESTDATA_TABLES:
         p = f"{sf_dir}/{t}.parquet"
         # driver testdata ships single-file parquet; Spark-written

@@ -105,7 +105,10 @@ def test_pinned_fixture_hashes():
 
 
 PINNED_ENC_MD5 = "f07ce6e3b0f899fb7755be9aac13e589"
-PINNED_DEC_MD5 = "0c927c55b1944778cbfc10e33e8f6cd8"
+# decoder pin regenerated in r11: the dequantize step mixed zigzag
+# coefficients with the raster-ordered quant table (AC cells scaled by
+# the wrong entry); the encoder pin is unchanged — only decode moved.
+PINNED_DEC_MD5 = "0ae04bda15227ae8839766a862ce2060"
 
 
 def _print_pins():

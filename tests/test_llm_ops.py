@@ -244,6 +244,133 @@ def test_sample_video_frames_end_to_end(spark):
     assert [int(a[0, 0, 0]) for a in sampled] == [0, 80, 160]
 
 
+def test_mjpeg_avi_round_trip_exact():
+    """AVI mux → demux returns the per-frame JPEG payloads verbatim
+    (byte-identical to direct encode_jpeg output), the exact integral
+    frame duration, and the image/jpeg frame mime; uniform frames
+    survive the lossy codec bit-exactly (DC-only analysis,
+    test_uniform_images_decode_exactly)."""
+    import numpy as np
+
+    from doin_fine_ance__spark.llm.jpeg import decode_jpeg, encode_jpeg
+    from doin_fine_ance__spark.llm.multimodal import (
+        decode_mjpeg_avi,
+        encode_mjpeg_avi,
+    )
+
+    values = [17, 130, 255, 64, 3]
+    frames = [np.full((16, 16, 3), v, dtype=np.uint8) for v in values]
+    avi = encode_mjpeg_avi(frames, frame_ms=40)
+    frame_ms, payloads, mime = decode_mjpeg_avi(avi)
+    assert (frame_ms, mime, len(payloads)) == (40, "image/jpeg", 5)
+    for p, f, v in zip(payloads, frames, values):
+        assert p == encode_jpeg(f, quality=85, subsampling="420")
+        assert int(decode_jpeg(p)[8, 8, 0]) == v
+
+
+def test_mjpeg_avi_bit_stable_and_odd_alignment():
+    """Same frames + params → identical container bytes (encode is a
+    pure function — engine-reproducible payload columns), and odd-length
+    JPEG chunks are word-padded per the RIFF spec without corrupting
+    the following chunk."""
+    import numpy as np
+
+    from doin_fine_ance__spark.llm.jpeg import decode_jpeg
+    from doin_fine_ance__spark.llm.multimodal import (
+        decode_mjpeg_avi,
+        encode_mjpeg_avi,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = [
+        rng.integers(0, 256, (24, 24, 3)).astype(np.uint8) for _ in range(6)
+    ]
+    avi = encode_mjpeg_avi(frames, frame_ms=33)
+    assert avi == encode_mjpeg_avi(frames, frame_ms=33)
+    _, payloads, _ = decode_mjpeg_avi(avi)
+    assert len(payloads) == 6
+    # the alignment path is only exercised if some payload IS odd-length
+    assert any(len(p) % 2 for p in payloads)
+    for p in payloads:
+        decode_jpeg(p)  # every demuxed frame parses
+
+
+def test_mjpeg_avi_rejects_foreign_payloads():
+    import re
+
+    import numpy as np
+    import pytest
+
+    from doin_fine_ance__spark.llm.multimodal import (
+        decode_mjpeg_avi,
+        encode_mjpeg_avi,
+    )
+
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_mjpeg_avi(b"\x89PNG\r\n\x1a\n junk")
+    frames = [np.full((16, 16, 3), 9, dtype=np.uint8)]
+    avi = encode_mjpeg_avi(frames, frame_ms=40)
+    # uncompressed-DIB AVI must reject loudly, not mis-decode as JPEG:
+    # patch BOTH 'MJPG' sites (strh fccHandler + strf biCompression)
+    patched = avi.replace(b"MJPG", b"DIB ")
+    with pytest.raises(ValueError, match=re.escape("not MJPG")):
+        decode_mjpeg_avi(patched)
+    # audio-only AVI (no 'vids' stream header)
+    with pytest.raises(ValueError, match="no video"):
+        decode_mjpeg_avi(avi.replace(b"vids", b"auds"))
+
+
+def test_mjpeg_avi_tolerates_junk_chunks():
+    """Real muxers emit JUNK padding chunks; the demuxer walks the RIFF
+    tree rather than assuming fixed header offsets."""
+    import struct
+
+    import numpy as np
+
+    from doin_fine_ance__spark.llm.multimodal import (
+        decode_mjpeg_avi,
+        encode_mjpeg_avi,
+    )
+
+    frames = [np.full((16, 16, 3), v, dtype=np.uint8) for v in (5, 250)]
+    avi = encode_mjpeg_avi(frames, frame_ms=40)
+    junk = b"JUNK" + struct.pack("<I", 6) + b"\x00" * 6
+    payload = b"AVI " + junk + avi[12:]
+    jittered = b"RIFF" + struct.pack("<I", len(payload)) + payload
+    frame_ms, payloads, mime = decode_mjpeg_avi(jittered)
+    assert (frame_ms, len(payloads), mime) == (40, 2, "image/jpeg")
+    assert payloads == decode_mjpeg_avi(avi)[1]
+
+
+def test_sample_video_frames_mjpeg_end_to_end(spark):
+    """The compressed-video twin of the raw-BMP sampling test: MJPEG
+    media rows → frame sampling → image/jpeg frame rows whose decoded
+    pixels match the synthesized values exactly."""
+    import numpy as np
+
+    from doin_fine_ance__spark.llm.jpeg import decode_jpeg
+    from doin_fine_ance__spark.llm.multimodal import (
+        encode_mjpeg_avi,
+        sample_video_frames,
+    )
+
+    # 6 uniform 16x16 frames at 100ms each; sample every 200ms → 0,2,4
+    frames = [np.full((16, 16, 3), 40 * i, dtype=np.uint8) for i in range(6)]
+    video = encode_mjpeg_avi(frames, frame_ms=100)
+    media = spark.createDataFrame(
+        [(9, "video", "video/x-msvideo", 16, 16, 600, video)],
+        schema=MEDIA_SCHEMA,
+    )
+    out = sorted(
+        sample_video_frames(media, every_ms=200).collect(),
+        key=lambda r: r.media_id,
+    )
+    assert [r.media_id for r in out] == [9_000_000, 9_000_002, 9_000_004]
+    assert all(r.media_type == "image" and r.mime == "image/jpeg" for r in out)
+    sampled = [decode_jpeg(bytes(r.content)) for r in out]
+    assert [int(a[8, 8, 0]) for a in sampled] == [0, 80, 160]
+
+
 def test_dup_cluster_path_skew_safe_on_shared_prefix(spark):
     """1k docs sharing a 16-char prefix must NOT collapse into one
     quadratic block: the clustering edge set comes from MinHash bands
