@@ -106,7 +106,9 @@ HEADLINE = [
     "mm_jpeg_roundtrip",
     "t_bm25_more_like_this",
     # round 11: compressed video (MJPEG-in-AVI mux → sample → JPEG decode)
+    # and progressive (SOF2) JPEG multi-scan decode
     "mm_mjpeg_frame_sample",
+    "mm_jpeg_progressive",
 ]
 
 

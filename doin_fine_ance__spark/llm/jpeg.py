@@ -14,13 +14,24 @@ Annex-K quantization tables scaled by the libjpeg quality formula,
 zigzag + DC-differential + the Annex-K "typical" Huffman tables,
 byte-stuffed entropy stream; markers SOI/APP0/DQT/SOF0/DHT/SOS/EOI.
 
-Decoder (``decode_jpeg``): baseline sequential (SOF0) with arbitrary
+Decoder (``decode_jpeg``): baseline sequential (SOF0/SOF1) AND
+progressive (SOF2, r11 — spectral selection + successive
+approximation per T.81 Annex G, DC/AC first and refinement scans,
+EOB runs, per-scan DHT redefinition, restart markers) with arbitrary
 per-component sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0),
-multi-table DQT/DHT segments, restart markers (DRI/RSTn), grayscale
-and 3-component scans; Huffman decode → dequantize → de-zigzag → IDCT
-→ chroma upsample (replication) → YCbCr → RGB, clipped to uint8.
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-with the unsupported parameter named.
+multi-table DQT/DHT segments, grayscale and 3-component scans;
+Huffman decode → dequantize → de-zigzag → IDCT → chroma upsample
+(replication) → YCbCr → RGB, clipped to uint8. Arithmetic coding,
+hierarchical/lossless SOFs, and 12-bit precision raise with the
+unsupported parameter named.
+
+A progressive ENCODER (``encode_jpeg_progressive``) ships too — not
+because ingest needs it, but because it gives the decoder a hard
+oracle: progressive is a lossless re-arrangement of coefficient
+transmission, so decode(progressive) must equal decode(baseline)
+PIXEL-FOR-PIXEL for any scan script over the same quantized
+coefficients. That oracle caught a latent baseline bug on arrival
+(dequantization mixed zigzag/raster table order, r11).
 
 Determinism: every stage is integer or float64 matrix math with a
 fixed operation order — identical bytes in, identical pixels out, on
@@ -532,15 +543,16 @@ def _flush_eobrun(sink, state):
 def _enc_ac_first(sink, blk, Ss, Se, Al, state):
     """One block of an AC first scan (G.1.2.2): magnitude-shifted
     values, zero runs, EOB-run accumulation across blocks."""
-    vals = []
-    for k in range(Ss, Se + 1):
-        c = int(blk[k])
-        vals.append(-((-c) >> Al) if c < 0 else (c >> Al))
-    if not any(vals):
+    import numpy as np
+
+    band = np.asarray(blk[Ss : Se + 1], dtype=np.int64)
+    shifted = np.sign(band) * (np.abs(band) >> Al)
+    if not shifted.any():  # numpy fast path: the dominant case at scale
         state["eobrun"] += 1
         if state["eobrun"] == 0x7FFF:
             _flush_eobrun(sink, state)
         return
+    vals = shifted.tolist()
     _flush_eobrun(sink, state)
     r = 0
     last_nz = max(i for i, v in enumerate(vals) if v)
@@ -567,13 +579,20 @@ def _enc_ac_refine(sink, blk, Ss, Se, Al, state):
     that are emitted AFTER the next Huffman symbol; newly-significant
     coefficients (|c| >> Al == 1) are run-length coded like a first
     scan with a sign bit instead of magnitude bits."""
-    absv = []
-    eob = -1
-    for k in range(Ss, Se + 1):
-        a = abs(int(blk[k])) >> Al
-        absv.append(a)
-        if a == 1:
-            eob = k - Ss  # last NEWLY-significant position
+    import numpy as np
+
+    band_abs = np.abs(np.asarray(blk[Ss : Se + 1], dtype=np.int64)) >> Al
+    if not band_abs.any():
+        # nothing visible at this bit plane: no history corrections
+        # (history ⇒ |c| ≥ 2^(Al+1) ⇒ absv ≥ 2) and nothing newly
+        # significant — the whole block is one EOB
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(sink, state)
+        return
+    absv = band_abs.tolist()
+    ones = np.nonzero(band_abs == 1)[0]
+    eob = int(ones[-1]) if ones.size else -1  # last NEWLY-significant
     r = 0
     br: list[int] = []  # correction bits buffered inside this block
     for i, a in enumerate(absv):
@@ -748,6 +767,8 @@ class _BitReader:
 
 def _decode_tables(bits, vals):
     """(BITS, HUFFVAL) → {(length, code): value} for MSB-first decode."""
+    if len(vals) < sum(bits):
+        raise ValueError("truncated JPEG DHT segment")
     table = {}
     code, k = 0, 0
     for length in range(1, 17):
@@ -778,9 +799,10 @@ def _extend(bits: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes):
-    """Baseline JFIF bytes → numpy (H, W, 3) uint8 RGB. See module
-    docstring for supported features; progressive/arithmetic/12-bit
-    raise with the parameter named."""
+    """JFIF bytes (baseline SOF0/SOF1 or progressive SOF2) → numpy
+    (H, W, 3) uint8 RGB. See module docstring for supported features;
+    arithmetic coding / 12-bit / hierarchical raise with the parameter
+    named."""
     import numpy as np
 
     if data[:2] != b"\xff\xd8":
@@ -789,8 +811,10 @@ def decode_jpeg(data: bytes):
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
     scan = None
+    scans: list[dict] = []
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -800,8 +824,12 @@ def decode_jpeg(data: bytes):
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG stream (marker without length)")
         (seglen,) = struct.unpack_from(">H", data, pos)
         seg = data[pos + 2 : pos + seglen]
+        if len(seg) < seglen - 2:
+            raise ValueError("truncated JPEG stream (short marker segment)")
         pos += seglen
         if marker == 0xDB:  # DQT (possibly several tables)
             i = 0
@@ -828,10 +856,11 @@ def decode_jpeg(data: bytes):
                     tab = _DEC_TABLE_CACHE[key] = _decode_tables(bits, vals)
                 huff[(tc, th)] = tab
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG: {prec}-bit precision")
+            progressive = marker == 0xC2
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
@@ -839,20 +868,24 @@ def decode_jpeg(data: bytes):
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG: SOF{marker - 0xC0} "
-                "(only baseline sequential SOF0/SOF1 is implemented)"
+                "(baseline SOF0/SOF1 and progressive SOF2 are implemented)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("truncated JPEG SOS header")
             scan_comps = []
             for ci in range(ns):
                 cs, tdta = seg[1 + 2 * ci : 3 + 2 * ci]
                 scan_comps.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0xF})
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
             # entropy-coded data runs to the next non-RST marker
             start = pos
             while pos < len(data) - 1:
@@ -861,11 +894,26 @@ def decode_jpeg(data: bytes):
                 ):
                     break
                 pos += 1
-            scan = {"comps": scan_comps, "data": data[start:pos]}
-            break
+            scan = {
+                "comps": scan_comps,
+                "data": data[start:pos],
+                "ss": ss,
+                "se": se,
+                "ah": ahal >> 4,
+                "al": ahal & 0xF,
+                # DHT/DRI may be redefined between progressive scans —
+                # snapshot what was in effect when this scan started
+                "huff": dict(huff),
+                "ri": restart_interval,
+            }
+            if not progressive:
+                break
+            scans.append(scan)
         # APPn / COM / others: skipped
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
+    if progressive:
+        return _decode_progressive(frame, scans, qt)
 
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["h"] for c in comps)
@@ -953,7 +1001,14 @@ def decode_jpeg(data: bytes):
                         c["plane"][y0 : y0 + 8, x0 : x0 + 8] = blk
             mcu_in_seg += 1
 
-    # upsample to full resolution (replication) and crop
+    return _finish_decode(comps, h, w, hmax, vmax)
+
+
+def _finish_decode(comps, h, w, hmax, vmax):
+    """Shared decoder tail: chroma upsample (replication), crop,
+    YCbCr → RGB (or grayscale replication)."""
+    import numpy as np
+
     planes = []
     for c in comps:
         p = c["plane"]
@@ -970,3 +1025,202 @@ def decode_jpeg(data: bytes):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _split_restarts(raw: bytes) -> list[bytes]:
+    """Entropy bytes → segments between RSTn markers (stuffed FF00
+    left intact for the bit reader)."""
+    segments, part, i = [], bytearray(), 0
+    while i < len(raw):
+        if raw[i] == 0xFF and i + 1 < len(raw) and 0xD0 <= raw[i + 1] <= 0xD7:
+            segments.append(bytes(part))
+            part = bytearray()
+            i += 2
+        else:
+            part.append(raw[i])
+            i += 1
+    segments.append(bytes(part))
+    return segments
+
+
+def _dec_ac_first(reader, ac_tab, blk, ss, se, al, eobrun):
+    """AC first scan for one block (T.81 G.2 / F.2.2.2 shape).
+    ``blk`` is the zigzag-ordered coefficient row; returns eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_huff(reader, ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past band end (corrupt scan)")
+            blk[k] = _extend(reader.read(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read(r)
+                return eobrun
+            k += 16  # ZRL
+    return 0
+
+
+def _dec_ac_refine(reader, ac_tab, blk, ss, se, al, eobrun):
+    """AC refinement scan for one block (G.1.2.3): correction bits for
+    history coefficients, run-length-coded newly-significant ±1<<Al.
+    Returns eobrun."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def correct(k):
+        if reader.read_bit() and (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_huff(reader, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError(
+                        "invalid AC refinement magnitude (corrupt scan)"
+                    )
+                val = p1 if reader.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read(r)
+                break  # rest of the band is EOB-run territory
+            # skip r zero-history slots, correcting history coefficients
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                if k > se:
+                    raise ValueError("JPEG AC refinement past band end")
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # trailing correction bits under the EOB run
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(frame, scans, qt):
+    """SOF2 reconstruction: accumulate coefficients across spectral-
+    selection / successive-approximation scans (T.81 Annex G), then
+    dequantize + IDCT once. Scan semantics follow the spec's figures
+    G.2/G.7 in the shape the public libjpeg decoder (jdphuff.c) made
+    canonical. Every mode is exercised by the encode_jpeg_progressive
+    round-trip tests, whose oracle is pixel equality with the baseline
+    codec on identical coefficients."""
+    import numpy as np
+
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise ValueError("unsupported JPEG: sampling factors beyond 2x2")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_comp = {}
+    for c in comps:
+        c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        by_comp[c["id"]] = c
+
+    for scan in scans:
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        huff = scan["huff"]
+        is_dc = ss == 0
+        if is_dc and se != 0:
+            raise ValueError("corrupt progressive scan: Ss=0 requires Se=0")
+        if not is_dc and len(scan["comps"]) != 1:
+            raise ValueError("corrupt progressive scan: interleaved AC scan")
+        scomps = [by_comp[s["id"]] for s in scan["comps"]]
+        for c, s in zip(scomps, scan["comps"]):
+            c["td"], c["ta"] = s["td"], s["ta"]
+
+        # unit sequence: MCUs when interleaved (ns > 1, DC scans only),
+        # the component's own block grid otherwise (T.81 A.2.2)
+        if len(scomps) > 1:
+            units = [
+                [
+                    (c, my * c["v"] + byi, mx * c["h"] + bxi)
+                    for c in scomps
+                    for byi in range(c["v"])
+                    for bxi in range(c["h"])
+                ]
+                for my in range(mcuy)
+                for mx in range(mcux)
+            ]
+        else:
+            c = scomps[0]
+            samp = [(cc["h"], cc["v"]) for cc in comps]
+            ci = comps.index(c)
+            cbh, cbw = _comp_block_grid(h, w, samp, ci, hmax, vmax)
+            units = [
+                [(c, by, bx)] for by in range(cbh) for bx in range(cbw)
+            ]
+
+        ri = scan["ri"]
+        segments = _split_restarts(scan["data"]) if ri else [scan["data"]]
+        seg_idx, in_seg = 0, 0
+        reader = _BitReader(segments[0])
+        pred = {c["id"]: 0 for c in comps}
+        eobrun = 0
+        for unit in units:
+            if ri and in_seg == ri:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("JPEG scan missing expected RST marker")
+                reader = _BitReader(segments[seg_idx])
+                pred = {c["id"]: 0 for c in comps}
+                eobrun = 0
+                in_seg = 0
+            for c, by, bx in unit:
+                blk = c["coef"][by, bx]
+                if is_dc and ah == 0:
+                    dc_tab = huff.get((0, c["td"]))
+                    if dc_tab is None:
+                        raise ValueError("JPEG scan references a missing DHT table")
+                    s = _read_huff(reader, dc_tab)
+                    pred[c["id"]] += _extend(reader.read(s), s)
+                    blk[0] = pred[c["id"]] << al
+                elif is_dc:
+                    if reader.read_bit():
+                        blk[0] |= 1 << al
+                else:
+                    ac_tab = huff.get((1, c["ta"]))
+                    if ac_tab is None:
+                        raise ValueError("JPEG scan references a missing DHT table")
+                    dec = _dec_ac_first if ah == 0 else _dec_ac_refine
+                    eobrun = dec(reader, ac_tab, blk, ss, se, al, eobrun)
+            in_seg += 1
+
+    # dequantize + IDCT, vectorized per component
+    C = _dct_c()
+    zz = np.asarray(ZIGZAG)
+    for c in comps:
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("JPEG scan references a missing DQT table")
+        bh, bw = c["coef"].shape[:2]
+        raster = np.zeros((bh, bw, 64), dtype=np.float64)
+        raster[:, :, zz] = c["coef"] * q[zz]  # zigzag-order dequantize
+        blocks = raster.reshape(bh, bw, 8, 8)
+        pix = np.einsum("ux,ijuv,vy->ijxy", C, blocks, C) + 128.0
+        c["plane"] = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return _finish_decode(comps, h, w, hmax, vmax)

@@ -97,7 +97,6 @@ DRIVER_WINDOW: list[str] = [
     # --- r9-evidenced five-row refreshes (family coverage) ---
     "d_dup_clusters",
     "d_exact_dedup",
-    "d_segment_dedup",
     "d_simhash_neardups",
     "d_embedding_cosine_neardups",
     "d_ngram_jaccard_pairs",
@@ -108,16 +107,20 @@ DRIVER_WINDOW: list[str] = [
     "w_lead_lag_session_count",
     "t_token_budget_select",
     "t_winnowing_fingerprints",
-    # --- round-11 mid-round amendment (r4/r7/r10 precedent):
+    # --- round-11 mid-round amendments (r4/r7/r10 precedent):
     # mm_mjpeg_frame_sample is NEW (compressed MJPEG/AVI video,
     # VERDICT r10 #5) and takes its first driver row;
     # mm_video_frame_sample re-enters because sample_video_frames
-    # changed this round (per-container frame-mime contract). They
-    # replace st_sliding_window / j_range_price_bands, which keep
-    # their green r9 rows (5 greens each; the streaming and join
-    # families stay covered by st_tumbling/st_session and j_asof). ---
+    # changed this round (per-container frame-mime contract);
+    # mm_jpeg_progressive is NEW (SOF2 multi-scan decode, VERDICT r10
+    # #6) and takes its first driver row. They replace
+    # st_sliding_window / j_range_price_bands / d_segment_dedup, which
+    # keep their green r9 rows (5 greens each; the streaming, join and
+    # dedup families stay covered by st_tumbling/st_session, j_asof,
+    # and the five other d_* window rows). ---
     "mm_mjpeg_frame_sample",
     "mm_video_frame_sample",
+    "mm_jpeg_progressive",
 ]
 
 

@@ -1757,6 +1757,88 @@ def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_jpeg_progressive",
+    oracle="""
+    WITH jp_hx AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    )
+    SELECT doc_id AS media_id,
+           (ascii(substr(hx, 1, 1)) * 7) % 256 AS b00,
+           (ascii(substr(hx, 2, 1)) * 7) % 256 AS b01,
+           (ascii(substr(hx, 3, 1)) * 7) % 256 AS b10,
+           (ascii(substr(hx, 4, 1)) * 7) % 256 AS b11
+    FROM jp_hx ORDER BY media_id
+    """,
+)
+def mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2) decode, driver-hashed exactly
+    (VERDICT r10 #6): synthesize → progressive encode (spectral
+    selection + successive approximation, the libjpeg-shaped default
+    scan script) → opaque binary → multi-scan decode → per-quadrant
+    pixel readback.
+
+    Same block-constant-image analysis as mm_jpeg_roundtrip (32×32,
+    four uniform 16×16 quadrants, 4:2:0, quality 85 → DC-only, exact),
+    but the bytes crossing the Arrow boundary are a REAL SOF2 stream:
+    ten scans, DC first at Al=1 then refined, luma AC split into two
+    spectral bands at Al=2 and refined twice, chroma AC at Al=1 then
+    refined — so a hash match proves the whole Annex-G reconstruction
+    (coefficient accumulation across scans, bit-plane ORs, EOB-run
+    bookkeeping) lands on the identical pixels the oracle computes
+    analytically. A large fraction of web-crawl JPEGs are progressive;
+    this closes the codec registry's biggest real-ingest hole
+    (llm/jpeg.py::encode_jpeg_progressive/_decode_progressive).
+    """
+    import numpy as np
+
+    from ..llm.dedup import _fan_out
+    from ..llm.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    d = _fan_out(
+        load_table(spark, sf_dir, "documents", ["doc_id"]).select(
+            "doc_id", F.md5(col("doc_id").cast("string")).alias("hx")
+        )
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for did, hx in zip(pdf["doc_id"], pdf["hx"]):
+                v = [(ord(hx[k]) * 7) % 256 for k in range(4)]
+                img = np.zeros((32, 32, 3), dtype=np.uint8)
+                img[:16, :16] = v[0]
+                img[:16, 16:] = v[1]
+                img[16:, :16] = v[2]
+                img[16:, 16:] = v[3]
+                data = encode_jpeg_progressive(
+                    img, quality=85, subsampling="420"
+                )
+                if b"\xff\xc2" not in data:  # must be a real SOF2 stream
+                    raise AssertionError("expected a progressive (SOF2) stream")
+                dec = decode_jpeg(data)
+                rows.append(
+                    (
+                        int(did),
+                        int(dec[8, 8, 0]),
+                        int(dec[8, 24, 1]),
+                        int(dec[24, 8, 2]),
+                        int(dec[24, 24, 0]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "b00", "b01", "b10", "b11"]
+            )
+
+    return (
+        d.mapInPandas(
+            roundtrip,
+            "media_id long, b00 int, b01 int, b10 int, b11 int",
+        )
+        .orderBy("media_id")
+    )
+
+
 def _ahash_cte() -> str:
     """DuckDB CTE chain recomputing the synthesized-image aHash of
     mm_image_neardups analytically: per doc, 64 gray pixel values from

@@ -161,9 +161,14 @@ def test_byte_stuffing_round_trip():
 
 def test_unsupported_modes_raise_loudly():
     base = encode_jpeg(_smooth(8, 8))
-    # progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    # lossless sequential: flip SOF0 (FFC0) to SOF3 (FFC3)
+    lossless = base.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(ValueError, match="SOF3"):
+        decode_jpeg(lossless)
+    # a BASELINE scan mislabeled as progressive (SOF2) is corrupt —
+    # a full-band Ss=0..Se=63 scan is illegal in progressive mode
     prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="SOF2"):
+    with pytest.raises(ValueError, match="Ss=0 requires Se=0"):
         decode_jpeg(prog)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
@@ -257,3 +262,129 @@ def test_image_ahash_over_jpeg(spark):
         return bin((a ^ b) & ((1 << 64) - 1)).count("1")
     assert ham(h[1], h[2]) <= 6
     assert ham(h[2], h[3]) <= 6
+
+
+# ------------------------------------------------------------ progressive
+#
+# Progressive (SOF2) is a lossless re-arrangement of coefficient
+# transmission: decode(progressive bytes) must equal decode(baseline
+# bytes) PIXEL-FOR-PIXEL for ANY scan script, because both paths feed
+# identical quantized coefficients into the same dequantize+IDCT. That
+# equality is the oracle for every test here — far stronger than
+# closeness thresholds.
+
+from doin_fine_ance__spark.llm.jpeg import (  # noqa: E402
+    _DEFAULT_SCAN_SCRIPT,
+    encode_jpeg_progressive,
+)
+
+
+def _images(seed=5):
+    rng = np.random.default_rng(seed)
+    yield "noise", rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    yield "flat", np.full((48, 48, 3), 200, np.uint8)  # long EOB runs
+    yield "smooth", _smooth(24, 40)
+    stripes = (
+        np.tile(np.array([0, 255], np.uint8).repeat(8)[:16], (32, 2))[:, :32]
+    )
+    yield "stripes", stripes[:, :, None].repeat(3, 2)  # high-freq AC
+
+
+@pytest.mark.parametrize("quality,sub", [(85, "444"), (70, "420"), (95, "420")])
+def test_progressive_equals_baseline_default_script(quality, sub):
+    for label, img in _images():
+        base = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=quality, subsampling=sub)
+        )
+        assert np.array_equal(base, prog), (label, quality, sub)
+
+
+PURE_SPECTRAL = [
+    ((0, 1, 2), 0, 0, 0, 0),
+    ((0,), 1, 2, 0, 0), ((0,), 3, 8, 0, 0), ((0,), 9, 63, 0, 0),
+    ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0),
+]
+DEEP_SA = [
+    ((0, 1, 2), 0, 0, 0, 3),
+    ((0, 1, 2), 0, 0, 3, 2), ((0, 1, 2), 0, 0, 2, 1), ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 63, 0, 3), ((0,), 1, 63, 3, 2),
+    ((0,), 1, 63, 2, 1), ((0,), 1, 63, 1, 0),
+    ((1,), 1, 63, 0, 2), ((1,), 1, 63, 2, 1), ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 0, 1), ((2,), 1, 63, 1, 0),
+]
+NARROW_BANDS = [
+    ((0, 1, 2), 0, 0, 0, 1), ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 1, 0, 1), ((0,), 2, 5, 0, 1),
+    ((0,), 6, 20, 0, 1), ((0,), 21, 63, 0, 1),
+    ((0,), 1, 1, 1, 0), ((0,), 2, 5, 1, 0),
+    ((0,), 6, 20, 1, 0), ((0,), 21, 63, 1, 0),
+    ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0),
+]
+
+
+@pytest.mark.parametrize(
+    "script", [PURE_SPECTRAL, DEEP_SA, NARROW_BANDS],
+    ids=["pure-spectral", "deep-sa", "narrow-bands"],
+)
+def test_progressive_equals_baseline_alt_scripts(script):
+    """Spectral-selection-only, 4-level successive approximation, and
+    narrow-band splits all reconstruct the identical pixels — the three
+    script families exercise AC first/refine, EOB runs spanning many
+    blocks, ZRL-in-refine, and per-scan DHT redefinition."""
+    for label, img in _images(seed=11):
+        base = decode_jpeg(encode_jpeg(img, quality=70))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=70, scan_script=script)
+        )
+        assert np.array_equal(base, prog), label
+
+
+def test_progressive_grayscale_and_determinism():
+    g = np.clip(
+        np.add.outer(np.arange(21) * 7, np.arange(33) * 3), 0, 255
+    ).astype(np.uint8)
+    b1 = encode_jpeg_progressive(g, quality=80)
+    assert b1 == encode_jpeg_progressive(g, quality=80)
+    assert np.array_equal(decode_jpeg(b1), decode_jpeg(encode_jpeg(g, quality=80)))
+
+
+def test_progressive_stream_structure():
+    """SOF2 marker present, one SOS per scan-script entry, DHT
+    redefined before every Huffman-coded scan (DC-refine scans carry
+    raw bits only and need no table)."""
+    img = _smooth(16, 16)
+    data = encode_jpeg_progressive(img, quality=85)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    n_sos = data.count(b"\xff\xda")
+    assert n_sos == len(_DEFAULT_SCAN_SCRIPT)
+    # exactly one scan (the interleaved DC refine) has no DHT
+    assert data.count(b"\xff\xc4") == n_sos - 1
+
+
+def test_progressive_truncated_stream_raises_cleanly():
+    img = _smooth(16, 16)
+    data = encode_jpeg_progressive(img, quality=85)
+    # cut mid-way through the scans: either a clean ValueError or a
+    # partial-quality image is acceptable for a PREFIX of scans, but
+    # never a crash with a non-ValueError
+    for cut in (len(data) // 3, len(data) // 2, 2 * len(data) // 3):
+        try:
+            decode_jpeg(data[:cut])
+        except ValueError:
+            pass
+
+
+def test_progressive_rejects_bad_scripts():
+    img = _smooth(8, 8)
+    with pytest.raises(ValueError, match="Ss=0 needs Se=0"):
+        encode_jpeg_progressive(img, scan_script=[((0,), 0, 63, 0, 0)])
+    with pytest.raises(ValueError, match="non-interleaved"):
+        encode_jpeg_progressive(
+            img, subsampling="420",
+            scan_script=[((0, 1, 2), 0, 0, 0, 0), ((0, 1), 1, 63, 0, 0)],
+        )
+    with pytest.raises(ValueError, match="one bit plane"):
+        encode_jpeg_progressive(
+            img, scan_script=[((0, 1, 2), 0, 0, 0, 2), ((0, 1, 2), 0, 0, 2, 0)]
+        )
