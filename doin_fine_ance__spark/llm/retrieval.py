@@ -147,14 +147,22 @@ def bm25_topk_fp(
     + b_pct * ((dl * SCALE) div avgdl))) div 100``
     ``sat_fp   = (tf * (100 + k1_pct) * SCALE div 100) * SCALE
     div denom_fp``           — bounded by (1 + k1) * SCALE ≈ 2.2e6
-    ``score_fp = sum_t (idf_fp * sat_fp) div SCALE``
+    ``score_fp = sum_t (idf_fp * sat_fp) div 1000``
+
+    The per-term divisor is 1000 (NOT SCALE): dividing by SCALE
+    quantized scores to small integers, and on a near-uniform-df
+    corpus the resulting ties made the ranking degenerate to doc-id
+    order (measured in BM25_AGREEMENT_r11.json — overlap@10 vs float
+    BM25 collapsed at sf1 before the change). Keeping three more
+    digits costs nothing in int64.
 
     Overflow precondition: ``idf_fp ≤ N*1000`` and ``sat_fp ≤ 2.2e6``,
-    so the product needs ``N < 2^63 / 2.2e9 ≈ 4e9`` documents and docs
-    under ~4M tokens (``tf * 2.2 * SCALE^2 < 2^63``) — comfortably
-    past web scale. avgdl is the floor of total tokens over N.
-    Returns (id, score_fp long) ordered by score_fp desc, id asc,
-    limit k.
+    so the intermediate product needs ``N < 2^63 / 2.2e9 ≈ 4e9``
+    documents and docs under ~4M tokens (``tf * 2.2 * SCALE^2 <
+    2^63``); the summed score needs ``N * n_query_terms < 4.2e12`` —
+    all comfortably past web scale. avgdl is the floor of total
+    tokens over N. Returns (id, score_fp long) ordered by
+    score_fp desc, id asc, limit k.
     """
     terms = _query_terms(query)
     if not terms:
@@ -193,7 +201,7 @@ def bm25_topk_fp(
             "_doc",
             F.expr(
                 f"((({n_docs} - _df) * 1000) div (_df + 1) * ({sat}))"
-                f" div {SCALE}"
+                " div 1000"
             ).alias("_s"),
         )
         .groupBy("_doc")

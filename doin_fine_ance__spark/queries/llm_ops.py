@@ -1634,7 +1634,7 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                      // (t.tf * 1000000
                          + (120 * (25 * 1000000
                             + 75 * ((l.dl * 1000000) // s.avgdl))) // 100)))
-                 // 1000000) AS score_fp
+                 // 1000) AS score_fp
       FROM bm_tf t
       JOIN bm_q q USING (term)
       JOIN bm_df d USING (term)

@@ -1960,3 +1960,28 @@ def test_bm25_rejects_empty_query(spark):
     docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="no terms"):
         bm25_topk(docs, "   ")
+
+
+def test_bm25_fixed_point_agreement_floor(spark):
+    """Pytest floor under BM25_AGREEMENT_r11.json (VERDICT r10 #7): on
+    the sf0.001 documents corpus — whose ~31-word vocabulary makes
+    every score nearly tied, the hardest case for surrogate fidelity —
+    the fixed-point top-10 must capture >= 0.9 of the float-BM25 score
+    mass of the true top-10 (score recall; set overlap is tie-dominated
+    there and measured in the committed artifact instead)."""
+    from doin_fine_ance__spark.llm.retrieval import bm25_topk, bm25_topk_fp
+    from tools.bm25_agreement import corpus_vocab, make_queries
+
+    docs = load_table(spark, SF, "documents", ["doc_id", "text"]).cache()
+    n_docs = docs.count()
+    vocab = corpus_vocab(docs)
+    assert len(vocab) >= 20  # the corpus premise the thresholds assume
+    queries = [q for (_, t, q) in make_queries(vocab) if t == 0]  # one per qlen
+    assert len(queries) == 3
+    for qtext in queries:
+        full = bm25_topk(docs, qtext, k=n_docs).collect()
+        fscore = {r.doc_id: r.score for r in full}
+        ideal = sum(fscore[r.doc_id] for r in full[:10])
+        fp = [r.doc_id for r in bm25_topk_fp(docs, qtext, k=10).collect()]
+        got = sum(fscore.get(d, 0.0) for d in fp)
+        assert got / ideal >= 0.9, (qtext, got / ideal)
