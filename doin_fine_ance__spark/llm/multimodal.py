@@ -588,13 +588,21 @@ def _require(registry: dict, mime: str, stage: str):
     return registry[mime]
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int, height: int, pre_partitioned: bool = False
+) -> DataFrame:
     """Distributed image resize (nearest-neighbor) via the codec registry.
 
     Same mapInPandas shape as :func:`extract_media_features`; output is
     MEDIA_SCHEMA with updated width/height/content (re-encoded with the
     same mime's encoder). Unregistered mimes raise NotImplementedError
     in the executor, naming the mime.
+
+    ``pre_partitioned=True`` skips the media_id repartition — at scale
+    that exchange ships the OPAQUE MEDIA BYTES a second time, which is
+    pure waste when the upstream stage (a synth kernel after a cheap
+    id-only fan-out, or a well-written source) already distributed the
+    rows. Default keeps the repartition for skewed-file-size sources.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -609,15 +617,21 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             out["height"] = height
             yield out[MEDIA_SCHEMA.fieldNames()]
 
-    return media.repartition("media_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    src = media if pre_partitioned else media.repartition("media_id")
+    return src.mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
-def sample_video_frames(media: DataFrame, every_ms: int) -> DataFrame:
+def sample_video_frames(
+    media: DataFrame, every_ms: int, pre_partitioned: bool = False
+) -> DataFrame:
     """Distributed frame sampling: one MEDIA row (image) per sampled frame.
 
     Frames are taken at t = 0, every_ms, 2*every_ms, … against the
     container's per-frame duration; media_id of a frame is
     ``video_id * 1_000_000 + frame_index`` (stable, join-backable).
+    ``pre_partitioned=True`` skips the media_id repartition (see
+    :func:`resize_images` — avoids re-shuffling the opaque video bytes
+    when the upstream stage already distributed them).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -641,7 +655,8 @@ def sample_video_frames(media: DataFrame, every_ms: int) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=MEDIA_SCHEMA.fieldNames())
 
-    return media.repartition("media_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    src = media if pre_partitioned else media.repartition("media_id")
+    return src.mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -1440,7 +1440,9 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=MEDIA_SCHEMA.fieldNames())
 
     media = d.mapInPandas(synth, MEDIA_SCHEMA)
-    sampled = sample_video_frames(media, every_ms=80)
+    # synth already distributed the payload off the id-only fan-out;
+    # a second media_id exchange would re-ship the opaque bytes
+    sampled = sample_video_frames(media, every_ms=80, pre_partitioned=True)
 
     def feat(batches):
         for pdf in batches:
@@ -1520,7 +1522,9 @@ def mm_mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=MEDIA_SCHEMA.fieldNames())
 
     media = d.mapInPandas(synth, MEDIA_SCHEMA)
-    sampled = sample_video_frames(media, every_ms=80)
+    # synth already distributed the payload off the id-only fan-out;
+    # a second media_id exchange would re-ship the opaque bytes
+    sampled = sample_video_frames(media, every_ms=80, pre_partitioned=True)
 
     def feat(batches):
         for pdf in batches:
@@ -1588,7 +1592,7 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=MEDIA_SCHEMA.fieldNames())
 
     media = d.mapInPandas(synth, MEDIA_SCHEMA)
-    small = resize_images(media, 2, 2)
+    small = resize_images(media, 2, 2, pre_partitioned=True)
 
     def feat(batches):
         for pdf in batches:

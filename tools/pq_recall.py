@@ -135,6 +135,16 @@ def ivfpq_recall_report(
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "PQ_RECALL_r09.json"
+    # Rehearsal-scale geometry (VERDICT r10 #8): at the sf10 table's
+    # 200k vectors the 16-cell default is no test of cell pruning —
+    # pass n_centroids/nprobes sized so probed cells are a small
+    # corpus fraction (e.g. 256 cells, nprobe 8..64).
+    ivf_centroids = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    ivf_nprobes = (
+        tuple(int(x) for x in sys.argv[4].split(","))
+        if len(sys.argv) > 4
+        else (2, 4, 8, 16)
+    )
 
     from doin_fine_ance__spark.llm.ann import pq_recall_report
     from doin_fine_ance__spark.session import get_spark
@@ -153,7 +163,10 @@ def main() -> None:
         rep["wall_sec"] = round(time.time() - t0, 2)
         results.append(rep)
         print(rep, flush=True)
-    ivfpq = ivfpq_recall_report(spark, emb, n_queries=20)
+    ivfpq = ivfpq_recall_report(
+        spark, emb, n_queries=20, n_centroids=ivf_centroids,
+        nprobes=ivf_nprobes,
+    )
     payload = {"sf_dir": sf_dir, "k": 10, "results": results, "ivfpq": ivfpq}
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
