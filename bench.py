@@ -166,29 +166,51 @@ def run_bench(spark, queries, sf_dir: str) -> dict:
     # round-over-round per-query deltas inside ~2.8x on short queries
     # are attributable to steal even after min-of-2.
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
+    # Comma-separated query names to exclude from this run — the sf10
+    # rehearsal excludes d_dup_clusters, whose verified pair graph is
+    # inherently quadratic in the planted replica-clique (~1.4B edges
+    # at sf10, 100x sf1's 14.1M) and cannot fit one 24g-heap box; see
+    # the query docstring for the scale analysis. Skips are recorded
+    # in the result so an excluded query is visible, never silent.
+    skip = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s
+    }
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries.get(name)
-        if fn is None:
+        if fn is None or name in skip:
             continue
         best = None
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # Sink through noop, NOT count(): under count() Catalyst prunes
-            # deterministic projected columns, so map-only queries (pandas
-            # UDF fingerprints, wide feature projections) would be timed as
-            # near-empty scans. noop materializes every output column.
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            # Drop this query's localCheckpoint blocks NOW: they are only
-            # unpersisted after Python GC releases the DataFrame and the
-            # JVM ContextCleaner notices — left alone they accumulate in
-            # the local block manager across queries and turn into full-GC
-            # stalls attributed to whatever query runs later.
-            del df
-            gc.collect()
+        try:
+            for _ in range(repeat):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # Sink through noop, NOT count(): under count() Catalyst
+                # prunes deterministic projected columns, so map-only
+                # queries (pandas UDF fingerprints, wide feature
+                # projections) would be timed as near-empty scans. noop
+                # materializes every output column.
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                # Drop this query's localCheckpoint blocks NOW: they are
+                # only unpersisted after Python GC releases the DataFrame
+                # and the JVM ContextCleaner notices — left alone they
+                # accumulate in the local block manager across queries and
+                # turn into full-GC stalls attributed to whatever query
+                # runs later.
+                del df
+                gc.collect()
+        except Exception as e:  # one query must not lose the whole run's
+            # timings (the r11 sf10 first attempt died wholesale on a
+            # d_dup_clusters executor OOM); record the failure visibly
+            # and move on — though after an executor-killing OOM the
+            # remaining queries may fail fast with session errors.
+            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
+            print(f"# bench query {name} failed: {errors[name]}",
+                  file=sys.stderr)
+            continue
         # Release the finished query's JVM-side shuffle files NOW
         # (untimed, between queries): the ContextCleaner acts on JVM
         # GC, and waiting for the periodic sweep lets dead shuffle
@@ -210,6 +232,8 @@ def run_bench(spark, queries, sf_dir: str) -> dict:
         "queries": timings,
         "sf": sf,
         **({"cold_unwarmed": cold} if cold else {}),
+        **({"skipped": sorted(skip)} if skip else {}),
+        **({"errors": errors} if errors else {}),
     }
 
 

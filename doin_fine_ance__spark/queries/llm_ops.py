@@ -510,6 +510,18 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     side finishes in ~13 s (partition-local contraction + pointer
     doubling scales with edges, SQL transitive closure with
     paths). Hash-verified at sf0.001/0.01; rows-only beyond.
+
+    Single-box scale bound (measured, r11): the VERIFIED pair graph
+    grows quadratically in the planted replica-clique — 140k edges at
+    sf0.1, 14.1M at sf1, ~1.4B at sf10 — and at sf10 the exact-verify
+    join OOMs a 24g single-JVM heap (the sf10 bench excludes this
+    query via SPARK_GRAFT_BENCH_SKIP, recorded in the artifact). On a
+    real cluster the same edge count distributes fine (CC is
+    edge-linear); the single-box fix, if a future round needs it, is
+    star-edge candidate generation (bucket representative → member,
+    linear in bucket sizes) at the cost of the exact pairwise-verify
+    semantics the oracle pins — a production pipeline dedups exact
+    replicas BEFORE near-dup clustering for exactly this reason.
     """
     from ..operators.graph import dedup_keepers
 
