@@ -210,6 +210,12 @@ def run_bench(spark, queries, sf_dir: str) -> dict:
             errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
             print(f"# bench query {name} failed: {errors[name]}",
                   file=sys.stderr)
+            if best is not None:
+                # A later repeat failed after an earlier one succeeded:
+                # keep the measured best (min-of-<repeat so far>) rather
+                # than discarding a valid timing; the errors entry stays
+                # so the partial provenance is visible.
+                timings[name] = round(best, 4)
             continue
         # Release the finished query's JVM-side shuffle files NOW
         # (untimed, between queries): the ContextCleaner acts on JVM

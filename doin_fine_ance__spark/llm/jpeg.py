@@ -675,7 +675,7 @@ def encode_jpeg_progressive(
         if Ah not in (0, Al + 1):
             raise ValueError(f"refinement must step one bit plane (Ah={Ah}, Al={Al})")
 
-        if is_dc:
+        if is_dc and len(comps_idx) > 1:
             seq = [
                 (ci, my * samp[ci][1] + byi, mx * samp[ci][0] + bxi)
                 for my in range(mcuy)
@@ -685,6 +685,11 @@ def encode_jpeg_progressive(
                 for bxi in range(samp[ci][0])
             ]
         else:
+            # Non-interleaved scan (DC or AC): T.81 A.2.2 — the unit
+            # sequence is the component's OWN block grid, not the
+            # MCU-padded grid; the decoder (_decode_progressive) walks
+            # the same grid, so a single-component DC scan over a
+            # subsampled non-MCU-aligned image stays in lockstep.
             ci = comps_idx[0]
             cbh, cbw = _comp_block_grid(h, w, samp, ci, hmax, vmax)
             seq = [(ci, by, bx) for by in range(cbh) for bx in range(cbw)]
@@ -1144,6 +1149,11 @@ def _decode_progressive(frame, scans, qt):
     for scan in scans:
         ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
         huff = scan["huff"]
+        if not (0 <= ss <= se <= 63) or ah > 13 or al > 13:
+            raise ValueError(
+                "corrupt progressive scan: spectral/approximation params out of "
+                f"range (Ss={ss}, Se={se}, Ah={ah}, Al={al})"
+            )
         is_dc = ss == 0
         if is_dc and se != 0:
             raise ValueError("corrupt progressive scan: Ss=0 requires Se=0")

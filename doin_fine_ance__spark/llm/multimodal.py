@@ -400,6 +400,12 @@ def encode_mjpeg_avi(
     if frame_ms <= 0:
         raise ValueError(f"frame_ms must be positive, got {frame_ms}")
     h, w = frames[0].shape[:2]
+    for i, f in enumerate(frames):
+        if f.shape != frames[0].shape:
+            raise ValueError(
+                f"MJPEG AVI frames must share one shape: frame {i} is "
+                f"{f.shape}, frame 0 is {frames[0].shape}"
+            )
     payloads = [
         encode_jpeg(f, quality=quality, subsampling=subsampling) for f in frames
     ]

@@ -375,6 +375,65 @@ def test_progressive_truncated_stream_raises_cleanly():
             pass
 
 
+def test_progressive_single_component_dc_scans_subsampled_unaligned():
+    """Non-interleaved DC scans over a 4:2:0 non-MCU-aligned image
+    (40x56: 16-px MCUs don't divide either axis) must walk the
+    component's OWN block grid per T.81 A.2.2 — the encoder previously
+    used the MCU-padded grid and silently desynced from the decoder
+    (r11 ADVICE, reproduced maxdiff 24)."""
+    per_component_dc = [
+        ((0,), 0, 0, 0, 0), ((1,), 0, 0, 0, 0), ((2,), 0, 0, 0, 0),
+        ((0,), 1, 63, 0, 0), ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0),
+    ]
+    # also with a DC successive-approximation split, still one component
+    per_component_dc_sa = [
+        ((0,), 0, 0, 0, 1), ((1,), 0, 0, 0, 1), ((2,), 0, 0, 0, 1),
+        ((0,), 0, 0, 1, 0), ((1,), 0, 0, 1, 0), ((2,), 0, 0, 1, 0),
+        ((0,), 1, 63, 0, 0), ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0),
+    ]
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=70, subsampling="420"))
+    for script in (per_component_dc, per_component_dc_sa):
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                img, quality=70, subsampling="420", scan_script=script
+            )
+        )
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_corrupt_spectral_params_raise_cleanly():
+    """A corrupt SOS with Se>63 or Ss>Se must raise the module's loud
+    ValueError, not an IndexError from indexing past the 64-entry
+    coefficient row (r11 ADVICE)."""
+    img = _smooth(16, 16)
+    script = [((0, 1, 2), 0, 0, 0, 0), ((0,), 1, 63, 0, 0),
+              ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0)]
+    data = bytearray(
+        encode_jpeg_progressive(img, quality=85, scan_script=script)
+    )
+    # locate the SECOND SOS (the luma AC scan): header is
+    # ff da | len16 | ns | ns*(cid, tdta) | Ss Se AhAl
+    sos_positions = []
+    i = 0
+    while True:
+        i = data.find(b"\xff\xda", i)
+        if i < 0:
+            break
+        sos_positions.append(i)
+        i += 2
+    assert len(sos_positions) == 4
+    ac_sos = sos_positions[1]
+    ns = data[ac_sos + 4]
+    ss_off = ac_sos + 5 + 2 * ns
+    assert (data[ss_off], data[ss_off + 1]) == (1, 63)
+    for ss, se in ((1, 0xFF), (40, 20), (0xFF, 0xFF)):
+        bad = bytes(data[:ss_off]) + bytes([ss, se]) + bytes(data[ss_off + 2:])
+        with pytest.raises(ValueError, match="corrupt progressive scan"):
+            decode_jpeg(bad)
+
+
 def test_progressive_rejects_bad_scripts():
     img = _smooth(8, 8)
     with pytest.raises(ValueError, match="Ss=0 needs Se=0"):

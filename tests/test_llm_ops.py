@@ -318,6 +318,14 @@ def test_mjpeg_avi_rejects_foreign_payloads():
     # audio-only AVI (no 'vids' stream header)
     with pytest.raises(ValueError, match="no video"):
         decode_mjpeg_avi(avi.replace(b"vids", b"auds"))
+    # mixed frame shapes must reject loudly, not mux a container whose
+    # avih/strf dimensions disagree with the embedded frames (r11 ADVICE)
+    mixed = [
+        np.full((16, 16, 3), 9, dtype=np.uint8),
+        np.full((16, 24, 3), 9, dtype=np.uint8),
+    ]
+    with pytest.raises(ValueError, match="share one shape"):
+        encode_mjpeg_avi(mixed, frame_ms=40)
 
 
 def test_mjpeg_avi_tolerates_junk_chunks():
