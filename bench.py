@@ -109,6 +109,9 @@ HEADLINE = [
     # and progressive (SOF2) JPEG multi-scan decode
     "mm_mjpeg_frame_sample",
     "mm_jpeg_progressive",
+    # round 12: cluster-representative (star-edge) near-dup output —
+    # the linear-size scale contract for the pair-emitting family
+    "d_neardup_star_edges",
 ]
 
 

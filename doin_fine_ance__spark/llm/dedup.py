@@ -238,6 +238,100 @@ def minhash_near_dups(
     return _verified_pairs(docs, id_col, text_col, threshold, k, bands, "jaccard")
 
 
+def exact_collapse(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact duplicates before any pairwise near-dup stage.
+
+    Groups documents by md5 of the whitespace-normalized lowered text —
+    the SAME normalization :func:`minhash_signatures` shingles over, so
+    group members have identical LSH signatures (identical band keys)
+    AND identical verify token sets. That makes the collapse exact for
+    near-dup clustering: every cross-group candidate/verify decision is
+    invariant across a group's members, so components over the full
+    pair graph equal components over (representatives' pair graph ∪
+    per-group stars).
+
+    Returns ``(membership, reps)``: membership is (id_col, rep_id,
+    grp_size, has_tokens) with rep_id = MIN(id) per group (so the rep
+    is also the group's min-label); reps is the subset of ``docs``
+    rows whose id is a rep_id. Two shuffles on 16-byte keys + one
+    id-equi-join — linear in docs, no pairwise stage. This is the
+    production order every corpus pipeline uses (exact-dedup FIRST):
+    a replica clique of m copies costs m(m-1)/2 pairs downstream
+    unless collapsed here, which is why the r11 sf10 rehearsal saw
+    ~1.4 B verified edges on planted boilerplate cliques.
+
+    ``has_tokens`` marks groups with a non-empty verify token set:
+    empty/whitespace-only docs share signatures (single ""-shingle)
+    but their pairwise Jaccard is 0/0 = NULL, so the full pair graph
+    never links them — star edges must skip those groups to stay
+    output-identical.
+    """
+    norm = F.regexp_replace(
+        F.lower(F.coalesce(col(text_col), lit(""))), r"\s+", " "
+    )
+    has_tokens = (
+        F.size(F.filter(F.split(F.lower(col(text_col)), r"\s+"), lambda x: x != ""))
+        > 0
+    )
+    keyed = docs.select(
+        col(id_col), F.md5(norm).alias("grp_key"), has_tokens.alias("has_tokens")
+    )
+    groups = keyed.groupBy("grp_key").agg(
+        F.min(col(id_col)).alias("rep_id"),
+        F.count("*").alias("grp_size"),
+        # group-uniform by construction (same normalized text); min()
+        # just picks the one value without a second pass over docs
+        F.min("has_tokens").alias("has_tokens"),
+    )
+    membership = keyed.drop("has_tokens").join(groups, "grp_key").select(
+        col(id_col), "rep_id", "grp_size", "has_tokens"
+    )
+    # rep_id is unique across groups (each doc belongs to one group),
+    # so no distinct is needed before the semi join
+    reps = docs.join(groups.select(col("rep_id").alias(id_col)), id_col, "semi")
+    return membership, reps
+
+
+def minhash_near_dup_star_edges(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Cluster-representative (star-edge) output mode for near-dup.
+
+    Emits an edge set whose connected components — and per-component
+    min labels — EQUAL those of :func:`minhash_near_dups`' full
+    verified pair graph, but with size linear in the corpus instead of
+    quadratic in replica cliques: per exact-duplicate group, ``grp_size
+    - 1`` star edges (rep → member, Jaccard exactly 1.0 since token
+    sets are identical); across groups, the verified rep-level pairs.
+
+    This is the scale contract the pair-emitting mode cannot offer: at
+    the r11 sf10 rehearsal the planted boilerplate cliques made the
+    full pair output ~1.4 B edges (quadratic in clique size, 61% of
+    the whole bench), while this mode's output stays linear — "emit
+    every pair of the boilerplate clique" is not a runnable contract
+    at 100 TB. Schema matches minhash_near_dups: (id_a, id_b, jaccard)
+    with id_a < id_b (the rep is the group minimum).
+    """
+    membership, reps = exact_collapse(docs, id_col, text_col)
+    rep_pairs = minhash_near_dups(reps, id_col, text_col, threshold, k, bands)
+    star = (
+        membership.filter((col(id_col) != col("rep_id")) & col("has_tokens"))
+        .select(
+            col("rep_id").alias("id_a"),
+            col(id_col).alias("id_b"),
+            lit(1.0).alias("jaccard"),
+        )
+    )
+    return rep_pairs.select("id_a", "id_b", "jaccard").unionByName(star)
+
+
 def minhash_containment_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -27,6 +27,7 @@ from ..llm.dedup import (
     PERM_COEFFS,
     default_cell_cap,
     minhash_containment_pairs,
+    minhash_near_dup_star_edges,
     minhash_near_dups,
     simhash64,
     simhash_near_dups,
@@ -35,8 +36,36 @@ from ..sources.testdata import load_table
 from . import query
 
 
+# DuckDB CTE mirroring llm.dedup.exact_collapse: group documents by md5
+# of the whitespace-normalized lowered text (the exact normalization the
+# minhash shingler uses, so group members share signatures AND verify
+# token sets), rep = per-group MIN(doc_id), has_tokens marks groups
+# whose verify token set is non-empty (empty docs share signatures but
+# pair at Jaccard 0/0 = NULL, so star edges must skip them). ec_reps
+# re-materializes the representative documents for the mh-pipeline CTE.
+_EXACT_COLLAPSE_CTE = """
+    ec_grp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS gk,
+             length(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) > 0 AS has_tokens
+      FROM documents
+    ), ec_groups AS (
+      SELECT gk, MIN(doc_id) AS rep_id, COUNT(*) AS grp_size,
+             MIN(has_tokens) AS has_tokens
+      FROM ec_grp GROUP BY gk
+    ), ec_reps AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN ec_groups g ON d.doc_id = g.rep_id
+    )"""
+
+
 def _minhash_pairs_cte(
-    threshold: float, k: int = 64, bands: int = 16, n: int = 5, measure: str = "jaccard"
+    threshold: float,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 5,
+    measure: str = "jaccard",
+    source: str = "documents",
 ) -> str:
     """Generate the DuckDB CTE chain computing the EXACT MinHash-LSH
     pipeline of :func:`doin_fine_ance__spark.llm.dedup.minhash_near_dups`.
@@ -76,7 +105,7 @@ def _minhash_pairs_cte(
     return f"""
     mh_norm AS (
       SELECT doc_id, regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g') AS t
-      FROM documents
+      FROM {source}
     ), mh_shingles AS (
       SELECT doc_id,
              unnest(CASE WHEN length(t) < {n} THEN [t]
@@ -99,7 +128,7 @@ def _minhash_pairs_cte(
     ), mh_toks AS (
       SELECT doc_id,
              list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tokens
-      FROM documents
+      FROM {source}
     ), mh_pairs AS (
       SELECT c.id_a, c.id_b, {jac} AS {measure}
       FROM mh_cands c
@@ -511,23 +540,66 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubling scales with edges, SQL transitive closure with
     paths). Hash-verified at sf0.001/0.01; rows-only beyond.
 
-    Single-box scale bound (measured, r11): the VERIFIED pair graph
-    grows quadratically in the planted replica-clique — 140k edges at
-    sf0.1, 14.1M at sf1, ~1.4B at sf10 — and at sf10 the exact-verify
-    join OOMs a 24g single-JVM heap (the sf10 bench excludes this
-    query via SPARK_GRAFT_BENCH_SKIP, recorded in the artifact). On a
-    real cluster the same edge count distributes fine (CC is
-    edge-linear); the single-box fix, if a future round needs it, is
-    star-edge candidate generation (bucket representative → member,
-    linear in bucket sizes) at the cost of the exact pairwise-verify
-    semantics the oracle pins — a production pipeline dedups exact
-    replicas BEFORE near-dup clustering for exactly this reason.
+    Scale contract (r12, closing the r11 sf10 finding): the edge set
+    fed to connected components is the STAR-EDGE mode
+    (llm.dedup.minhash_near_dup_star_edges) — exact duplicates are
+    collapsed first (the order every production corpus pipeline uses),
+    each exact group contributes grp_size-1 rep→member star edges, and
+    only the representatives run the pairwise LSH+verify. Components
+    and min-labels are IDENTICAL to clustering the full verified pair
+    graph (group members share both signature and token set, so every
+    candidate/verify decision is group-invariant — see exact_collapse),
+    which is exactly what this oracle pins: the recursive CTE still
+    computes the transitive closure of the FULL pair graph, so a green
+    hash here proves the composition theorem on real data, not just
+    the star edges. Measured effect: the r11 sf10 rehearsal's verified
+    pair graph was ~1.4 B edges (quadratic in the planted replica
+    cliques; the exact-verify join OOMed a 24g single JVM and the
+    bench skipped this row) — after exact collapse the edge count is
+    linear in docs + quadratic only in DISTINCT near-dup texts, and
+    the row runs un-skipped at sf10.
     """
     from ..operators.graph import dedup_keepers
 
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_near_dups(d, threshold=0.5).select("id_a", "id_b")
-    return dedup_keepers(pairs, "id_a", "id_b")
+    edges = minhash_near_dup_star_edges(d, threshold=0.5).select("id_a", "id_b")
+    return dedup_keepers(edges, "id_a", "id_b")
+
+
+@query(
+    "d_neardup_star_edges",
+    oracle="WITH "
+    + _EXACT_COLLAPSE_CTE
+    + ", "
+    + _minhash_pairs_cte(0.5, source="ec_reps")
+    + """
+    SELECT id_a, id_b, jaccard FROM mh_pairs
+    UNION ALL
+    SELECT g.rep_id AS id_a, m.doc_id AS id_b, CAST(1 AS DOUBLE) AS jaccard
+    FROM ec_grp m JOIN ec_groups g ON m.gk = g.gk
+    WHERE m.doc_id <> g.rep_id AND g.has_tokens
+    """,
+)
+def d_neardup_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative (star-edge) near-dup output mode.
+
+    The linear-size alternative to the pair-emitting near-dup queries:
+    per exact-duplicate group one rep→member star edge per member
+    (Jaccard exactly 1.0 — identical token sets), plus the verified
+    MinHash-LSH pairs over the representatives only. Connected
+    components over this edge set equal components over the full
+    verified pair graph (see llm.dedup.minhash_near_dup_star_edges for
+    the invariance argument), so downstream clustering loses nothing —
+    while the output stays linear in the corpus instead of quadratic
+    in replica cliques (~1.4 B pairs at the r11 sf10 rehearsal; "emit
+    every pair of the boilerplate clique" is not a runnable contract
+    at 100 TB). Oracle recomputes the identical composition in SQL:
+    group by md5 of normalized text, reps = per-group min doc_id, the
+    exact mh-pipeline CTE re-pointed at the reps, UNION ALL the star
+    edges of token-bearing groups.
+    """
+    d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return minhash_near_dup_star_edges(d, threshold=0.5)
 
 
 @query(

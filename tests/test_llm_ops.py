@@ -74,6 +74,83 @@ def test_minhash_no_false_positives_vs_exact(spark):
     assert bad == 0
 
 
+def test_star_edges_components_equal_full_pair_graph(spark):
+    """The star-edge output mode's connected components (and min
+    labels) must equal clustering the FULL verified pair graph — the
+    invariance exact_collapse is built on."""
+    from doin_fine_ance__spark.llm.dedup import minhash_near_dup_star_edges
+    from doin_fine_ance__spark.operators.graph import dedup_keepers
+
+    base = load_table(spark, SF, "documents", ["doc_id", "text"]).limit(40)
+    # replica clique: 6 exact copies of one doc (quadratic in full mode)
+    first = base.orderBy("doc_id").first()
+    clique = spark.createDataFrame(
+        [(300001 + i, first.text) for i in range(6)], "doc_id long, text string"
+    )
+    near = base.limit(8).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    docs = base.unionByName(clique).unionByName(near)
+    full = {
+        (r.doc_id, r.keeper_id)
+        for r in dedup_keepers(
+            minhash_near_dups(docs, threshold=0.5).select("id_a", "id_b")
+        ).collect()
+    }
+    star_edges = minhash_near_dup_star_edges(docs, threshold=0.5)
+    star = {
+        (r.doc_id, r.keeper_id)
+        for r in dedup_keepers(star_edges.select("id_a", "id_b")).collect()
+    }
+    assert star == full and len(full) > 0
+    # linearity: the 7-member exact group (original + 6 copies) emits
+    # exactly 6 rep→member star edges, never the 21 pairwise edges of
+    # full mode
+    clique_ids = {300001 + i for i in range(6)} | {first.doc_id}
+    rep = min(clique_ids)
+    star_rows = {
+        (r.id_a, r.id_b)
+        for r in star_edges.collect()
+        if r.id_a in clique_ids and r.id_b in clique_ids
+    }
+    assert star_rows == {(rep, m) for m in clique_ids if m != rep}
+
+
+def test_exact_collapse_order_sensitive_and_empty_docs(spark):
+    """Collapse keys by NORMALIZED TEXT, not token set: same tokens in
+    a different order have different shingles (different LSH behavior)
+    and must not be merged. Empty/whitespace-only docs group together
+    but emit NO star edges (their pairwise Jaccard is 0/0 = NULL in
+    the full graph)."""
+    from doin_fine_ance__spark.llm.dedup import (
+        exact_collapse,
+        minhash_near_dup_star_edges,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha  beta gamma\tdelta"),  # same normalized text as 1
+        (3, "delta gamma beta alpha"),  # same token SET, different order
+        (10, ""),
+        (11, "   "),
+        (12, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    membership, reps = exact_collapse(docs)
+    m = {r.doc_id: (r.rep_id, r.grp_size) for r in membership.collect()}
+    assert m[1] == (1, 2) and m[2] == (1, 2)  # whitespace-normalized merge
+    assert m[3] == (3, 1)  # order-different doc stays its own group
+    rep_ids = {r.doc_id for r in reps.collect()}
+    assert 1 in rep_ids and 2 not in rep_ids and 3 in rep_ids
+    edges = minhash_near_dup_star_edges(docs, threshold=0.5).collect()
+    ids_in_edges = {r.id_a for r in edges} | {r.id_b for r in edges}
+    # empty-ish docs never appear (full pair graph has NULL jaccard)
+    assert ids_in_edges.isdisjoint({10, 11, 12})
+    # the exact pair (1,2) appears as a star edge at jaccard 1.0
+    assert any(r.id_a == 1 and r.id_b == 2 and r.jaccard == 1.0 for r in edges)
+
+
 def test_simhash_hamming_properties(spark):
     docs = _docs_with_dups(spark)
     pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dups(docs, max_hamming=3).collect()}
