@@ -332,6 +332,125 @@ def minhash_near_dup_star_edges(
     return rep_pairs.select("id_a", "id_b", "jaccard").unionByName(star)
 
 
+def verified_forest_edges(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 64,
+    bands: int = 16,
+    checkpoint_mode: str | None = None,
+) -> DataFrame:
+    """Per-bucket verified spanning forests: exact clustering semantics
+    with LINEAR edge output on near-dup cliques.
+
+    The scale problem this solves (measured, r11 sf10 rehearsal): the
+    full verified pair graph is quadratic in near-dup clique size
+    (~1.4 B edges at sf10 on planted boilerplate), and the pairwise
+    verify join ships two token arrays per candidate pair — that
+    shuffle OOMed a 24 g single JVM. But connected components never
+    needed every clique edge: a spanning forest per LSH bucket has the
+    SAME components.
+
+    Theorem (why this is exact, not an approximation): every edge of
+    minhash_near_dups' verified graph — (candidates share ≥1 band) ∧
+    (token Jaccard ≥ threshold) — lies inside at least one bucket, and
+    within that bucket the local union-find below computes exactly the
+    connectivity of the bucket-induced verified subgraph. So the union
+    over buckets of the emitted forests is a spanning subgraph of the
+    full verified graph that preserves all of its connected components
+    (d_dup_clusters' oracle — the transitive closure of the FULL pair
+    graph — stays hash-exact on top of this output).
+
+    Cost shape: the shuffle is LINEAR (each doc's hashed-token array
+    ships once per band it shares with another doc — never per pair),
+    the output is linear (≤ bucket_size - 1 edges per bucket), and the
+    per-bucket verify count is near-linear on clique-heavy data: the
+    local union-find skips any pair already connected, so a clique of
+    m members costs m-1 Jaccard computations, not m(m-1)/2. The
+    residual O(m²) is find() pointer lookups (~ns). Worst case — a
+    large bucket whose members never merge — degrades to quadratic
+    CPU inside one task, but an LSH bucket IS an equal-band-hash group
+    (near-identical signature slice), so large non-merging buckets
+    contradict the banding that built them. Singleton buckets (the
+    vast majority on real corpora) are dropped JVM-side before any
+    token bytes move.
+    """
+    import numpy as np
+
+    sigs = minhash_signatures(docs, id_col, text_col, k)
+    banded = band_keys(sigs, id_col, bands, k=k)
+    # two consumers below (bucket counts + semi join): materialize once
+    # so the signature UDF doesn't run twice (same idiom and rationale
+    # as lsh_candidate_pairs)
+    banded = materialize(banded, checkpoint_mode)
+    multi_keys = (
+        banded.groupBy("band", "band_hash")
+        .count()
+        .filter(col("count") >= 2)
+        .drop("count")
+    )
+    multi = banded.join(multi_keys, ["band", "band_hash"], "semi")
+    toks = docs.select(
+        col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.filter(F.split(F.lower(col(text_col)), r"\s+"), lambda x: x != ""),
+                lambda x: F.xxhash64(x),
+            )
+        ).alias("tokens"),
+    )
+    rows = multi.join(toks, id_col)
+
+    def _local_forest(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        toksets = [
+            frozenset(t) if t is not None else frozenset() for t in pdf["tokens"]
+        ]
+        parent = list(range(len(ids)))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        out_a: list[int] = []
+        out_b: list[int] = []
+        n = len(ids)
+        n_comp = n
+        for ii in range(n):
+            if n_comp == 1:
+                # bucket fully merged: a pure clique (the planted-
+                # boilerplate case) costs m-1 verifies + O(m) checks,
+                # not the m²/2 find-loop
+                break
+            i = int(order[ii])
+            a = toksets[i]
+            for jj in range(ii + 1, n):
+                j = int(order[jj])
+                ri, rj = find(i), find(j)
+                if ri == rj:
+                    continue  # already connected via verified path: skip
+                b = toksets[j]
+                inter = len(a & b)
+                union = len(a) + len(b) - inter
+                # float division matches _verified_pairs' double math
+                if union > 0 and inter / union >= threshold:
+                    parent[ri] = rj
+                    n_comp -= 1
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    # duplicate edges across bands are fine downstream (CC folds them);
+    # a distinct() here would add a shuffle for nothing
+    return rows.groupBy("band", "band_hash").applyInPandas(
+        _local_forest, "id_a long, id_b long"
+    )
+
+
 def minhash_containment_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

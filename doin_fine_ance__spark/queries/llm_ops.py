@@ -26,11 +26,13 @@ from ..llm.ann import ann_topk_ivf, ann_topk_ivfpq, ann_topk_lsh
 from ..llm.dedup import (
     PERM_COEFFS,
     default_cell_cap,
+    exact_collapse,
     minhash_containment_pairs,
     minhash_near_dup_star_edges,
     minhash_near_dups,
     simhash64,
     simhash_near_dups,
+    verified_forest_edges,
 )
 from ..sources.testdata import load_table
 from . import query
@@ -541,29 +543,38 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths). Hash-verified at sf0.001/0.01; rows-only beyond.
 
     Scale contract (r12, closing the r11 sf10 finding): the edge set
-    fed to connected components is the STAR-EDGE mode
-    (llm.dedup.minhash_near_dup_star_edges) — exact duplicates are
-    collapsed first (the order every production corpus pipeline uses),
-    each exact group contributes grp_size-1 rep→member star edges, and
-    only the representatives run the pairwise LSH+verify. Components
-    and min-labels are IDENTICAL to clustering the full verified pair
-    graph (group members share both signature and token set, so every
-    candidate/verify decision is group-invariant — see exact_collapse),
-    which is exactly what this oracle pins: the recursive CTE still
-    computes the transitive closure of the FULL pair graph, so a green
-    hash here proves the composition theorem on real data, not just
-    the star edges. Measured effect: the r11 sf10 rehearsal's verified
-    pair graph was ~1.4 B edges (quadratic in the planted replica
-    cliques; the exact-verify join OOMed a 24g single JVM and the
-    bench skipped this row) — after exact collapse the edge count is
-    linear in docs + quadratic only in DISTINCT near-dup texts, and
-    the row runs un-skipped at sf10.
+    fed to connected components is no longer the full verified pair
+    graph — it is (a) exact-duplicate collapse first (the order every
+    production corpus pipeline uses; llm.dedup.exact_collapse), whose
+    groups contribute grp_size-1 rep→member star edges, then (b)
+    per-LSH-bucket verified SPANNING FORESTS over the representatives
+    (llm.dedup.verified_forest_edges): within each band bucket a local
+    union-find verifies a pair's exact token Jaccard only when its
+    endpoints are not already connected, emitting ≤ bucket_size - 1
+    edges. Both steps preserve components exactly (group members share
+    signatures AND token sets, so candidate/verify decisions are
+    group-invariant; every full-graph edge lies inside some bucket,
+    where local union-find computes that bucket's exact verified
+    connectivity) — and THIS oracle still pins the composition: the
+    recursive CTE computes the transitive closure of the FULL pair
+    graph, so a green hash proves forest-vs-full equality on real
+    data, not just on the emitted edges. Measured effect: the r11
+    sf10 rehearsal's full verified graph was ~1.4 B edges (quadratic
+    in the planted near-dup cliques; the pairwise verify join OOMed a
+    24 g single JVM and the bench skipped this row) — the forest path
+    ships token arrays once per band instead of twice per pair,
+    verifies m-1 (not m²/2) pairs per clique, and the row runs
+    un-skipped at sf10.
     """
     from ..operators.graph import dedup_keepers
 
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    edges = minhash_near_dup_star_edges(d, threshold=0.5).select("id_a", "id_b")
-    return dedup_keepers(edges, "id_a", "id_b")
+    membership, reps = exact_collapse(d)
+    stars = membership.filter(
+        (col("doc_id") != col("rep_id")) & col("has_tokens")
+    ).select(col("rep_id").alias("id_a"), col("doc_id").alias("id_b"))
+    forest = verified_forest_edges(reps, threshold=0.5).select("id_a", "id_b")
+    return dedup_keepers(forest.unionByName(stars), "id_a", "id_b")
 
 
 @query(
@@ -571,7 +582,7 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH "
     + _EXACT_COLLAPSE_CTE
     + ", "
-    + _minhash_pairs_cte(0.5, source="ec_reps")
+    + _minhash_pairs_cte(0.7, source="ec_reps")
     + """
     SELECT id_a, id_b, jaccard FROM mh_pairs
     UNION ALL
@@ -583,23 +594,31 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d_neardup_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-representative (star-edge) near-dup output mode.
 
-    The linear-size alternative to the pair-emitting near-dup queries:
-    per exact-duplicate group one rep→member star edge per member
-    (Jaccard exactly 1.0 — identical token sets), plus the verified
-    MinHash-LSH pairs over the representatives only. Connected
-    components over this edge set equal components over the full
-    verified pair graph (see llm.dedup.minhash_near_dup_star_edges for
-    the invariance argument), so downstream clustering loses nothing —
-    while the output stays linear in the corpus instead of quadratic
-    in replica cliques (~1.4 B pairs at the r11 sf10 rehearsal; "emit
-    every pair of the boilerplate clique" is not a runnable contract
-    at 100 TB). Oracle recomputes the identical composition in SQL:
-    group by md5 of normalized text, reps = per-group min doc_id, the
-    exact mh-pipeline CTE re-pointed at the reps, UNION ALL the star
-    edges of token-bearing groups.
+    Exact-dedup-first composition as a deterministic EDGE emitter: per
+    exact-duplicate group one rep→member star edge per member (Jaccard
+    exactly 1.0 — identical token sets), plus the verified MinHash-LSH
+    pairs over the representatives only. Connected components over
+    this edge set equal components over the full verified pair graph
+    (see llm.dedup.minhash_near_dup_star_edges for the invariance
+    argument), so downstream clustering loses nothing. Same threshold
+    (0.7) as d_minhash_lsh_neardups, making the two directly
+    comparable: on exact-replica corpora (the common production case)
+    this output is linear where the sibling's is quadratic.
+
+    Honest scale note: on the synthetic rehearsal corpus the planted
+    cliques are NEAR-duplicates with distinct texts (exact groups max
+    out at 2 members), so the rep-level pair term here remains
+    quadratic in those cliques — the fully-linear clustering contract
+    is d_dup_clusters' verified-forest path, whose edges are
+    order-dependent and therefore not SQL-pinnable edge-by-edge; THIS
+    query is the deterministic, oracle-exact edge mode. Oracle
+    recomputes the identical composition in SQL: group by md5 of
+    normalized text, reps = per-group min doc_id, the exact
+    mh-pipeline CTE re-pointed at the reps, UNION ALL the star edges
+    of token-bearing groups.
     """
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    return minhash_near_dup_star_edges(d, threshold=0.5)
+    return minhash_near_dup_star_edges(d, threshold=0.7)
 
 
 @query(

@@ -117,6 +117,54 @@ def test_star_edges_components_equal_full_pair_graph(spark):
     assert star_rows == {(rep, m) for m in clique_ids if m != rep}
 
 
+def test_verified_forest_components_equal_full_graph(spark):
+    """Per-bucket verified spanning forests must yield the SAME
+    connected components as the full verified pair graph, with fewer
+    emitted edges on near-dup cliques (the sf10 scale contract).
+
+    The clique here is NEAR-duplicates with distinct texts (one token
+    appended per copy) — the case exact_collapse cannot collapse, i.e.
+    the exact shape that made the r11 sf10 pair graph quadratic."""
+    from doin_fine_ance__spark.llm.dedup import verified_forest_edges
+    from doin_fine_ance__spark.operators.graph import dedup_keepers
+
+    base = load_table(spark, SF, "documents", ["doc_id", "text"]).limit(30)
+    first = base.orderBy("doc_id").first()
+    clique = spark.createDataFrame(
+        [(400001 + i, f"{first.text} v{i}") for i in range(9)],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(clique)
+    full_pairs = minhash_near_dups(docs, threshold=0.5).select("id_a", "id_b")
+    full = {
+        (r.doc_id, r.keeper_id) for r in dedup_keepers(full_pairs).collect()
+    }
+    forest = verified_forest_edges(docs, threshold=0.5)
+    got = {
+        (r.doc_id, r.keeper_id)
+        for r in dedup_keepers(forest.select("id_a", "id_b")).collect()
+    }
+    assert got == full and len(full) > 0
+    # linearity on the clique: the 10-member near-dup clique (original
+    # + 9 variants) appears in full mode as ~45 pairwise edges; each
+    # bucket's forest emits ≤ bucket_size - 1, so the distinct union
+    # is bounded by bands × (members - 1) but in practice lands far
+    # below the quadratic pair count (measured 15 vs 45 here)
+    clique_ids = {400001 + i for i in range(9)} | {first.doc_id}
+    full_clique_edges = {
+        (r.id_a, r.id_b)
+        for r in full_pairs.collect()
+        if r.id_a in clique_ids and r.id_b in clique_ids
+    }
+    forest_clique_edges = {
+        (r.id_a, r.id_b)
+        for r in forest.collect()
+        if r.id_a in clique_ids and r.id_b in clique_ids
+    }
+    assert len(full_clique_edges) > 2 * (len(clique_ids) - 1)
+    assert len(forest_clique_edges) < len(full_clique_edges)
+
+
 def test_exact_collapse_order_sensitive_and_empty_docs(spark):
     """Collapse keys by NORMALIZED TEXT, not token set: same tokens in
     a different order have different shingles (different LSH behavior)
