@@ -110,8 +110,10 @@ HEADLINE = [
     "mm_mjpeg_frame_sample",
     "mm_jpeg_progressive",
     # round 12: cluster-representative (star-edge) near-dup output —
-    # the linear-size scale contract for the pair-emitting family
+    # the linear-size scale contract for the pair-emitting family —
+    # and compressed audio (FLAC encode → decode → features)
     "d_neardup_star_edges",
+    "mm_flac_roundtrip",
 ]
 
 

@@ -704,12 +704,139 @@ def encode_wav(samples, sample_rate: int) -> bytes:
     return hdr + data
 
 
+# IMA/DVI ADPCM tables — published constants of the public IMA spec
+# (the same tables every implementation ships; they are the format).
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJUST = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM update: (pred, index) + 4-bit code → next state."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _IMA_INDEX_ADJUST[nibble & 7]))
+    return pred, index
+
+
+def encode_wav_ima_adpcm(samples, sample_rate: int, block_align: int = 256) -> bytes:
+    """numpy int16 mono samples → RIFF/WAVE IMA-ADPCM (fmt 0x11) bytes.
+
+    The 4-bit compressed-WAV variant real telephony/voice crawls ship:
+    per block a 4-byte state header (predictor int16, step index, pad)
+    then two samples per byte, low nibble first. Deterministic encode
+    (greedy nibble per the public IMA quantizer), ~4:1 vs PCM16.
+    Writes the fact chunk (total samples) compressed WAV requires.
+    """
+    import struct
+
+    import numpy as np
+
+    if block_align < 8:
+        raise ValueError(f"block_align must be >= 8, got {block_align}")
+    x = np.asarray(samples, dtype=np.int16).astype(np.int64)
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    blocks = bytearray()
+    pos = 0
+    index = 0
+    n = x.size
+    while pos < n:
+        blk = x[pos : pos + spb]
+        pos += spb
+        pred = int(blk[0])
+        blocks += struct.pack("<hBB", pred, index, 0)
+        nibbles: list[int] = []
+        for s in blk[1:]:
+            step = _IMA_STEPS[index]
+            delta = int(s) - pred
+            code = 8 if delta < 0 else 0
+            if delta < 0:
+                delta = -delta
+            if delta >= step:
+                code |= 4
+                delta -= step
+            if delta >= step >> 1:
+                code |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                code |= 1
+            pred, index = _ima_step(pred, index, code)
+            nibbles.append(code)
+        if len(nibbles) & 1:
+            nibbles.append(0)  # pad the trailing half-byte of a short block
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            blocks.append(lo | (hi << 4))
+        # short final block: pad to block_align (decoder stops at fact count)
+        pad = block_align - 4 - len(nibbles) // 2
+        if pad > 0:
+            blocks += b"\x00" * pad
+    data = bytes(blocks)
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    hdr = b"RIFF" + struct.pack("<I", 4 + 8 + 20 + 8 + 4 + 8 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHHHH", 20, 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    hdr += b"fact" + struct.pack("<II", 4, n)
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+def _decode_ima_adpcm(data: bytes, body: int, size: int, spb: int,
+                      block_align: int, total: int | None):
+    import struct
+
+    import numpy as np
+
+    out: list[int] = []
+    end = body + size
+    pos = body
+    while pos + 4 <= end and (total is None or len(out) < total):
+        pred, index, _pad = struct.unpack_from("<hBB", data, pos)
+        if index > 88:
+            raise ValueError("corrupt IMA-ADPCM: step index out of range")
+        block: list[int] = [pred]
+        nb = min(block_align - 4, end - pos - 4)
+        for byte in data[pos + 4 : pos + 4 + nb]:
+            if len(block) >= spb:
+                break  # remaining bytes are final-block padding
+            for nibble in (byte & 0xF, byte >> 4):
+                if len(block) >= spb:
+                    break
+                pred, index = _ima_step(pred, index, nibble)
+                block.append(pred)
+        out.extend(block)
+        pos += block_align
+    if total is not None:
+        if len(out) < total:
+            raise ValueError("corrupt IMA-ADPCM: fewer samples than fact chunk promises")
+        out = out[:total]
+    return np.asarray(out, dtype=np.int16)
+
+
 def decode_wav(data: bytes):
-    """RIFF/WAVE PCM16 mono bytes → (sample_rate, numpy int16 samples).
+    """RIFF/WAVE mono bytes → (sample_rate, numpy int16 samples).
 
     Walks the RIFF chunk list (fmt may be followed by LIST/fact chunks
-    before data in real encoders' output); rejects non-PCM16-mono
-    variants explicitly rather than mis-decoding them.
+    before data in real encoders' output). Decodes PCM16 (fmt 1) and
+    IMA/DVI ADPCM (fmt 0x11 — the compressed-WAV variant, 4-bit, block
+    state headers) mono; every other variant rejects explicitly rather
+    than mis-decoding (the codec registry's loud-reject contract).
     """
     import struct
 
@@ -718,26 +845,67 @@ def decode_wav(data: bytes):
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, channels, bits, fmt_code = 12, None, None, None, None
+    block_align, spb, total = None, None, None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = pos + 8
         if cid == b"fmt ":
             fmt_code, channels, rate = struct.unpack_from("<HHI", data, body)
+            block_align = struct.unpack_from("<H", data, body + 12)[0]
             bits = struct.unpack_from("<H", data, body + 14)[0]
+            if fmt_code == 0x11 and size >= 20:
+                spb = struct.unpack_from("<H", data, body + 18)[0]
+        elif cid == b"fact":
+            total = struct.unpack_from("<I", data, body)[0]
         elif cid == b"data":
-            if fmt_code != 1 or channels != 1 or bits != 16:
-                raise ValueError(
-                    f"unsupported WAV variant (fmt={fmt_code}, ch={channels}, bits={bits})"
+            if fmt_code == 1 and channels == 1 and bits == 16:
+                samples = np.frombuffer(data, dtype="<i2", count=size // 2, offset=body)
+                return rate, samples
+            if fmt_code == 0x11 and channels == 1 and bits == 4:
+                if not spb or not block_align or block_align < 8:
+                    raise ValueError("corrupt IMA-ADPCM: missing samples-per-block")
+                return rate, _decode_ima_adpcm(
+                    data, body, size, spb, block_align, total
                 )
-            samples = np.frombuffer(data, dtype="<i2", count=size // 2, offset=body)
-            return rate, samples
+            raise ValueError(
+                f"unsupported WAV variant (fmt={fmt_code}, ch={channels}, bits={bits})"
+            )
         pos = body + size + (size & 1)  # chunks are word-aligned
     raise ValueError("WAV data chunk not found")
 
 
+def decode_flac_pcm16(data: bytes):
+    """audio/flac registry adapter: FLAC bytes → (rate, int16 mono).
+
+    Wraps llm.flac.decode_flac (full from-scratch decoder: FIXED/LPC
+    subframes, stereo decorrelation, Rice partitions, CRC + MD5
+    verification) into the registry's (rate, int16 mono) contract:
+    multi-channel clips downmix by integer mean ((sum / ch) truncated
+    toward zero — deterministic, the librosa-style mono default), and
+    non-16-bit depths shift to 16 (8-bit << 8, 24-bit >> 8). The
+    lossless full-fidelity surface is decode_flac itself; this adapter
+    only feeds the feature extractor.
+    """
+    import numpy as np
+
+    from .flac import decode_flac
+
+    rate, channels, bps, samples = decode_flac(data)
+    x = samples.astype(np.int64)
+    mono = x[:, 0] if channels == 1 else np.trunc(x.mean(axis=1)).astype(np.int64)
+    if bps < 16:
+        mono = mono << (16 - bps)
+    elif bps > 16:
+        mono = mono >> (bps - 16)
+    return rate, mono.astype(np.int16)
+
+
 # mime → decode bytes → (sample_rate, numpy int16 samples)
-AUDIO_DECODERS: dict[str, object] = {"audio/wav": decode_wav}
+AUDIO_DECODERS: dict[str, object] = {
+    "audio/wav": decode_wav,  # PCM16 + IMA-ADPCM (fmt 0x11) variants
+    "audio/flac": decode_flac_pcm16,
+}
 
 
 def register_audio_decoder(mime: str, decode) -> None:
