@@ -1813,8 +1813,8 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, sum(tf) AS dl FROM bm_tf GROUP BY 1
     ), bm_stats AS (
       SELECT (SELECT count(*) FROM documents) AS n,
-             (SELECT sum(dl) FROM bm_dl) // (SELECT count(*) FROM bm_dl)
-               AS avgdl
+             ((SELECT sum(dl) FROM bm_dl) * 1000000)
+               // (SELECT count(*) FROM bm_dl) AS avgdl_fp
     ), bm_q AS (
       SELECT DISTINCT term FROM bm_toks WHERE doc_id = 0
     ), bm_df AS (
@@ -1822,17 +1822,48 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bm_tf
       WHERE term IN (SELECT term FROM bm_q)
       GROUP BY 1
+    ), bm_ln_n1 AS (        -- ln_fp(2N + 2): same stages as _ln_fp_int
+      SELECT 2 * n + 2 AS y FROM bm_stats
+    ), bm_ln_n2 AS (
+      SELECT y, length(bin(y)) - 1 AS e FROM bm_ln_n1
+    ), bm_ln_n3 AS (
+      SELECT e, (y * 1000000) // CAST(pow(2, e) AS BIGINT) AS m FROM bm_ln_n2
+    ), bm_ln_n4 AS (
+      SELECT e, ((m - 1000000) * 1000000) // (m + 1000000) AS z FROM bm_ln_n3
+    ), bm_ln_n5 AS (
+      SELECT e, z, (z * z) // 1000000 AS z2 FROM bm_ln_n4
+    ), bm_ln_n AS (
+      SELECT e * 693147 + 2 * (z + ((z * z2) // 1000000) // 3
+               + ((((z * z2) // 1000000) * z2) // 1000000) // 5) AS ln_2n2
+      FROM bm_ln_n5
+    ), bm_idf1 AS (         -- ln_fp(2·df + 1) per query term
+      SELECT term, 2 * dfreq + 1 AS y FROM bm_df
+    ), bm_idf2 AS (
+      SELECT term, y, length(bin(y)) - 1 AS e FROM bm_idf1
+    ), bm_idf3 AS (
+      SELECT term, e, (y * 1000000) // CAST(pow(2, e) AS BIGINT) AS m FROM bm_idf2
+    ), bm_idf4 AS (
+      SELECT term, e, ((m - 1000000) * 1000000) // (m + 1000000) AS z FROM bm_idf3
+    ), bm_idf5 AS (
+      SELECT term, e, z, (z * z) // 1000000 AS z2 FROM bm_idf4
+    ), bm_idf AS (
+      SELECT term,
+             (SELECT ln_2n2 FROM bm_ln_n)
+               - (e * 693147 + 2 * (z + ((z * z2) // 1000000) // 3
+                  + ((((z * z2) // 1000000) * z2) // 1000000) // 5)) AS idf_fp
+      FROM bm_idf5
     ), bm_scored AS (
       SELECT t.doc_id,
-             SUM((((s.n - d.dfreq) * 1000) // (d.dfreq + 1)
+             SUM((d.idf_fp
                   * ((((t.tf * 220 * 1000000) // 100) * 1000000)
                      // (t.tf * 1000000
                          + (120 * (25 * 1000000
-                            + 75 * ((l.dl * 1000000) // s.avgdl))) // 100)))
+                            + 75 * ((l.dl * 1000000 * 1000000)
+                                    // s.avgdl_fp))) // 10000)))
                  // 1000) AS score_fp
       FROM bm_tf t
       JOIN bm_q q USING (term)
-      JOIN bm_df d USING (term)
+      JOIN bm_idf d USING (term)
       JOIN bm_dl l ON l.doc_id = t.doc_id
       CROSS JOIN bm_stats s
       GROUP BY 1
@@ -1844,10 +1875,13 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_bm25_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical retrieval, driver-hashed: top-10 "more-like-this" for
     document 0 by integer fixed-point BM25 (llm/retrieval.py::
-    bm25_topk_fp — rational idf surrogate + div-rounded k1/b
-    saturation, every quantity integral, so the whole inverted-index
-    retrieval replays bit-for-bit in SQL; real float BM25 is the
-    sibling bm25_topk, pytest-verified against a textbook reference).
+    bm25_topk_fp — r12: integer-LOG idf ln_fp(2N+2) − ln_fp(2df+1),
+    algebraically real BM25's "+1" probabilistic idf within 1.6e-4
+    ln-units, + div-rounded k1/b saturation; every quantity integral,
+    so the whole inverted-index retrieval replays bit-for-bit in SQL —
+    the oracle's CTE chain evaluates the same bit-length + atanh-series
+    stages; real float BM25 is the sibling bm25_topk, pytest-verified
+    against a textbook reference).
 
     The shape a decontamination/curation pipeline runs at 100 TB: one
     partial-agg shuffle to per-(doc, term) tf, broadcast query terms,

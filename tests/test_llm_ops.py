@@ -1135,6 +1135,29 @@ def test_lsh_banding_recall_and_s_curve(spark):
             assert abs(b["candidate_rate"] - b["theory_rate"]) <= 0.1, b
 
 
+def test_ivfpq_recall_floor_on_non_degenerate_geometry(spark):
+    """Recall floor on the OVERLAPPING-mode fixture (VERDICT r11 #3):
+    the driver embeddings are label-clustered so tightly that every
+    true top-10 sits in one IVF cell and recall@10 is 1.0 at any
+    nprobe — an eval that cannot detect cell-boundary regressions.
+    This fixture's modes each span several k-means cells, so (a) low
+    nprobe MUST lose recall (non-degeneracy assertion: a broken eval
+    reading 1.0 everywhere fails here) and (b) the production-nprobe
+    rerank recall must clear the floor."""
+    from tools.pq_recall import ivfpq_recall_report, overlapping_embeddings
+
+    emb = overlapping_embeddings(spark, n=8000, dim=32, n_modes=8, seed=9)
+    rows = ivfpq_recall_report(
+        spark, emb, n_queries=5, n_centroids=32, nprobes=(1, 8)
+    )
+    by_np = {r["nprobe"]: r for r in rows}
+    # the curve must MOVE: nprobe=1 misses cross-cell neighbors
+    assert by_np[1]["recall_ivf_flat_ceiling"] < 0.95
+    # floor at the production probe breadth (quarter of the cells)
+    assert by_np[8]["recall_rerank"] >= 0.9
+    assert by_np[8]["recall_ivf_flat_ceiling"] >= by_np[1]["recall_ivf_flat_ceiling"]
+
+
 def test_ivf_index_build_probe_append_stats(spark, tmp_path):
     """Round-7 IvfIndex lifecycle: (a) probing ALL cells reproduces the
     exact brute-force top-k; (b) the probe scan is partition-PRUNED
@@ -2083,6 +2106,69 @@ def test_bm25_matches_textbook_reference(spark):
     assert set(fp[: len(both)]) == both
     # determinism
     assert fp == [r.doc_id for r in bm25_topk_fp(docs, query, k=6).collect()]
+
+
+def test_bm25_fp_per_term_score_tracks_float(spark):
+    """Per-DOC fp scores must be proportional to float BM25 scores
+    within the fixed-point tolerance — the decomposition check that
+    would have caught the r11 saturation bug (missing /100 made sat_fp
+    near-linear in tf; rankings on tiny both-terms corpora still
+    looked right, so only a value-level comparison pins this)."""
+    import math
+
+    from doin_fine_ance__spark.llm.retrieval import (
+        SCALE,
+        bm25_topk,
+        bm25_topk_fp,
+    )
+
+    rows = [
+        (0, "apple banana cherry"),
+        (1, "apple apple apple banana"),  # tf saturation must bite
+        (2, "apple banana " + "filler " * 40),  # long doc, b-normalized
+        (3, "cherry cherry apple apple apple apple"),
+        (4, "banana date elderberry fig grape"),
+        (5, "apple"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = "apple cherry"
+    fl = {r.doc_id: r.score for r in bm25_topk(docs, q, k=10).collect()}
+    fp = {r.doc_id: r.score_fp for r in bm25_topk_fp(docs, q, k=10).collect()}
+    assert set(fl) == set(fp)
+    # score_fp ≈ score * SCALE * SCALE / 1000 (idf at 1e6, sat at 1e6,
+    # per-term div 1000); relative error budget: ln_fp 2e-4 + div floors
+    unit = SCALE * SCALE / 1000
+    for d, s in fl.items():
+        assert math.isclose(fp[d], s * unit, rel_tol=2e-3), (d, fp[d], s * unit)
+    # same ranking
+    assert sorted(fl, key=lambda d: (-fl[d], d)) == sorted(
+        fp, key=lambda d: (-fp[d], d)
+    )
+
+
+def test_ln_fp_int_accuracy_and_idf_shape():
+    """The integer fixed-point ln must track math.log within 2e-4
+    ln-units across twelve decades, and the derived idf must match
+    real BM25's "+1" probabilistic idf — the shape property whose
+    absence was the r11 fidelity floor."""
+    import math
+    import random
+
+    from doin_fine_ance__spark.llm.retrieval import SCALE, _ln_fp_int
+
+    rnd = random.Random(5)
+    ys = list(range(1, 3000)) + [rnd.randrange(1, 10**12) for _ in range(5000)]
+    worst = max(abs(_ln_fp_int(y) - math.log(y) * SCALE) for y in ys)
+    assert worst < 2e-4 * SCALE
+    n = 50000
+    for df in (1, 3, 17, 400, 9000, n // 2, n - 1, n):
+        fp = _ln_fp_int(2 * n + 2) - _ln_fp_int(2 * df + 1)
+        real = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        assert abs(fp - real * SCALE) <= 4e-4 * SCALE, df
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="domain"):
+        _ln_fp_int(0)
 
 
 def test_bm25_rejects_empty_query(spark):

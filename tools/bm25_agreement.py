@@ -129,19 +129,24 @@ def main() -> int:
         "trials_per_length": TRIALS_PER_LENGTH,
         "note": (
             "Top-k overlap AND float-score recall between float BM25 "
-            "(ln idf) and the integer fixed-point surrogate (rational "
-            "idf, div-rounded k1/b saturation) on the driver documents "
-            "corpus — the ~31-word vocabulary makes every document "
-            "score nearly tied, the hardest case for surrogate ranking "
-            "fidelity: set overlap is tie-dominated and understates "
-            "quality, score_recall@k (float-BM25 mass captured by the "
-            "fp top-k relative to the float top-k) is the fidelity "
-            "measure that ignores which member of a near-tie group is "
-            "returned. Controlled experiment during r11: raising the "
-            "idf scale 1000x (1e3 -> 1e6) left every overlap "
-            "IDENTICAL, pinning the residual divergence on the "
-            "ln-vs-rational idf SHAPE over near-tied scores, not on "
-            "integer quantization. Both rankings break ties by "
+            "(ln idf) and the integer fixed-point variant on the driver "
+            "documents corpus — the ~31-word vocabulary makes every "
+            "document score nearly tied, the hardest case for surrogate "
+            "ranking fidelity: set overlap is tie-dominated and "
+            "understates quality, score_recall@k (float-BM25 mass "
+            "captured by the fp top-k relative to the float top-k) is "
+            "the fidelity measure that ignores which member of a "
+            "near-tie group is returned. r12: the fp variant now uses "
+            "an integer-LOG idf (ln_fp(2N+2) - ln_fp(2df+1), bit-length "
+            "+ atanh series, max 1.6e-4 ln-units error — replacing the "
+            "r11 rational surrogate), a fixed-point avgdl, AND a fix "
+            "for a real r11 saturation bug found by per-term "
+            "decomposition (the k1/b percent factors were divided by "
+            "100 once instead of twice, leaving the length-norm term "
+            "100x too large and sat_fp near-linear in tf — the r11 "
+            "study's divergence was THIS, misattributed to idf shape; "
+            "its idf-scale control experiment could not see a "
+            "saturation-term bug). Both rankings break ties by "
             "(score desc, doc_id asc)."
         ),
         "summary": summary,
