@@ -447,20 +447,39 @@ def _utf8_number(n: int) -> bytes:
     return bytes([lead] + out)
 
 
+def _zigzag(resid: np.ndarray) -> np.ndarray:
+    r = resid.astype(np.int64)
+    return np.where(r >= 0, r << 1, (-r << 1) - 1)
+
+
+def _rice_cost_zz(zz: np.ndarray, param: int) -> int:
+    return int((zz >> param).sum()) + zz.size * (1 + param)
+
+
+def _best_rice_param_zz(zz: np.ndarray) -> tuple[int, int]:
+    """(param, cost). The optimal Rice parameter is within ±1 of
+    log2(mean(zigzag)) (the standard estimator every FLAC encoder
+    uses); probing that window replaces the 15-parameter scan that
+    dominated encode profiles. Any in-range parameter yields a VALID
+    stream — this only trades a handful of bits, deterministically."""
+    if zz.size == 0:
+        return 0, 0
+    mean = int(zz.mean())
+    p0 = max(0, min(14, mean.bit_length() - 1))
+    best_p, best_c = 0, None
+    for p in range(max(0, p0 - 1), min(14, p0 + 1) + 1):
+        c = _rice_cost_zz(zz, p)
+        if best_c is None or c < best_c:
+            best_p, best_c = p, c
+    return best_p, best_c
+
+
 def _rice_cost(resid: np.ndarray, param: int) -> int:
-    zz = np.where(resid >= 0, resid.astype(np.int64) << 1, (-resid.astype(np.int64) << 1) - 1)
-    return int((zz >> param).sum()) + resid.size * (1 + param)
+    return _rice_cost_zz(_zigzag(resid), param)
 
 
 def _best_rice_param(resid: np.ndarray) -> int:
-    if resid.size == 0:
-        return 0
-    best_p, best_c = 0, None
-    for p in range(15):
-        c = _rice_cost(resid, p)
-        if best_c is None or c < best_c:
-            best_p, best_c = p, c
-    return best_p
+    return _best_rice_param_zz(_zigzag(resid))[0]
 
 
 def _write_residual(w: _BitWriter, resid: np.ndarray, order: int, blocksize: int) -> None:
@@ -478,15 +497,15 @@ def _write_residual(w: _BitWriter, resid: np.ndarray, order: int, blocksize: int
     w.write(po, 4)
     n_part = 1 << po
     start = 0
+    zz_all = _zigzag(resid)
     for p in range(n_part):
         n = (blocksize >> po) - (order if p == 0 else 0)
-        part = resid[start : start + n]
+        part_zz = zz_all[start : start + n]
         start += n
-        param = _best_rice_param(part)
+        param, _ = _best_rice_param_zz(part_zz)
         w.write(param, 4)
-        for r in part:
-            r = int(r)
-            v = (r << 1) if r >= 0 else ((-r << 1) - 1)
+        for v in part_zz:
+            v = int(v)
             w.write_unary(v >> param)
             w.write(v, param)
 
@@ -561,7 +580,7 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int, use_lpc: bool) -> N
     max_fixed = min(2, n - 1)
     for order in range(max_fixed + 1):
         resid = _fixed_residual(xi, order)
-        cost = order * bps + _rice_cost(resid, _best_rice_param(resid))
+        cost = order * bps + _best_rice_param_zz(_zigzag(resid))[1]
         candidates.append((cost, "fixed", order, resid, None))
     lpc = _lpc_analyze(xi, order=min(8, n - 1)) if use_lpc and n >= 64 else None
     if lpc is not None:
@@ -569,7 +588,7 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int, use_lpc: bool) -> N
         resid = _lpc_residual(xi, q, shift)
         cost = (
             q.size * bps + 4 + 5 + q.size * 15
-            + _rice_cost(resid, _best_rice_param(resid))
+            + _best_rice_param_zz(_zigzag(resid))[1]
         )
         candidates.append((cost, "lpc", q.size, resid, (q, shift)))
     cost, kind, order, resid, extra = min(candidates, key=lambda c: c[0])

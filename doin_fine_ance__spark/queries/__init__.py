@@ -31,24 +31,23 @@ def query(name: str, oracle: str | None = None):
 
 # The external driver verifies the FIRST 50 registered queries against
 # their DuckDB oracles; the rest keep local pytest + tests/oracle.py
-# coverage only. Round-11 rotation (VERDICT r10 #4): the ENTIRE
-# r8-evidenced cohort comes back — the 16 queries rested at the r10
-# rotation (d_minhash_lsh_neardups, t_token_count, t_quality_score,
-# t_lang_id_heuristic, o5, f8_f9, o3, f16, a3/a4/a6/a7,
-# d_duplicate_spans, s_cosine_topk_ivf, a_exact_percentiles,
-# t_doc_fingerprint) PLUS the four anchors swapped out by the r10
-# mid-round amendment (t_shuffle_order, t_domain_mix,
-# t_simhash_fingerprints, t_top_tokens) — so after this round no
-# registered query's newest driver row predates r9.
-# mm_jpeg_roundtrip re-enters because its query code changed this
-# round (32×32 4-MCU image so DRI=1 emits real RSTn markers, ADVICE
-# r10 #1). The remaining 29 slots refresh r9-evidenced queries,
-# fewest-green-rows first: the two one-row r9 registrations
-# (s_cosine_topk_ivfpq, t_main_text_extract), all twelve four-row
-# queries, and fifteen five-row queries chosen for family coverage
-# (the dedup family incl. d_dup_clusters — this round's skew
-# re-measure focus — ANN brute force, the three streaming windows,
-# as-of/range joins, window/session analytics, selection ops).
+# coverage only. Round-12 rotation (VERDICT r11 #5): rest the
+# r11-evidenced cohort; seat the two NEW registrations
+# (d_neardup_star_edges — star-edge near-dup output mode, VERDICT r11
+# #1; mm_flac_roundtrip — compressed audio, VERDICT r11 #2); re-enter
+# every query whose code path changed this round (d_dup_clusters —
+# now exact-collapse + verified-forest composition, same full-graph
+# oracle; t_bm25_more_like_this — integer-log idf + fp avgdl + the
+# saturation /100 fix; mm_jpeg_progressive — SOS spectral-param
+# validation in _decode_progressive; mm_mjpeg_frame_sample —
+# frame-shape validation in encode_mjpeg_avi; mm_audio_features —
+# decode_wav gained the IMA-ADPCM branch); refresh the ENTIRE
+# r9-evidenced cohort (23 queries — oldest driver rows in the
+# registry) and fill the remaining 21 slots from the r10-evidenced
+# cohort for family coverage (TPC-H deep cuts, sketch rollups,
+# containment/decontamination dedup, LSH ANN, interval-join
+# streaming, text curation). After this round no registered query's
+# newest driver row predates r10.
 # The rows-only `a_approx_distinct_users` stays out (it can never
 # hash-match; accuracy evidence lives in HLL_ERROR_r09.json +
 # tests/test_operators_extra.py).
@@ -56,71 +55,60 @@ def query(name: str, oracle: str | None = None):
 # window stays registered, plan-audited, and oracle-checked by
 # tests/test_inventory_oracle.py + tools/sweep_correctness.py.
 DRIVER_WINDOW: list[str] = [
-    # --- r8-evidenced cohort returns (newest row must reach r11) ---
-    "d_minhash_lsh_neardups",
-    "t_token_count",
-    "t_quality_score",
-    "t_lang_id_heuristic",
-    "o5_top5_categories",
-    "f8_f9_timestamp_conversions",
-    "o3_latest_one",
-    "f16_array_membership",
-    "a3_yearly_spend_by_category",
-    "a4_quarterly_spend",
-    "a6_count_total",
-    "a7_distinct_categories",
-    "d_duplicate_spans",
-    "s_cosine_topk_ivf",
-    "a_exact_percentiles",
-    "t_doc_fingerprint",
-    "t_shuffle_order",
-    "t_domain_mix",
-    "t_simhash_fingerprints",
-    "t_top_tokens",
-    # --- code changed this round (4-MCU restart stream): re-verify ---
-    "mm_jpeg_roundtrip",
-    # --- r9-evidenced, fewest green rows: refresh ---
-    "s_cosine_topk_ivfpq",
-    "t_main_text_extract",
-    "a13_prediction_stats",
-    "a_cube_status_priority",
-    "a_rollup_region_nation",
-    "d_span_scrub",
-    "f15_json_extraction",
-    "f_feature_engineering",
-    "j_salted_skew_join",
-    "q18_large_volume_customers",
-    "q1_pricing_summary",
-    "q3_top_unshipped_orders",
-    "q5_region_revenue_rollup",
-    "u1_union_two_sources",
-    # --- r9-evidenced five-row refreshes (family coverage) ---
+    # --- new registrations: first driver rows ---
+    "d_neardup_star_edges",
+    "mm_flac_roundtrip",
+    # --- code changed this round: re-verify ---
     "d_dup_clusters",
-    "d_exact_dedup",
-    "d_simhash_neardups",
-    "d_embedding_cosine_neardups",
-    "d_ngram_jaccard_pairs",
-    "s_cosine_topk_bruteforce",
-    "st_tumbling_window",
-    "st_session_window",
-    "j_asof_purchase_last_view",
-    "w_lead_lag_session_count",
-    "t_token_budget_select",
-    "t_winnowing_fingerprints",
-    # --- round-11 mid-round amendments (r4/r7/r10 precedent):
-    # mm_mjpeg_frame_sample is NEW (compressed MJPEG/AVI video,
-    # VERDICT r10 #5) and takes its first driver row;
-    # mm_video_frame_sample re-enters because sample_video_frames
-    # changed this round (per-container frame-mime contract);
-    # mm_jpeg_progressive is NEW (SOF2 multi-scan decode, VERDICT r10
-    # #6) and takes its first driver row. They replace
-    # st_sliding_window / j_range_price_bands / d_segment_dedup, which
-    # keep their green r9 rows (5 greens each; the streaming, join and
-    # dedup families stay covered by st_tumbling/st_session, j_asof,
-    # and the five other d_* window rows). ---
-    "mm_mjpeg_frame_sample",
-    "mm_video_frame_sample",
+    "t_bm25_more_like_this",
     "mm_jpeg_progressive",
+    "mm_mjpeg_frame_sample",
+    "mm_audio_features",
+    # --- r9-evidenced cohort (oldest rows): full refresh ---
+    "a9_data_range_check",
+    "a_count_distinct_users",
+    "a_event_funnel",
+    "d_segment_dedup",
+    "j10_nullsafe_equality_join",
+    "j1_mapping_join_disjunctive",
+    "j3_override_coalesce_overlay",
+    "j8_incremental_anti_append",
+    "j_range_price_bands",
+    "m7_calibration_curve",
+    "mm_media_features",
+    "o1_pagination_offset",
+    "p3_uncategorized_anti_join",
+    "p4_exclusion_patterns_anti",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_ratio",
+    "q4_priority_semi_join",
+    "q6_forecast_revenue",
+    "st_sliding_window",
+    "w1_latest_import_dedup",
+    "w2_rownum_md5_surrogate",
+    "w4_w5_reconnection_dedup",
+    # --- r10-evidenced refreshes (family coverage, 21 slots) ---
+    "q2_min_cost_supplier",
+    "q7_volume_shipping_pairs",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_revenue_customers",
+    "q11_global_threshold_having",
+    "q12_shipmode_priority_counts",
+    "q15_top_supplier_revenue",
+    "a1_monthly_spend_by_category",
+    "a5_pivot_month_by_status",
+    "a8_connection_health_rollup",
+    "a_heavy_hitters_cms",
+    "a_cms_rollup_merge",
+    "d_containment_prefix",
+    "d_decontaminate",
+    "d_incremental_neardups",
+    "s_cosine_topk_lsh",
+    "st_interval_join",
+    "t_pii_redaction",
+    "t_stratified_sample",
+    "t_token_count_bpe",
 ]
 
 
