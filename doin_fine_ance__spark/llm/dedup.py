@@ -378,6 +378,19 @@ def verified_forest_edges(
     """
     import numpy as np
 
+    # One-live-pipeline hygiene (same contract as _verified_pairs /
+    # containment): evict the PREVIOUS dedup pipeline's persisted token
+    # store on entry. This pipeline keeps no store of its own, but a
+    # leftover cache from a sibling poisons this call two ways —
+    # storage-memory pressure on the unified manager, and canonical-
+    # plan cache substitution splicing a stats-less InMemoryRelation
+    # into this call's token subtree. Measured at sf0.1: interleaving
+    # d_dup_clusters with d_neardup_star_edges ran 5.4-9.0 s per query
+    # with the sibling's store left alive vs 3.1-5.3 s evicted.
+    with _TOKEN_STORES_LOCK:
+        while _TOKEN_STORES:
+            _TOKEN_STORES.pop().unpersist()
+
     sigs = minhash_signatures(docs, id_col, text_col, k)
     banded = band_keys(sigs, id_col, bands, k=k)
     # two consumers below (bucket counts + semi join): materialize once
@@ -401,6 +414,19 @@ def verified_forest_edges(
         ).alias("tokens"),
     )
     rows = multi.join(toks, id_col)
+    # Pin forest parallelism (same idiom and rationale as the verify
+    # stage in _verified_pairs): the bucketed rows are BYTE-small after
+    # AQE coalescing — measured ONE post-join partition at sf0.1 — but
+    # each bucket costs Python set intersections, so the whole
+    # union-find stage otherwise lands on a single core (6.9 s → 2.5 s
+    # at sf0.1 with the pin). Repartitioning BY THE GROUP KEYS means
+    # the groupBy below reuses this exchange — no extra shuffle, just
+    # an explicit width AQE won't coalesce.
+    try:
+        width = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        rows = rows.repartition(width, "band", "band_hash")
+    except (TypeError, ValueError):
+        pass  # non-numeric conf (e.g. "auto"): keep the planner's choice
 
     def _local_forest(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
