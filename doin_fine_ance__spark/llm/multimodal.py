@@ -912,7 +912,9 @@ def register_audio_decoder(mime: str, decode) -> None:
     AUDIO_DECODERS[mime] = decode
 
 
-def extract_audio_features(media: DataFrame) -> DataFrame:
+def extract_audio_features(
+    media: DataFrame, pre_partitioned: bool = False
+) -> DataFrame:
     """Distributed audio decode + signal features via the codec registry.
 
     Per clip: sample count, duration, RMS amplitude, peak, and
@@ -920,6 +922,21 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     signals. numpy-vectorized per clip inside Arrow batches; the
     integer accumulations (sum of squares, peak, crossings) are exact,
     so results are engine-reproducible from the same samples.
+
+    ``pre_partitioned=True`` skips the media_id repartition (same
+    contract as resize_images / sample_video_frames) for callers whose
+    clips are already spread AND whose upstream is not itself a Python
+    kernel. The default path pins the repartition WIDTH (the audio
+    analog of _verified_pairs' verify-stage pin): clip bytes are small
+    — the sf0.1 FLAC roundtrip ships ~7.5 MB — so AQE byte-coalescing
+    collapsed the unpinned exchange to ONE partition and serialized
+    ~6 s of CPU-bound decode that runs in ~0.2 s at full width.
+    Measured note for composed synth→features pipelines: keeping this
+    exchange BETWEEN the two Python kernels is faster than chaining
+    them inside one stage (two PythonRunners per task handing off
+    through the JVM measured ~2.5 s of overhead at sf0.1), so callers
+    like the FLAC/WAV roundtrip queries deliberately leave
+    ``pre_partitioned=False``.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -948,7 +965,17 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=AUDIO_FEATURES_SCHEMA.fieldNames())
 
-    return media.repartition("media_id").mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
+    if pre_partitioned:
+        src = media
+    else:
+        try:
+            width = int(
+                media.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+            src = media.repartition(width, "media_id")
+        except (TypeError, ValueError):
+            src = media.repartition("media_id")
+    return src.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def image_ahash64(media: DataFrame) -> DataFrame:

@@ -1500,6 +1500,11 @@ def mm_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = d.mapInPandas(synth, "media_id long, mime string, content binary")
+    # deliberately NOT pre_partitioned: the width-pinned media_id
+    # exchange spreads the FLAC decode full-width and breaks the
+    # Python operator chain (see extract_audio_features docstring —
+    # the ~7.5 MB of clip bytes are cheap to ship; chaining the two
+    # kernels in one stage measured ~2.5 s slower at sf0.1)
     return extract_audio_features(media).select(
         "media_id", "mime", "sample_rate", "n_samples",
         "duration_ms", "rms", "peak", "zero_crossings",
