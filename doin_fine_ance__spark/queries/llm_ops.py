@@ -2305,9 +2305,14 @@ def t_main_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_good_chars=25 clears the corpus floor (shortest document is
     44 chars at every shipped SF, incl. sf1/sf1-skew).
     """
+    from ..llm.dedup import _fan_out
     from ..sources.warc import extract_main_text
 
-    d = load_table(spark, sf_dir, "documents")
+    # fan out before the pandas-UDF classifier: the single-file scan
+    # arrives in 1-2 partitions, pinning the per-row Python HTML parse
+    # to as many cores (guide §2.5 input skew / §4 Python boundary); at
+    # real scale the scan is already wide and this is a no-op
+    d = _fan_out(load_table(spark, sf_dir, "documents", ["doc_id", "text"]))
     html = F.concat(
         lit(
             "<html><head><title>t</title><script>var x=1;</script></head>"

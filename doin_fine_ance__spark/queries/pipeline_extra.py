@@ -218,8 +218,18 @@ def a_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     words = d.select(F.explode(_words(col("text"))).alias("token"))
-    cells = cms_build(words, "token", depth=_CMS_D, width=_CMS_W)
     exact = words.groupBy("token").agg(F.count("*").cast("bigint").alias("exact_count"))
+    # r12 optimization (guide §2.3 "aggregate before you shuffle"): the
+    # sketch cells are built from the per-token EXACT counts instead of
+    # the raw token stream — provably identical cells (summation into a
+    # cell is associative; cms_build documents count_col equivalence) —
+    # so the tokenize+explode pass runs ONCE and its aggregation is
+    # shared with the exact/top-k branch via ReusedExchange, and the
+    # 4-way bucket-hash explode runs over distinct tokens, not every
+    # token occurrence. At 100 TB this is exactly the rollup shape
+    # a_cms_rollup_merge persists (cells from pre-aggregated counts).
+    cells = cms_build(exact, "token", count_col="exact_count",
+                      depth=_CMS_D, width=_CMS_W)
     top = exact.orderBy(F.desc("exact_count"), "token").limit(_CMS_TOPK)
     keys = top.select(
         "*", F.explode(F.sequence(lit(0), lit(_CMS_D - 1))).alias("j")
@@ -410,12 +420,24 @@ def a_cms_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events", ["ts", "user_id"]).select(
         F.to_date("ts").alias("day"), "user_id"
     )
+    # r12 optimization (guide §2.3): aggregate per (day, user) ONCE and
+    # feed both branches from it — the daily partial sketches are built
+    # from the pre-aggregated counts (identical cells; associative sums,
+    # the equivalence cms_build documents for count_col) and the exact
+    # per-user counts are the same aggregation rolled up. One scan +
+    # one (day, user) shuffle shared via ReusedExchange replaces two
+    # scans of the event stream, and the 4-way bucket-hash explode runs
+    # over distinct (day, user) rows, not every event.
+    per_du = ev.groupBy("day", "user_id").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
     daily = cms_build(
-        ev, "user_id", depth=_RU_D, width=_RU_W, partition_cols=["day"]
+        per_du, "user_id", count_col="n",
+        depth=_RU_D, width=_RU_W, partition_cols=["day"]
     )
     cells = cms_merge(daily)
-    exact = ev.groupBy("user_id").agg(
-        F.count("*").cast("bigint").alias("exact_count")
+    exact = per_du.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("exact_count")
     )
     top = exact.orderBy(F.desc("exact_count"), "user_id").limit(_RU_TOPK)
     keys = top.select(
