@@ -34,8 +34,30 @@ from ..llm.dedup import (
     simhash_near_dups,
     verified_forest_edges,
 )
+from ..operators.checkpoint import materialize
 from ..sources.testdata import load_table
 from . import query
+
+
+def _ordered(df: DataFrame, *sort_cols: str) -> DataFrame:
+    """Total-order the FINAL (already feature-reduced) output of a
+    kernel-heavy query without re-running its kernels.
+
+    ``orderBy`` compiles to a range-partitioning Exchange whose
+    RangePartitioner first runs a SEPARATE SAMPLING JOB over the sort's
+    child plan to pick partition bounds. Shuffle map outputs below the
+    sort are reused across the two jobs, but everything between the
+    last Exchange and the sort — for the codec queries, the entire
+    mapInPandas decode/feature chain — executes TWICE (measured on
+    mm_mjpeg_frame_sample: 4.66 s with the plain orderBy vs 2.03 s for
+    the identical chain un-sorted; guide §1.4/§2.4 "exchanges you did
+    not expect"). Truncating lineage on the reduced rows (a few narrow
+    columns per media/doc — orders of magnitude smaller than the
+    payload bytes the kernels consume) bounds the sampling pass to the
+    materialized output, at any scale. Result rows and order are
+    identical to ``df.orderBy(*sort_cols)``.
+    """
+    return materialize(df).orderBy(*sort_cols)
 
 
 # DuckDB CTE mirroring llm.dedup.exact_collapse: group documents by md5
@@ -801,7 +823,9 @@ def d_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures/bands/measure in SQL.
     """
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    return minhash_containment_pairs(d, threshold=0.9).orderBy("id_a", "id_b")
+    return _ordered(
+        minhash_containment_pairs(d, threshold=0.9), "id_a", "id_b"
+    )
 
 
 @query(
@@ -900,9 +924,11 @@ def d_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = d.select("doc_id", grams.alias("grams"))
-    return containment_prefix_pairs(
-        g, threshold=0.9, tokens_col="grams", proper=True
-    ).orderBy("id_a", "id_b")
+    return _ordered(
+        containment_prefix_pairs(g, threshold=0.9, tokens_col="grams", proper=True),
+        "id_a",
+        "id_b",
+    )
 
 
 @query(
@@ -1505,10 +1531,13 @@ def mm_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Python operator chain (see extract_audio_features docstring —
     # the ~7.5 MB of clip bytes are cheap to ship; chaining the two
     # kernels in one stage measured ~2.5 s slower at sf0.1)
-    return extract_audio_features(media).select(
-        "media_id", "mime", "sample_rate", "n_samples",
-        "duration_ms", "rms", "peak", "zero_crossings",
-    ).orderBy("media_id")
+    return _ordered(
+        extract_audio_features(media).select(
+            "media_id", "mime", "sample_rate", "n_samples",
+            "duration_ms", "rms", "peak", "zero_crossings",
+        ),
+        "media_id",
+    )
 
 
 def _quantize(vec) -> F.Column:
@@ -1648,7 +1677,10 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((r.media_id, int(arr.sum()), int(arr.size)))
             yield pd.DataFrame(rows, columns=["media_id", "px_sum", "n_px"])
 
-    return sampled.mapInPandas(feat, "media_id long, px_sum long, n_px long").orderBy("media_id")
+    return _ordered(
+        sampled.mapInPandas(feat, "media_id long, px_sum long, n_px long"),
+        "media_id",
+    )
 
 
 @query(
@@ -1734,9 +1766,9 @@ def mm_mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((int(r.media_id), int(r.media_id % 1_000_000), px))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "px"])
 
-    return (
-        sampled.mapInPandas(feat, "media_id long, frame_idx int, px int")
-        .orderBy("media_id")
+    return _ordered(
+        sampled.mapInPandas(feat, "media_id long, frame_idx int, px int"),
+        "media_id",
     )
 
 
@@ -1798,9 +1830,11 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((r.media_id, int(r.width), int(r.height), int(arr.sum()), int(arr.size)))
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "px_sum", "n_px"])
 
-    return (
-        small.mapInPandas(feat, "media_id long, width int, height int, px_sum long, n_px long")
-        .orderBy("media_id")
+    return _ordered(
+        small.mapInPandas(
+            feat, "media_id long, width int, height int, px_sum long, n_px long"
+        ),
+        "media_id",
     )
 
 
@@ -1982,12 +2016,12 @@ def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "b00", "b01", "b10", "b11"]
             )
 
-    return (
+    return _ordered(
         d.mapInPandas(
             roundtrip,
             "media_id long, b00 int, b01 int, b10 int, b11 int",
-        )
-        .orderBy("media_id")
+        ),
+        "media_id",
     )
 
 
@@ -2064,12 +2098,12 @@ def mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "b00", "b01", "b10", "b11"]
             )
 
-    return (
+    return _ordered(
         d.mapInPandas(
             roundtrip,
             "media_id long, b00 int, b01 int, b10 int, b11 int",
-        )
-        .orderBy("media_id")
+        ),
+        "media_id",
     )
 
 
@@ -2185,14 +2219,14 @@ def mm_image_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=MEDIA_SCHEMA.fieldNames())
 
     media = _fan_out(d).mapInPandas(synth, MEDIA_SCHEMA)
-    return (
-        image_neardup_pairs(media, max_hamming=6)
-        .select(
+    return _ordered(
+        image_neardup_pairs(media, max_hamming=6).select(
             col("id_a").cast("long"),
             col("id_b").cast("long"),
             col("hamming").cast("int"),
-        )
-        .orderBy("id_a", "id_b")
+        ),
+        "id_a",
+        "id_b",
     )
 
 
@@ -2325,7 +2359,10 @@ def t_main_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "</footer></body></html>"
         ),
     )
-    return d.select(
+    return _ordered(
+        d.select(
+            "doc_id",
+            extract_main_text(html, min_good_chars=25).alias("main_text"),
+        ),
         "doc_id",
-        extract_main_text(html, min_good_chars=25).alias("main_text"),
-    ).orderBy("doc_id")
+    )

@@ -182,3 +182,23 @@ def test_lsh_candidates_stay_subquadratic_under_clique(spark):
     assert n_cand <= clique_pairs + 0.01 * all_pairs, (
         f"candidate set quadratic in corpus: {n_cand} of {all_pairs}"
     )
+
+
+def test_ordered_matches_plain_orderby_and_truncates_lineage(spark):
+    """queries.llm_ops._ordered must be result-identical to a plain
+    orderBy (rows AND order) while cutting the sort's child lineage, so
+    the RangePartitioner's sampling job reads the materialized rows
+    instead of re-executing the upstream kernel chain (the r12
+    optimization behind the mm_*/containment final sorts)."""
+    from pyspark.sql import functions as F
+
+    from doin_fine_ance__spark.queries.llm_ops import _ordered
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("k"), F.pmod(F.col("id") * 37, F.lit(101)).alias("v")
+    )
+    plain = df.orderBy("k", "v").collect()
+    opt = _ordered(df, "k", "v")
+    assert opt.collect() == plain
+    plan = opt._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, f"sort child not materialized:\n{plan}"
