@@ -264,6 +264,7 @@ def pagerank_fixed_point(
     dst: str = "dst",
     weight: str = "weight",
     materialize_every: int = 8,
+    broadcast_max_nodes: int = 4_000_000,
 ) -> DataFrame:
     """Weighted PageRank in deterministic integer fixed-point.
 
@@ -320,26 +321,47 @@ def pagerank_fixed_point(
     # per iteration — 22 scans of lineitem in the 5-iteration plan
     # before this, 1 after.
     e = materialize(e)
+    # Materialize the per-iteration-reused share table and node list
+    # ONCE (guide §2.4 — every loop round references both; without
+    # truncation each of the `iterations` references re-plans and
+    # re-executes the tot/p/nodes subtrees, one groupBy + join + two
+    # distinct exchanges apiece: the r12 before-plan of
+    # g_pagerank_nation_trade carried 46 Exchange references for a
+    # ≤625-edge graph). Both are aggregated-graph-sized — the same
+    # bytes the loop must hold anyway.
     tot = e.groupBy("u").agg(F.sum("w").alias("wtot"))
-    p = e.join(tot, "u").select(
-        "u", "v", F.expr(f"(w * {ppm}) div wtot").alias("share")
+    p = materialize(
+        e.join(tot, "u").select(
+            "u", "v", F.expr(f"(w * {ppm}) div wtot").alias("share")
+        )
     )
-    nodes = (
+    nodes = materialize(
         e.select(col("u").alias("node"))
         .union(e.select(col("v").alias("node")))
         .distinct()
     )
+    # Scale-adaptive join strategy (guide §3.1): the rank and
+    # contribution tables are node-sized; when the graph is small
+    # enough that they broadcast (4M nodes ≈ 64 MB of (long, long)
+    # rows — the session's autoBroadcastJoinThreshold), hint the
+    # broadcast so every loop round is map-side join + one partial-agg
+    # exchange instead of a pair of sort-merge shuffles. The count is
+    # one metadata-cheap job over the just-materialized node list —
+    # the same sizing idiom connected_components uses. Web-scale host
+    # graphs (~90M nodes) exceed the bound and keep shuffle joins.
+    n_nodes = nodes.count()
+    hint = F.broadcast if n_nodes <= broadcast_max_nodes else (lambda df: df)
     base = (100 - damping_pct) * scale // 100
     r = nodes.select("node", lit(scale).cast("bigint").alias("rank_fp"))
     for it in range(iterations):
         contrib = (
-            p.join(r, p["u"] == r["node"])
+            p.join(hint(r), p["u"] == r["node"])
             .select("v", F.expr(f"(rank_fp * share) div {ppm}").alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("inc"))
         )
         r = (
-            nodes.join(contrib, nodes["node"] == contrib["v"], "left")
+            nodes.join(hint(contrib), nodes["node"] == contrib["v"], "left")
             .select(
                 "node",
                 (
