@@ -618,13 +618,17 @@ def containment_prefix_pairs(
     # rarest-first rank (same _id partitioning — one exchange, two
     # window ops); the inverted index reuses the same frame, so the
     # earlier separate sized-groupBy + two _id joins are gone.
+    # Persisted because THREE branches read it (prefix, inverted
+    # index, and the verify token arrays below) — without the persist
+    # each branch re-executes the df join + double window, the most
+    # expensive post-tokenize stage (guide §2.4: duplicated subtrees).
     w_part = Window.partitionBy("_id")
     w_rank = w_part.orderBy(col("_df").asc(), col("_tok").asc())
     ranked = (
         toks_flat.join(dfreq, "_tok")
         .withColumn("_sz", F.count("*").over(w_part))
         .withColumn("_rn", F.row_number().over(w_rank))
-    )
+    ).persist()
     prefix = ranked.filter(
         col("_rn")
         <= col("_sz") - F.expr(f"(_sz * {t_permille} + 999) div 1000") + lit(1)
@@ -652,10 +656,13 @@ def containment_prefix_pairs(
     )
     # exact verify on hashed token sets (same idiom as _verified_pairs:
     # xxhash64 longs intersect identically to strings, ship 8 bytes) —
-    # rebuilt from the PERSISTED flat table, not from docs, so the
-    # tokenize/gram-hash map stage runs exactly once per call
+    # built from the PERSISTED ranked table, whose cached blocks are
+    # already hash-partitioned by _id from the window exchange, so
+    # this groupBy adds NO new shuffle (guide §2.4: two operations
+    # keyed the same way share one exchange) and the tokenize/gram
+    # map stage runs exactly once per call
     toks = (
-        toks_flat.groupBy("_id")
+        ranked.groupBy("_id")
         .agg(F.collect_list(F.xxhash64(col("_tok"))).alias("tokens"))
         .withColumnRenamed("_id", id_col)
         .persist()
@@ -664,6 +671,7 @@ def containment_prefix_pairs(
         while _TOKEN_STORES:
             _TOKEN_STORES.pop().unpersist()
         _TOKEN_STORES.append(toks_flat)
+        _TOKEN_STORES.append(ranked)
         _TOKEN_STORES.append(toks)
     ta = toks.select(col(id_col).alias("id_a"), col("tokens").alias("tok_a"))
     tb = toks.select(col(id_col).alias("id_b"), col("tokens").alias("tok_b"))

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+from ..operators.checkpoint import materialize
 from .corpus import _words
 
 SCALE = 1_000_000
@@ -104,7 +105,15 @@ def bm25_topk(
     if not terms:
         raise ValueError("query has no terms")
     spark = docs.sparkSession
-    dt = _doc_terms(docs, id_col, text_col)
+    # Materialize the inverted index once: three consumers walk dt —
+    # the corpus-stats aggregate below (an eager .first()), the df
+    # table's broadcast-build subtree, and the scored main branch —
+    # and each would otherwise re-run the tokenize + (doc,term) tf +
+    # per-doc dl chain, the only corpus-sized work in the query
+    # (guide §2.4: duplicated subtrees). dt is the aggregated
+    # (doc, term, tf, dl) index — the bytes the retrieval must hold
+    # anyway, orders of magnitude below the raw token stream.
+    dt = materialize(_doc_terms(docs, id_col, text_col))
     n_docs = docs.count()
     avgdl = (
         dt.groupBy("_doc").agg(F.first("_dl").alias("_dl")).agg(F.avg("_dl")).first()[0]
@@ -205,7 +214,10 @@ def bm25_topk_fp(
     if not terms:
         raise ValueError("query has no terms")
     spark = docs.sparkSession
-    dt = _doc_terms(docs, id_col, text_col)
+    # Materialized for the same three-consumer reason as bm25_topk:
+    # the eager avgdl/N aggregate, the df broadcast subtree, and the
+    # scored branch each re-ran the tokenize + tf + dl chain.
+    dt = materialize(_doc_terms(docs, id_col, text_col))
     n_docs = docs.count()
     qt = spark.createDataFrame([(t,) for t in terms], "_term string")
     trow = (

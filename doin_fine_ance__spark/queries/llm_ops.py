@@ -910,19 +910,27 @@ def d_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.corpus import _words
     from ..llm.dedup import _fan_out, containment_prefix_pairs
 
-    # fan out BEFORE projecting the gram expression: the per-gram md5
+    # fan out BEFORE projecting the gram expression: the per-gram hash
     # transform is the expensive map stage, and a projection stays on
     # the scan side of a later repartition — repartitioning first puts
     # the hash work on every core
     d = _fan_out(load_table(spark, sf_dir, "documents", ["doc_id", "text"]))
     toks = _words(col("text"))
+    # Gram identity is xxhash64 of the 3-gram text (was md5 hex): the
+    # gram key is a pure intermediate — the output (id_a, id_b,
+    # containment) is invariant under any injective re-keying of the
+    # gram sets — so ship an 8-byte long through the df-count, window,
+    # prefix-probe and verify shuffles instead of a 32-char string
+    # (guide §2.3 "narrower types"). The oracle keeps md5 grams and
+    # still matches: containment is computed on set sizes and
+    # intersections, not on the key bytes.
     grams = F.when(
         F.size(toks) >= 3,
         F.transform(
             F.sequence(lit(1), F.size(toks) - 2),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 3))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 3))),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     g = d.select("doc_id", grams.alias("grams"))
     return _ordered(
         containment_prefix_pairs(g, threshold=0.9, tokens_col="grams", proper=True),
