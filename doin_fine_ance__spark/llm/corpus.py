@@ -339,20 +339,32 @@ def duplicate_spans(
 
     Scale shape: windowing is map-only (~len(tokens) rows per doc,
     k-fold smaller than exploding every window's tokens because only
-    the md5 leaves the executor); window frequencies are ONE
+    the hash leaves the executor); window frequencies are ONE
     partial-agg shuffle on the window hash; the mark join reuses that
     key; the per-doc rollup is a second narrow shuffle on the doc id.
     Identical discipline to segment_dedup — nothing quadratic, no
-    driver state, and md5 window keys reproduce in any engine.
+    driver state. The window key is xxhash64 of the window text (an
+    8-byte shuffle key; the key is a pure intermediate — every output
+    is a count or ratio, invariant under injective re-keying, so a
+    SQL oracle hashing windows with md5 still matches).
     """
+    from .dedup import _fan_out
+
     toks = _words(F.coalesce(col(text_col), lit("")))
-    base = docs.select(col(id_col), toks.alias("ts")).filter(F.size("ts") >= k)
+    # fan out BEFORE projecting the window-hash transform: a small
+    # parquet scan arrives in 1-2 partitions and the per-window hash
+    # over every token position is the expensive map stage — without
+    # the round-robin exchange it runs on 1-2 of the cluster's cores
+    # (no-op whenever the scan is already >= cluster width)
+    base = _fan_out(docs).select(col(id_col), toks.alias("ts")).filter(
+        F.size("ts") >= k
+    )
     wins = base.select(
         col(id_col),
         F.explode(
             F.transform(
                 F.sequence(lit(0), F.size("ts") - k),
-                lambda s: F.md5(F.array_join(F.slice("ts", s + 1, k), " ")),
+                lambda s: F.xxhash64(F.array_join(F.slice("ts", s + 1, k), " ")),
             )
         ).alias("wkey"),
     )
@@ -408,18 +420,28 @@ def remove_duplicate_spans(
     corpus); the rebuild aggregates each document's own tokens. No
     global sort, no driver state.
     """
+    from .dedup import _fan_out
+
     toks = _words(F.coalesce(col(text_col), lit("")))
-    base = docs.select(col(id_col), toks.alias("ts")).filter(F.size("ts") > 0)
+    # fan out before tokenizing (same rationale as duplicate_spans:
+    # the tokenize + per-window hash map must not be pinned to the
+    # 1-2 partitions a small scan arrives in)
+    base = _fan_out(docs).select(col(id_col), toks.alias("ts")).filter(
+        F.size("ts") > 0
+    )
     try:
         base = materialize(base)
     except Exception:
         pass  # Spark Connect without checkpoint support: correct, just slower
+    # xxhash64 window keys (8-byte shuffle key, pure intermediate —
+    # same argument as duplicate_spans; the OUTPUT md5 fingerprint of
+    # the rebuilt text below is untouched)
     wins = base.filter(F.size("ts") >= k).select(
         col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(lit(0), F.size("ts") - k),
-                lambda s: F.md5(F.array_join(F.slice("ts", s + 1, k), " ")),
+                lambda s: F.xxhash64(F.array_join(F.slice("ts", s + 1, k), " ")),
             )
         ).alias("pos", "wkey"),
     )
