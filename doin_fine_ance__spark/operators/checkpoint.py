@@ -63,3 +63,23 @@ def materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
     except Exception:
         # Spark Connect without checkpoint support: correct, just slower.
         return df
+
+
+def ordered(df: DataFrame, *sort_cols: str) -> DataFrame:
+    """Total-order the FINAL (already feature-reduced) output of an
+    expensive query without re-running its upstream chain.
+
+    ``orderBy`` compiles to a range-partitioning Exchange whose
+    RangePartitioner first runs a SEPARATE SAMPLING JOB over the
+    sort's child plan to pick partition bounds. Shuffle map outputs
+    below the sort are reused across the two jobs, but everything
+    between the last Exchange and the sort — for map-only and
+    kernel-heavy queries, the entire compute chain — executes TWICE
+    (measured on mm_mjpeg_frame_sample: 4.66 s plain orderBy vs
+    2.03 s un-sorted). Truncating lineage on the reduced rows (a few
+    narrow columns per row — orders of magnitude smaller than what
+    the chain consumes) bounds the sampling pass to the materialized
+    output, at any scale. Result rows and order are identical to
+    ``df.orderBy(*sort_cols)``.
+    """
+    return materialize(df).orderBy(*sort_cols)

@@ -34,30 +34,17 @@ from ..llm.dedup import (
     simhash_near_dups,
     verified_forest_edges,
 )
-from ..operators.checkpoint import materialize
+from ..operators.checkpoint import materialize, ordered
 from ..sources.testdata import load_table
 from . import query
 
 
-def _ordered(df: DataFrame, *sort_cols: str) -> DataFrame:
-    """Total-order the FINAL (already feature-reduced) output of a
-    kernel-heavy query without re-running its kernels.
-
-    ``orderBy`` compiles to a range-partitioning Exchange whose
-    RangePartitioner first runs a SEPARATE SAMPLING JOB over the sort's
-    child plan to pick partition bounds. Shuffle map outputs below the
-    sort are reused across the two jobs, but everything between the
-    last Exchange and the sort — for the codec queries, the entire
-    mapInPandas decode/feature chain — executes TWICE (measured on
-    mm_mjpeg_frame_sample: 4.66 s with the plain orderBy vs 2.03 s for
-    the identical chain un-sorted; guide §1.4/§2.4 "exchanges you did
-    not expect"). Truncating lineage on the reduced rows (a few narrow
-    columns per media/doc — orders of magnitude smaller than the
-    payload bytes the kernels consume) bounds the sampling pass to the
-    materialized output, at any scale. Result rows and order are
-    identical to ``df.orderBy(*sort_cols)``.
-    """
-    return materialize(df).orderBy(*sort_cols)
+# Materialize-before-sort for kernel-heavy finals (see
+# operators.checkpoint.ordered for the full rationale: the range
+# partitioner's sampling job re-runs everything between the last
+# Exchange and the sort — for the codec queries, the entire
+# mapInPandas decode/feature chain).
+_ordered = ordered
 
 
 # DuckDB CTE mirroring llm.dedup.exact_collapse: group documents by md5
@@ -1446,10 +1433,13 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = d.mapInPandas(synth, "media_id long, mime string, content binary")
-    return extract_audio_features(media).select(
-        "media_id", "mime", "sample_rate", "n_samples",
-        "duration_ms", "rms", "peak", "zero_crossings",
-    ).orderBy("media_id")
+    return _ordered(
+        extract_audio_features(media).select(
+            "media_id", "mime", "sample_rate", "n_samples",
+            "duration_ms", "rms", "peak", "zero_crossings",
+        ),
+        "media_id",
+    )
 
 
 @query(
@@ -2318,6 +2308,11 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [[float(x) for x in r.q] for r in sample[::8]][:16]
     assigned = ivf_assign(quant, centroids, vec_col="q")
     out = semantic_dedup(assigned, threshold=0.35)
+    # plain orderBy measured FASTER than materialize-before-sort here
+    # (2.07 vs 2.60 s min-of-3): the per-cell kernel sits below the
+    # cell groupBy exchange, whose map output the range sampler
+    # reuses — only cheap post-shuffle work re-runs, while an eager
+    # localCheckpoint pays its fixed block-write + job cost.
     return out.orderBy("vec_id")
 
 
