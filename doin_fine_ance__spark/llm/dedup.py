@@ -239,7 +239,10 @@ def minhash_near_dups(
 
 
 def exact_collapse(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist_stores: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Collapse exact duplicates before any pairwise near-dup stage.
 
@@ -285,6 +288,19 @@ def exact_collapse(
         # just picks the one value without a second pass over docs
         F.min("has_tokens").alias("has_tokens"),
     )
+    if persist_stores is not None:
+        # The composed near-dup pipelines reference groups from three
+        # plan branches (membership, the signature/band store build,
+        # and the verify token build over reps) — each would re-run
+        # the full-text md5 scan + group aggregation (guide §2.4:
+        # duplicated subtrees). persist (NOT localCheckpoint: keeps
+        # size statistics so the membership and reps joins still
+        # broadcast a small group table — the _verified_pairs stats
+        # lesson) and hand ownership to the caller, who must register
+        # it for the one-live-pipeline eviction AFTER any inner
+        # pipeline's entry eviction has run.
+        groups = groups.persist()
+        persist_stores.append(groups)
     membership = keyed.drop("has_tokens").join(groups, "grp_key").select(
         col(id_col), "rep_id", "grp_size", "has_tokens"
     )
@@ -319,8 +335,15 @@ def minhash_near_dup_star_edges(
     at 100 TB. Schema matches minhash_near_dups: (id_a, id_b, jaccard)
     with id_a < id_b (the rep is the group minimum).
     """
-    membership, reps = exact_collapse(docs, id_col, text_col)
+    stores: list[DataFrame] = []
+    membership, reps = exact_collapse(docs, id_col, text_col, persist_stores=stores)
+    # minhash_near_dups' entry eviction runs BEFORE the group store is
+    # registered (it must only drop a PREVIOUS query's stores, not
+    # this composition's); register ours afterwards so the next
+    # pipeline's eviction reclaims it.
     rep_pairs = minhash_near_dups(reps, id_col, text_col, threshold, k, bands)
+    with _TOKEN_STORES_LOCK:
+        _TOKEN_STORES.extend(stores)
     star = (
         membership.filter((col(id_col) != col("rep_id")) & col("has_tokens"))
         .select(

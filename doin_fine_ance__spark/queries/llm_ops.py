@@ -575,14 +575,22 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies m-1 (not m²/2) pairs per clique, and the row runs
     un-skipped at sf10.
     """
+    from ..llm.dedup import _TOKEN_STORES, _TOKEN_STORES_LOCK
     from ..operators.graph import dedup_keepers
 
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    membership, reps = exact_collapse(d)
+    # persist the exact-collapse group table across this composition's
+    # three consumers (stars, the banded store, the verify tokens);
+    # registered for the one-live-pipeline eviction AFTER the forest
+    # pipeline's entry eviction has run (see exact_collapse docstring)
+    stores: list[DataFrame] = []
+    membership, reps = exact_collapse(d, persist_stores=stores)
     stars = membership.filter(
         (col("doc_id") != col("rep_id")) & col("has_tokens")
     ).select(col("rep_id").alias("id_a"), col("doc_id").alias("id_b"))
     forest = verified_forest_edges(reps, threshold=0.5).select("id_a", "id_b")
+    with _TOKEN_STORES_LOCK:
+        _TOKEN_STORES.extend(stores)
     return dedup_keepers(forest.unionByName(stars), "id_a", "id_b")
 
 
