@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit, pandas_udf
 from pyspark.sql.types import IntegerType
 
+from ..operators.checkpoint import materialize
+
 
 def _planes(dim: int, n_planes: int, seed: int = 4242) -> list[list[float]]:
     rng = random.Random(seed)
@@ -539,7 +541,13 @@ def ann_topk_ivfpq(
         :nprobe
     ]
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
-    probed = assigned.filter(col("list_id").isin(probes))
+    # Materialize the probed working set once: it feeds BOTH the
+    # PQ-encode/ADC candidate branch and the exact rerank branch, and
+    # each would otherwise re-run the quantize + per-centroid assign
+    # scan (guide §2.4: duplicated subtrees). At scale this IS the
+    # partition-pruned read an IVF index does — nprobe/n_centroids of
+    # the corpus, the bytes the query must touch anyway.
+    probed = materialize(assigned.filter(col("list_id").isin(probes)))
     codes = pq_encode(probed, books, id_col=id_col, vec_col=vec_col)
     return pq_topk(
         codes,
