@@ -879,6 +879,13 @@ def simhash_near_dups(
             )
         ).alias("c"),
     ).select(col(id_col), "simhash", col("c.chunk_idx"), col("c.chunk"))
+    # Materialize before the self-join: the two join branches are
+    # otherwise separate copies of the whole upstream plan, so the
+    # SimHash UDF would run twice (same idiom and rationale as
+    # lsh_candidate_pairs' banded store). The chunk table is 4 narrow
+    # rows per doc — the signature store an incremental pipeline
+    # persists anyway.
+    chunks = materialize(chunks)
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
     return (
