@@ -1059,6 +1059,14 @@ def image_neardup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
             )
         ).alias("c"),
     ).select(col("media_id"), "simhash", col("c.chunk_idx"), col("c.chunk"))
+    # Materialize before the self-join: its two branches are separate
+    # copies of the upstream plan, so the image-decode + aHash kernel
+    # would run twice per invocation (same idiom as the text SimHash
+    # chunk store). 8 narrow rows per image — the fingerprint store a
+    # production pipeline persists anyway; the pixels never recompute.
+    from ..operators.checkpoint import materialize
+
+    chunks = materialize(chunks)
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
     return (
