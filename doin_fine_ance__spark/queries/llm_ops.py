@@ -818,9 +818,15 @@ def d_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures/bands/measure in SQL.
     """
     d = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    return _ordered(
-        minhash_containment_pairs(d, threshold=0.9), "id_a", "id_b"
-    )
+    # plain orderBy, NOT materialize-before-sort: this query's OUTPUT is
+    # the pair set itself — quadratic in planted near-dup cliques at the
+    # skew rehearsal (millions of rows) — and eagerly checkpointing it
+    # costs more than the range sampler's re-scan of the shuffle-backed
+    # verify join (measured at sf1-skew: 55.0 s materialized vs 36.9 s
+    # plain; sf0.1 was noise-level 2.02 vs 1.90). The materialize idiom
+    # stays reserved for kernel-heavy, REDUCED outputs (see
+    # operators.checkpoint.ordered).
+    return minhash_containment_pairs(d, threshold=0.9).orderBy("id_a", "id_b")
 
 
 @query(
