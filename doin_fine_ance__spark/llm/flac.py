@@ -154,7 +154,90 @@ def _read_utf8_number(bits: _Bits) -> int:
     return val
 
 
-def _read_residual(bits: _Bits, blocksize: int, order: int) -> list[int]:
+def _seek_bits(bits: _Bits, abs_bit: int) -> None:
+    """Reposition a reader to an absolute bit offset — the state is
+    exactly what sequential read() calls up to that bit would leave."""
+    byte, rem = divmod(abs_bit, 8)
+    if rem == 0:
+        bits.pos, bits.acc, bits.nbits = byte, 0, 0
+    else:
+        bits.pos = byte + 1
+        bits.nbits = 8 - rem
+        bits.acc = bits.data[byte] & ((1 << bits.nbits) - 1)
+
+
+def _rice_chain(B, O, n: int, param: int):
+    """Decode ``n`` Rice(param) values from bit window ``B`` (uint8 0/1,
+    starting at the current stream position) with one-positions ``O``.
+    Returns (ok, values int64, bits consumed); ok=False means the window
+    ended before the partition did (caller grows it).
+
+    The vectorized trick: each value is q zero bits, a 1 terminator,
+    then ``param`` raw bits — so terminator i+1 is the first one-bit at
+    least param+1 past terminator i. ``searchsorted(O, O + 1 + param)``
+    precomputes that successor for EVERY one-bit at C speed; the only
+    sequential part left is an n-step pointer walk over a python list."""
+    if O.size < n:
+        return False, None, None
+    if param == 0:
+        T = O[:n].astype(np.int64)
+    else:
+        nxt = np.searchsorted(O, O + 1 + param).tolist()
+        limit = len(nxt)
+        idxs = [0] * n
+        j = 0
+        for i in range(1, n):
+            j = nxt[j]
+            if j >= limit:
+                return False, None, None
+            idxs[i] = j
+        T = O[idxs].astype(np.int64)
+        if int(T[-1]) + param >= B.size:
+            return False, None, None
+    q = np.empty(n, dtype=np.int64)
+    q[0] = T[0]
+    if n > 1:
+        np.subtract(T[1:], T[:-1], out=q[1:])
+        q[1:] -= 1 + param
+    if int(q.max()) > 1 << 24:
+        raise ValueError("corrupt FLAC: runaway unary code")
+    v = q << param
+    if param:
+        low = np.zeros(n, dtype=np.int64)
+        base = T + 1
+        for b in range(param):
+            low = (low << 1) | B[base + b]
+        v |= low
+    out = np.where(v & 1, -(v >> 1) - 1, v >> 1)
+    return True, out, int(T[-1]) + 1 + param
+
+
+def _read_rice_block(bits: _Bits, n: int, param: int) -> np.ndarray:
+    """Vectorized Rice partition decode (replaces one read_unary +
+    read per sample — the decoder's measured hot path). Bit-exact:
+    same values, same stream position after."""
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    data = bits.data
+    startbit = bits.pos * 8 - bits.nbits
+    total_bits = len(data) * 8
+    window = max(8192, n * (param + 10))
+    while True:
+        endbit = min(total_bits, startbit + window)
+        sbyte = startbit >> 3
+        ebyte = (endbit + 7) >> 3
+        arr = np.frombuffer(data, dtype=np.uint8, count=ebyte - sbyte, offset=sbyte)
+        B = np.unpackbits(arr)[startbit - (sbyte << 3):]
+        ok, vals, used = _rice_chain(B, np.flatnonzero(B), n, param)
+        if ok:
+            _seek_bits(bits, startbit + used)
+            return vals
+        if endbit >= total_bits:
+            raise ValueError("corrupt FLAC: truncated stream")
+        window *= 4
+
+
+def _read_residual(bits: _Bits, blocksize: int, order: int) -> np.ndarray:
     method = bits.read(2)
     if method not in (0, 1):
         raise ValueError(f"corrupt FLAC: reserved residual method {method}")
@@ -166,22 +249,53 @@ def _read_residual(bits: _Bits, blocksize: int, order: int) -> list[int]:
         # blocksize must split evenly and the first partition must
         # still hold blocksize/2^po - order ≥ 0 samples
         raise ValueError("corrupt FLAC: invalid partition order")
-    out: list[int] = []
+    parts: list[np.ndarray] = []
     for p in range(n_part):
         n = (blocksize >> po) - (order if p == 0 else 0)
         param = bits.read(param_bits)
         if param == escape:
             raw = bits.read(5)
             if raw == 0:
-                out.extend(0 for _ in range(n))
+                parts.append(np.zeros(n, dtype=np.int64))
             else:
-                out.extend(bits.read_signed(raw) for _ in range(n))
+                parts.append(np.fromiter(
+                    (bits.read_signed(raw) for _ in range(n)),
+                    dtype=np.int64, count=n,
+                ))
         else:
-            for _ in range(n):
-                q = bits.read_unary()
-                v = (q << param) | bits.read(param)
-                out.append(-(v >> 1) - 1 if v & 1 else v >> 1)
-    return out
+            parts.append(_read_rice_block(bits, n, param))
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
+def _fixed_reconstruct(warm: list, resid: np.ndarray, order: int) -> np.ndarray:
+    """FIXED-predictor reconstruction. The order-o fixed predictor is
+    exactly the binomial differencing operator (residual = Δ^o signal),
+    so decoding is o-fold integration: each np.cumsum is seeded with the
+    last (o-1)-fold difference of the warm-up samples. Bit-exact with
+    the per-sample loop; a python-int fallback keeps the loud-failure
+    behavior when a corrupt stream's residuals are large enough that an
+    int64 partial sum could wrap (checked exactly, in python ints,
+    before every integration step)."""
+    if order == 0:
+        return resid.copy()
+    warm_a = np.asarray(warm, dtype=np.int64)
+    cur = resid
+    for k in range(order - 1, -1, -1):
+        seed = int(np.diff(warm_a, k)[-1]) if k else int(warm_a[-1])
+        amax = int(np.abs(cur).max()) if cur.size else 0
+        if (amax + abs(seed) + 1) * (cur.size + 1) >= 1 << 62:
+            break  # corrupt-stream magnitudes: exact python fallback below
+        cur = seed + np.cumsum(cur)
+    else:
+        return np.concatenate([warm_a, cur])
+    coeffs = _FIXED_COEFFS[order]
+    samples = list(warm)
+    for r in resid.tolist():
+        pred = 0
+        for j, c in enumerate(coeffs):
+            pred += c * samples[-1 - j]
+        samples.append(pred + r)
+    return np.asarray(samples, dtype=np.int64)
 
 
 def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
@@ -209,14 +323,7 @@ def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
             raise ValueError("corrupt FLAC: predictor order exceeds blocksize")
         warm = [bits.read_signed(bps) for _ in range(order)]
         resid = _read_residual(bits, blocksize, order)
-        coeffs = _FIXED_COEFFS[order]
-        samples = list(warm)
-        for r in resid:
-            pred = 0
-            for j, c in enumerate(coeffs):
-                pred += c * samples[-1 - j]
-            samples.append(pred + r)
-        out = np.asarray(samples, dtype=np.int64)
+        out = _fixed_reconstruct(warm, resid, order)
     elif sf_type >= 32:  # LPC, order 1-32
         order = sf_type - 31
         if order > blocksize:
@@ -232,7 +339,7 @@ def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
         coeffs = [bits.read_signed(precision) for _ in range(order)]
         resid = _read_residual(bits, blocksize, order)
         samples = list(warm)
-        for r in resid:
+        for r in resid.tolist():  # python ints: the IIR stays exact
             acc = 0
             for j, c in enumerate(coeffs):
                 acc += c * samples[-1 - j]
@@ -427,6 +534,25 @@ class _BitWriter:
             q -= 32
         self.write(1, q + 1)
 
+    def write_bit_array(self, bits_arr: np.ndarray) -> None:
+        """Append a uint8 0/1 array MSB-first — the vectorized
+        equivalent of write(bit, 1) per element (np.packbits does the
+        byte assembly; only the ≤7 pending bits at each edge stay in
+        the scalar accumulator)."""
+        if self.nbits:
+            pend = np.empty(self.nbits, dtype=np.uint8)
+            for i in range(self.nbits):
+                pend[self.nbits - 1 - i] = (self.acc >> i) & 1
+            bits_arr = np.concatenate([pend, bits_arr])
+        nfull = bits_arr.size & ~7
+        if nfull:
+            self.out += np.packbits(bits_arr[:nfull]).tobytes()
+        acc = 0
+        for b in bits_arr[nfull:].tolist():
+            acc = (acc << 1) | b
+        self.acc = acc
+        self.nbits = bits_arr.size - nfull
+
     def align(self) -> None:
         if self.nbits:
             self.write(0, 8 - self.nbits)
@@ -504,10 +630,20 @@ def _write_residual(w: _BitWriter, resid: np.ndarray, order: int, blocksize: int
         start += n
         param, _ = _best_rice_param_zz(part_zz)
         w.write(param, 4)
-        for v in part_zz:
-            v = int(v)
-            w.write_unary(v >> param)
-            w.write(v, param)
+        if n == 0:
+            continue
+        # vectorized Rice emission (bit-exact with the old per-sample
+        # write_unary + write loop, the encoder's measured hot path):
+        # sample i occupies q_i zeros, a 1 terminator, then param bits
+        q = part_zz >> param
+        widths = q + 1 + param
+        ends = np.cumsum(widths)
+        term = ends - (param + 1)
+        bits_arr = np.zeros(int(ends[-1]), dtype=np.uint8)
+        bits_arr[term] = 1
+        for b in range(param):
+            bits_arr[term + 1 + b] = (part_zz >> (param - 1 - b)) & 1
+        w.write_bit_array(bits_arr)
 
 
 def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:

@@ -201,6 +201,57 @@ def _dct_c():
     return _DCT_C
 
 
+_QT_CACHE: dict = {}
+_DHT_SEG_CACHE: dict = {}
+_ZZ = None
+
+
+def _zz_index():
+    global _ZZ
+    if _ZZ is None:
+        import numpy as np
+
+        _ZZ = np.asarray(ZIGZAG)
+    return _ZZ
+
+
+def _quality_tables(quality: int):
+    """quality → (scaled [luma, chroma] tables, their DQT segment bytes)
+    — memoized: tiny-image encode paid these per call (the DQT bytes
+    alone were 128 int() conversions per image on the MJPEG mux path)."""
+    hit = _QT_CACHE.get(quality)
+    if hit is None:
+        qt = [_quality_scaled(QUANT_LUMA, quality),
+              _quality_scaled(QUANT_CHROMA, quality)]
+        for t in qt:
+            t.flags.writeable = False
+        segs = []
+        for t in range(2):
+            segs.append(
+                b"\xff\xdb" + struct.pack(">H", 67) + bytes([t])
+                + bytes(int(qt[t][z]) for z in ZIGZAG)
+            )
+        hit = _QT_CACHE[quality] = (qt, segs)
+    return hit
+
+
+def _std_dht_segments(gray: bool) -> bytes:
+    """The Annex-K DHT marker segments (constant bytes) — memoized."""
+    seg = _DHT_SEG_CACHE.get(gray)
+    if seg is None:
+        tables = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+                  (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+        if not gray:
+            tables += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+                       (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+        out = bytearray()
+        for tc, bits, vals in tables:
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc])
+            out += bytes(bits) + bytes(vals)
+        seg = _DHT_SEG_CACHE[gray] = bytes(out)
+    return seg
+
+
 class _BitWriter:
     def __init__(self):
         self.buf = bytearray()
@@ -245,30 +296,31 @@ def _quantized_blocks(plane, qtable, C, zz):
     h, w = plane.shape
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     by, bx = ph // 8, pw // 8
-    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+    if ph == h and pw == w:  # aligned: skip np.pad's fixed overhead
+        p = plane - 128.0
+    else:
+        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
     blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
     d = np.einsum("ux,ijxy,vy->ijuv", C, blocks, C)
     q = np.round(d / qtable.reshape(8, 8)).astype(np.int64)
     return q.reshape(by, bx, 64)[:, :, zz]
 
 
-def _emit_block(bw, blk, pred, dc_codes, ac_codes):
-    """Huffman-encode one zigzag block; returns the new DC predictor."""
-    import numpy as np
-
-    diff = int(blk[0]) - pred
-    s, bits = _magnitude(diff)
+def _emit_block(bw, dc, acs, pred, dc_codes, ac_codes):
+    """Huffman-encode one zigzag block. ``dc`` is the block's DC value
+    (python int); ``acs`` its nonzero AC coefficients as a list of
+    (zigzag index, value) pairs — extracted once per plane, vectorized,
+    by :func:`_plane_emit_lists`, so this loop touches only actual
+    symbols instead of scanning all 63 AC slots per block. Returns the
+    new DC predictor."""
+    s, bits = _magnitude(dc - pred)
     code, length = dc_codes[s]
     bw.write(code, length)
     if s:
         bw.write(bits, s)
-    run = 0
-    last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) else 0
-    for k in range(1, 64):
-        v = int(blk[k])
-        if v == 0:
-            run += 1
-            continue
+    prev = 0
+    for k, v in acs:
+        run = k - prev - 1
         while run > 15:
             code, length = ac_codes[0xF0]  # ZRL
             bw.write(code, length)
@@ -277,13 +329,30 @@ def _emit_block(bw, blk, pred, dc_codes, ac_codes):
         code, length = ac_codes[(run << 4) | s]
         bw.write(code, length)
         bw.write(bits, s)
-        run = 0
-        if k == last_nz:
-            break
-    if last_nz < 63:
+        prev = k
+    if prev < 63:
         code, length = ac_codes[0x00]  # EOB
         bw.write(code, length)
-    return int(blk[0])
+    return dc
+
+
+def _plane_emit_lists(q):
+    """(by, bx, 64) zigzag coefficients → (dc values as nested python
+    int lists, per-block [(k, v), ...] nonzero-AC lists) — the one
+    vectorized pass that lets :func:`_emit_block` skip zero runs."""
+    import numpy as np
+
+    by, bx = q.shape[:2]
+    dc = q[:, :, 0].tolist()
+    nzy, nzx, nzk = np.nonzero(q[:, :, 1:])
+    acs = [[] for _ in range(by * bx)]
+    for b, k, v in zip(
+        (nzy * bx + nzx).tolist(),
+        (nzk + 1).tolist(),
+        q[nzy, nzx, nzk + 1].tolist(),
+    ):
+        acs[b].append((k, v))
+    return dc, acs
 
 
 def _encode_preamble(arr, quality: int, subsampling: str):
@@ -314,14 +383,15 @@ def _encode_preamble(arr, quality: int, subsampling: str):
         # pad to even, 2×2 box-average the chroma planes
         ph2, pw2 = (h + 1) // 2 * 2, (w + 1) // 2 * 2
         for i in (1, 2):
-            p = np.pad(planes[i], ((0, ph2 - h), (0, pw2 - w)), mode="edge")
+            p = planes[i]
+            if ph2 != h or pw2 != w:
+                p = np.pad(p, ((0, ph2 - h), (0, pw2 - w)), mode="edge")
             planes[i] = p.reshape(ph2 // 2, 2, pw2 // 2, 2).mean(axis=(1, 3))
     samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * len(planes)
 
-    qt = [_quality_scaled(QUANT_LUMA, quality),
-          _quality_scaled(QUANT_CHROMA, quality)]
+    qt = _quality_tables(quality)[0]
     C = _dct_c()
-    zz = np.asarray(ZIGZAG)
+    zz = _zz_index()
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -361,6 +431,8 @@ def encode_jpeg(
     )
     planes = coeffs  # per-component presence; only len() is used below
     dc_codes, ac_codes = _std_enc_tables()
+    emit = [_plane_emit_lists(coeffs[ci]) for ci in range(len(planes))]
+    widths = [coeffs[ci].shape[1] for ci in range(len(planes))]
 
     bw = _BitWriter()
     pred = [0] * len(planes)
@@ -378,11 +450,13 @@ def encode_jpeg(
             for ci in range(len(planes)):
                 t = min(ci, 1)
                 ch, cv = samp[ci]
+                dc, acs = emit[ci]
                 for byi in range(cv):
                     for bxi in range(ch):
-                        blk = coeffs[ci][my * cv + byi, mx * ch + bxi]
+                        by, bx = my * cv + byi, mx * ch + bxi
                         pred[ci] = _emit_block(
-                            bw, blk, pred[ci], dc_codes[t], ac_codes[t]
+                            bw, dc[by][bx], acs[by * widths[ci] + bx],
+                            pred[ci], dc_codes[t], ac_codes[t],
                         )
             mcu_count += 1
     parts.append(bw.flush())
@@ -392,22 +466,16 @@ def encode_jpeg(
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + struct.pack(
         ">HH", 1, 1
     ) + b"\x00\x00"  # APP0, 1:1 aspect, no thumbnail
+    qt_segs = _quality_tables(quality)[1]
     n_qt = 1 if gray else 2
     for t in range(n_qt):
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([t])
-        out += bytes(int(qt[t][z]) for z in ZIGZAG)
+        out += qt_segs[t]
     ncomp = len(planes)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
         ch, cv = samp[ci]
         out += bytes([ci + 1, (ch << 4) | cv, min(ci, 1)])
-    tables = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
-    if not gray:
-        tables += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
-                   (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
-    for tc, bits, vals in tables:
-        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc])
-        out += bytes(bits) + bytes(vals)
+    out += _std_dht_segments(gray)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
@@ -512,10 +580,13 @@ def _comp_block_grid(h, w, samp, ci, hmax, vmax):
     return (chh + 7) // 8, (cw + 7) // 8
 
 
-def _enc_dc_first(sink, coeffs, seq, Al):
+def _enc_dc_first(sink, dcv, seq):
+    """``dcv``: per-component nested lists of Al-shifted DC values —
+    extracted once per scan (vectorized ``>> Al`` per G.1.2.1), so the
+    per-block work is pure-int."""
     pred: dict[int, int] = {}
     for ci, by, bx in seq:
-        v = int(coeffs[ci][by, bx, 0]) >> Al  # arithmetic shift per G.1.2.1
+        v = dcv[ci][by][bx]
         diff = v - pred.get(ci, 0)
         pred[ci] = v
         s, bits = _magnitude(diff)
@@ -523,9 +594,9 @@ def _enc_dc_first(sink, coeffs, seq, Al):
         sink.bits(bits, s)
 
 
-def _enc_dc_refine(sink, coeffs, seq, Al):
+def _enc_dc_refine(sink, dcv, seq):
     for ci, by, bx in seq:
-        sink.bits((int(coeffs[ci][by, bx, 0]) >> Al) & 1, 1)
+        sink.bits(dcv[ci][by][bx] & 1, 1)
 
 
 def _flush_eobrun(sink, state):
@@ -540,19 +611,19 @@ def _flush_eobrun(sink, state):
     state["be_bits"] = []
 
 
-def _enc_ac_first(sink, blk, Ss, Se, Al, state):
+def _enc_ac_first(sink, vals, state):
     """One block of an AC first scan (G.1.2.2): magnitude-shifted
-    values, zero runs, EOB-run accumulation across blocks."""
-    import numpy as np
-
-    band = np.asarray(blk[Ss : Se + 1], dtype=np.int64)
-    shifted = np.sign(band) * (np.abs(band) >> Al)
-    if not shifted.any():  # numpy fast path: the dominant case at scale
+    values, zero runs, EOB-run accumulation across blocks. ``vals`` is
+    the block's Al-shifted band as a python int list, or None when the
+    whole band is zero at this bit plane — both extracted once per scan
+    by a vectorized pass in :func:`encode_jpeg_progressive` (the
+    per-block numpy slice/sign/any of the old shape was the progressive
+    encoder's hottest line)."""
+    if vals is None:  # all-zero band: the dominant case at scale
         state["eobrun"] += 1
         if state["eobrun"] == 0x7FFF:
             _flush_eobrun(sink, state)
         return
-    vals = shifted.tolist()
     _flush_eobrun(sink, state)
     r = 0
     last_nz = max(i for i, v in enumerate(vals) if v)
@@ -572,17 +643,17 @@ def _enc_ac_first(sink, blk, Ss, Se, Al, state):
         r = 0
 
 
-def _enc_ac_refine(sink, blk, Ss, Se, Al, state):
+def _enc_ac_refine(sink, absv, negs, eob, state):
     """One block of an AC refinement scan — the G.1.2.3 correction-bit
     algorithm (structured after the public libjpeg jcphuff.c shape):
     already-nonzero coefficients contribute buffered correction bits
     that are emitted AFTER the next Huffman symbol; newly-significant
     coefficients (|c| >> Al == 1) are run-length coded like a first
-    scan with a sign bit instead of magnitude bits."""
-    import numpy as np
-
-    band_abs = np.abs(np.asarray(blk[Ss : Se + 1], dtype=np.int64)) >> Al
-    if not band_abs.any():
+    scan with a sign bit instead of magnitude bits. ``absv`` (Al-shifted
+    magnitudes as int list, None when all-zero), ``negs`` (sign flags)
+    and ``eob`` (last newly-significant index, -1 if none) are extracted
+    once per scan, vectorized."""
+    if absv is None:
         # nothing visible at this bit plane: no history corrections
         # (history ⇒ |c| ≥ 2^(Al+1) ⇒ absv ≥ 2) and nothing newly
         # significant — the whole block is one EOB
@@ -590,9 +661,6 @@ def _enc_ac_refine(sink, blk, Ss, Se, Al, state):
         if state["eobrun"] == 0x7FFF:
             _flush_eobrun(sink, state)
         return
-    absv = band_abs.tolist()
-    ones = np.nonzero(band_abs == 1)[0]
-    eob = int(ones[-1]) if ones.size else -1  # last NEWLY-significant
     r = 0
     br: list[int] = []  # correction bits buffered inside this block
     for i, a in enumerate(absv):
@@ -612,7 +680,7 @@ def _enc_ac_refine(sink, blk, Ss, Se, Al, state):
             continue
         _flush_eobrun(sink, state)
         sink.sym((r << 4) | 1)
-        sink.bits(0 if int(blk[i + Ss]) < 0 else 1, 1)
+        sink.bits(0 if negs[i] else 1, 1)
         for bit in br:
             sink.bits(bit, 1)
         br = []
@@ -654,10 +722,10 @@ def encode_jpeg_progressive(
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + struct.pack(
         ">HH", 1, 1
     ) + b"\x00\x00"
+    qt_segs = _quality_tables(quality)[1]
     n_qt = 1 if gray else 2
     for t in range(n_qt):
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([t])
-        out += bytes(int(qt[t][z]) for z in ZIGZAG)
+        out += qt_segs[t]
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
         ch, cv = samp[ci]
@@ -694,16 +762,58 @@ def encode_jpeg_progressive(
             cbh, cbw = _comp_block_grid(h, w, samp, ci, hmax, vmax)
             seq = [(ci, by, bx) for by in range(cbh) for bx in range(cbw)]
 
+        # hoist the per-block numpy work (slice, shift, sign, any) into
+        # one vectorized pass per scan, shared by both emission passes;
+        # the per-block functions then run on plain python ints
+        import numpy as np
+
+        if is_dc:
+            dcv = {
+                sci: (coeffs[sci][:, :, 0] >> Al).tolist()
+                for sci in comps_idx
+            }
+        else:
+            band = coeffs[comps_idx[0]][:, :, Ss : Se + 1]
+            if Ah == 0:
+                shifted = np.sign(band) * (np.abs(band) >> Al)
+                nz = shifted.any(axis=2)
+                sh_list = shifted.tolist()
+                ac_blocks = {
+                    (by, bx): sh_list[by][bx] if nz[by, bx] else None
+                    for by, bx in ((b, x) for b in range(band.shape[0])
+                                   for x in range(band.shape[1]))
+                }
+            else:
+                band_abs = np.abs(band) >> Al
+                nz = band_abs.any(axis=2)
+                idx = np.arange(band.shape[2])
+                eob_arr = np.where(band_abs == 1, idx, -1).max(axis=2)
+                ab_list = band_abs.tolist()
+                ng_list = (band < 0).tolist()
+                ac_blocks = {
+                    (by, bx): (
+                        (ab_list[by][bx], ng_list[by][bx], int(eob_arr[by, bx]))
+                        if nz[by, bx]
+                        else (None, None, -1)
+                    )
+                    for by, bx in ((b, x) for b in range(band.shape[0])
+                                   for x in range(band.shape[1]))
+                }
+
         def run(sink):
             if is_dc and Ah == 0:
-                _enc_dc_first(sink, coeffs, seq, Al)
+                _enc_dc_first(sink, dcv, seq)
             elif is_dc:
-                _enc_dc_refine(sink, coeffs, seq, Al)
+                _enc_dc_refine(sink, dcv, seq)
             else:
                 state = {"eobrun": 0, "be_bits": []}
-                enc = _enc_ac_first if Ah == 0 else _enc_ac_refine
-                for sci, by, bx in seq:
-                    enc(sink, coeffs[sci][by, bx], Ss, Se, Al, state)
+                if Ah == 0:
+                    for _sci, by, bx in seq:
+                        _enc_ac_first(sink, ac_blocks[(by, bx)], state)
+                else:
+                    for _sci, by, bx in seq:
+                        absv, negs, eob = ac_blocks[(by, bx)]
+                        _enc_ac_refine(sink, absv, negs, eob, state)
                 _flush_eobrun(sink, state)
 
         probe = _ScanSink()
@@ -769,31 +879,50 @@ class _BitReader:
     def read_bit(self) -> int:
         return self.read(1)
 
+    def peek16(self) -> int:
+        """Next 16 bits without consuming (1-padded past the end, same
+        as :meth:`read`) — the fast Huffman decode's lookup key."""
+        if self.nbits < 16:
+            self._fill()
+            while self.nbits < 16:
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
 
 def _decode_tables(bits, vals):
-    """(BITS, HUFFVAL) → {(length, code): value} for MSB-first decode."""
+    """(BITS, HUFFVAL) → 16-bit-peek LUT ``(lut_len, lut_sym)``.
+
+    Entry ``i`` covers every bitstream whose next 16 bits equal ``i``:
+    ``lut_len[i]`` is the matching code's bit length (0 = no valid code
+    — corrupt stream) and ``lut_sym[i]`` its decoded symbol. Huffman
+    codes are prefix-free, so a code of length L owns the 2^(16-L)
+    entries sharing its prefix. One byte-index per SYMBOL replaces the
+    old dict probe per BIT — the decoder's hottest path."""
     if len(vals) < sum(bits):
         raise ValueError("truncated JPEG DHT segment")
-    table = {}
+    lut_len = bytearray(1 << 16)
+    lut_sym = bytearray(1 << 16)
     code, k = 0, 0
     for length in range(1, 17):
+        span = 1 << (16 - length)
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            lo = code << (16 - length)
+            lut_len[lo : lo + span] = bytes([length]) * span
+            lut_sym[lo : lo + span] = bytes([vals[k]]) * span
             code += 1
             k += 1
         code <<= 1
-    return table
+    return bytes(lut_len), bytes(lut_sym)
 
 
 def _read_huff(reader: _BitReader, table) -> int:
-    code, length = 0, 0
-    while length < 17:
-        code = (code << 1) | reader.read_bit()
-        length += 1
-        v = table.get((length, code))
-        if v is not None:
-            return v
-    raise ValueError("invalid JPEG Huffman code (corrupt entropy stream)")
+    key = reader.peek16()
+    length = table[0][key]
+    if length == 0:
+        raise ValueError("invalid JPEG Huffman code (corrupt entropy stream)")
+    reader.nbits -= length
+    return table[1][key]
 
 
 def _extend(bits: int, s: int) -> int:
@@ -843,7 +972,7 @@ def decode_jpeg(data: bytes):
                 if pq != 0:
                     raise ValueError("unsupported JPEG: 16-bit quant table")
                 raster = np.zeros(64, dtype=np.int64)
-                raster[np.asarray(ZIGZAG)] = np.frombuffer(
+                raster[_zz_index()] = np.frombuffer(
                     seg, dtype=np.uint8, count=64, offset=i + 1
                 ).astype(np.int64)
                 qt[tq] = raster
@@ -927,13 +1056,20 @@ def decode_jpeg(data: bytes):
         raise ValueError("unsupported JPEG: sampling factors beyond 2x2")
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    C = _dct_c()
     for c in comps:
         c["bw"] = mcux * c["h"]
         c["bh"] = mcuy * c["v"]
-        c["plane"] = np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.float64)
+        # coefficients accumulate here (zigzag order); dequantize + IDCT
+        # run ONCE, batched over every block, after the entropy loop
+        c["coef"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int64)
         sc = next(s for s in scan["comps"] if s["id"] == c["id"])
         c["td"], c["ta"] = sc["td"], sc["ta"]
+        c["dc_tab"] = huff.get((0, c["td"]))
+        c["ac_tab"] = huff.get((1, c["ta"]))
+        if c["dc_tab"] is None or c["ac_tab"] is None:
+            raise ValueError("JPEG scan references a missing DHT table")
+        if qt.get(c["tq"]) is None:
+            raise ValueError("JPEG scan references a missing DQT table")
 
     # split entropy data on restart markers; DC predictors reset per part
     segments = []
@@ -952,7 +1088,6 @@ def decode_jpeg(data: bytes):
     else:
         segments = [raw]
 
-    zz = np.asarray(ZIGZAG)
     seg_idx, mcu_in_seg = 0, 0
     reader = _BitReader(segments[0])
     pred = {c["id"]: 0 for c in comps}
@@ -964,20 +1099,14 @@ def decode_jpeg(data: bytes):
                 pred = {c["id"]: 0 for c in comps}
                 mcu_in_seg = 0
             for c in comps:
-                dc_tab = huff.get((0, c["td"]))
-                ac_tab = huff.get((1, c["ta"]))
-                if dc_tab is None or ac_tab is None:
-                    raise ValueError("JPEG scan references a missing DHT table")
-                q = qt.get(c["tq"])
-                if q is None:
-                    raise ValueError("JPEG scan references a missing DQT table")
+                dc_tab, ac_tab = c["dc_tab"], c["ac_tab"]
+                cid = c["id"]
                 for byi in range(c["v"]):
                     for bxi in range(c["h"]):
-                        coeff = np.zeros(64, dtype=np.int64)
+                        coeff = c["coef"][my * c["v"] + byi, mx * c["h"] + bxi]
                         s = _read_huff(reader, dc_tab)
-                        diff = _extend(reader.read(s), s)
-                        pred[c["id"]] += diff
-                        coeff[0] = pred[c["id"]]
+                        pred[cid] += _extend(reader.read(s), s)
+                        coeff[0] = pred[cid]
                         k = 1
                         while k < 64:
                             rs = _read_huff(reader, ac_tab)
@@ -992,21 +1121,33 @@ def decode_jpeg(data: bytes):
                                 raise ValueError("JPEG AC run past block end")
                             coeff[k] = _extend(reader.read(s), s)
                             k += 1
-                        raster = np.zeros(64, dtype=np.float64)
-                        # coeff is zigzag-ordered; q is raster-ordered —
-                        # dequantize in matching (zigzag) order. The old
-                        # `coeff * q` mixed the orders: DC (index 0) was
-                        # unaffected, every AC coefficient was scaled by
-                        # the wrong table cell (caught by the progressive
-                        # codec's analytic self-consistency oracle, r11).
-                        raster[zz] = coeff * q[zz]
-                        blk = C.T @ raster.reshape(8, 8) @ C + 128.0
-                        y0 = (my * c["v"] + byi) * 8
-                        x0 = (mx * c["h"] + bxi) * 8
-                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = blk
             mcu_in_seg += 1
 
+    _idct_planes(comps, qt)
     return _finish_decode(comps, h, w, hmax, vmax)
+
+
+def _idct_planes(comps, qt) -> None:
+    """Shared decoder back half: per component, dequantize the zigzag
+    coefficient store (``c["coef"]``, (bh, bw, 64) int64) and IDCT every
+    block in one vectorized einsum, producing ``c["plane"]``. Identical
+    arithmetic to the old per-block ``C.T @ raster @ C`` (einsum
+    contracts the same axes; pinned by the golden byte/pixel fixtures
+    and the progressive-vs-baseline pixel-equality tests)."""
+    import numpy as np
+
+    C = _dct_c()
+    zz = _zz_index()
+    for c in comps:
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("JPEG scan references a missing DQT table")
+        bh, bw = c["coef"].shape[:2]
+        raster = np.zeros((bh, bw, 64), dtype=np.float64)
+        raster[:, :, zz] = c["coef"] * q[zz]  # zigzag-order dequantize
+        blocks = raster.reshape(bh, bw, 8, 8)
+        pix = np.einsum("ux,ijuv,vy->ijxy", C, blocks, C) + 128.0
+        c["plane"] = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
 
 
 def _finish_decode(comps, h, w, hmax, vmax):
@@ -1220,17 +1361,6 @@ def _decode_progressive(frame, scans, qt):
                     eobrun = dec(reader, ac_tab, blk, ss, se, al, eobrun)
             in_seg += 1
 
-    # dequantize + IDCT, vectorized per component
-    C = _dct_c()
-    zz = np.asarray(ZIGZAG)
-    for c in comps:
-        q = qt.get(c["tq"])
-        if q is None:
-            raise ValueError("JPEG scan references a missing DQT table")
-        bh, bw = c["coef"].shape[:2]
-        raster = np.zeros((bh, bw, 64), dtype=np.float64)
-        raster[:, :, zz] = c["coef"] * q[zz]  # zigzag-order dequantize
-        blocks = raster.reshape(bh, bw, 8, 8)
-        pix = np.einsum("ux,ijuv,vy->ijxy", C, blocks, C) + 128.0
-        c["plane"] = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    # dequantize + IDCT, vectorized per component (shared back half)
+    _idct_planes(comps, qt)
     return _finish_decode(comps, h, w, hmax, vmax)

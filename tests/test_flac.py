@@ -293,3 +293,56 @@ def test_audio_features_mixed_mimes(spark):
     assert got[1].rms == got[3].rms and got[1].peak == got[3].peak
     # ADPCM is lossy: close but not byte-identical
     assert abs(got[2].rms - got[1].rms) / got[1].rms < 0.05
+
+
+def test_rice_block_fast_decode_matches_scalar_reference():
+    """The vectorized Rice partition decode (_read_rice_block: one
+    searchsorted chain instead of per-sample unary reads) is bit-exact
+    against a straightforward scalar re-decode, for every parameter
+    0..14, including values long enough to force the decoder's bit
+    window to grow past its initial guess."""
+    from doin_fine_ance__spark.llm.flac import (
+        _Bits,
+        _BitWriter,
+        _read_rice_block,
+    )
+
+    rng = np.random.RandomState(7)
+    cases = []
+    for param in range(15):
+        vals = rng.randint(-(1 << (param + 3)), 1 << (param + 3), 200)
+        cases.append((param, vals))
+    # q ≈ 5000 zero bits per sample at param 0: the partition needs far
+    # more than the initial window guess → exercises the growth loop
+    cases.append((0, np.array([2500, -2500, 2400, -2400])))
+    for param, vals in cases:
+        w = _BitWriter()
+        for v in (
+            np.where(vals >= 0, vals.astype(np.int64) << 1,
+                     ((-vals.astype(np.int64)) << 1) - 1)
+        ).tolist():
+            w.write_unary(v >> param)
+            w.write(v, param)
+        w.align()
+        data = bytes(w.out)
+
+        # scalar reference decode
+        bits = _Bits(data)
+        ref = []
+        for _ in range(len(vals)):
+            q = bits.read_unary()
+            v = (q << param) | bits.read(param)
+            ref.append(-(v >> 1) - 1 if v & 1 else v >> 1)
+        ref_endbit = bits.pos * 8 - bits.nbits
+
+        bits2 = _Bits(data)
+        got = _read_rice_block(bits2, len(vals), param)
+        assert got.tolist() == ref, f"param={param}"
+        assert bits2.pos * 8 - bits2.nbits == ref_endbit, f"param={param}"
+
+
+def test_rice_block_truncated_stream_raises():
+    from doin_fine_ance__spark.llm.flac import _Bits, _read_rice_block
+
+    with pytest.raises(ValueError, match="truncated stream"):
+        _read_rice_block(_Bits(b"\x00\x00\x00"), 5, 0)

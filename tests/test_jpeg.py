@@ -447,3 +447,59 @@ def test_progressive_rejects_bad_scripts():
         encode_jpeg_progressive(
             img, scan_script=[((0, 1, 2), 0, 0, 0, 2), ((0, 1, 2), 0, 0, 2, 0)]
         )
+
+
+def test_decode_lut_matches_canonical_code_assignment():
+    """The 16-bit-peek Huffman LUT (_decode_tables) assigns every
+    canonical (length, code) pair's full 2^(16-len) entry range to the
+    right symbol, and leaves non-code prefixes invalid — checked
+    against the spec's C.2 construction for all four Annex-K tables."""
+    from doin_fine_ance__spark.llm.jpeg import (
+        AC_CHROMA_BITS,
+        AC_CHROMA_VALS,
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_CHROMA_BITS,
+        DC_CHROMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        _decode_tables,
+    )
+
+    for bits, vals in [
+        (DC_LUMA_BITS, DC_LUMA_VALS),
+        (DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (AC_LUMA_BITS, AC_LUMA_VALS),
+        (AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]:
+        lut_len, lut_sym = _decode_tables(tuple(bits), tuple(vals))
+        # canonical assignment (T.81 C.2), independent construction
+        code, k, covered = 0, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                for probe in (lo, lo + (1 << (16 - length)) - 1):
+                    assert lut_len[probe] == length
+                    assert lut_sym[probe] == vals[k]
+                covered += 1 << (16 - length)
+                code += 1
+                k += 1
+            code <<= 1
+        # everything not covered by a code must be invalid (len 0)
+        assert sum(1 for v in lut_len if v == 0) == (1 << 16) - covered
+
+
+def test_decode_invalid_huffman_code_raises():
+    """A bitstream starting with a prefix no Annex-K code owns must
+    raise the corrupt-entropy-stream error (LUT length 0 path)."""
+    from doin_fine_ance__spark.llm.jpeg import (
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        _BitReader,
+        _decode_tables,
+        _read_huff,
+    )
+
+    tab = _decode_tables(tuple(DC_LUMA_BITS), tuple(DC_LUMA_VALS))
+    with pytest.raises(ValueError, match="invalid JPEG Huffman code"):
+        _read_huff(_BitReader(b"\xff\xff\xff"), tab)
