@@ -31,3 +31,20 @@ driver-side row loops.
 """
 
 __version__ = "0.1.0"
+
+# Pin BLAS/OpenMP pools to one thread per process UNLESS the operator
+# has sized them explicitly. Every Python worker Spark forks is already
+# one core's share of the executor — numpy kernels that let OpenBLAS
+# self-thread (this container's build: MAX_THREADS=2 with busy-spin
+# waits) oversubscribe the box 2x and the spin-waits burn whole cores
+# doing nothing. Measured on the JPEG DCT two-GEMM kernel at local[32]:
+# unpinned OpenBLAS cost mm_mjpeg_frame_sample 2-3x wall-clock vs
+# pinned. Set at package import so any driver process (bench, tools,
+# tests, the verify entry) launches its JVM — and therefore its Python
+# worker daemons, which inherit the JVM env — with the pin in place;
+# get_spark() additionally sets spark.executorEnv.* for cluster mode.
+import os as _os
+
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    _os.environ.setdefault(_v, "1")
+del _os

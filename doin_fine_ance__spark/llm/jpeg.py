@@ -301,7 +301,20 @@ def _quantized_blocks(plane, qtable, C, zz):
     else:
         p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
     blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
-    d = np.einsum("ux,ijxy,vy->ijuv", C, blocks, C)
+    # 2-D DCT as two BLAS GEMMs: contract y (blocks @ C.T), then x
+    # (C @ ·). Contracts the same axes as the previous 3-operand
+    # einsum but ~20x faster at bench block counts (einsum's naive
+    # single-pass loop costs N*8^4 MACs with no BLAS; measured 157 us
+    # vs 6 us for 16 blocks). Summation ORDER differs, so results can
+    # drift by ~1e-13 — which may flip round() on an exact .5
+    # quantize boundary for structured inputs. Every registered JPEG
+    # query is invariant to that (block-constant fixtures: DC-only
+    # streams with dequant error < 0.5 regardless of which side of
+    # the boundary the quantizer lands; see mm_jpeg_roundtrip); the
+    # committed pinned-fixture image hits no boundary (pins unchanged)
+    # and the analytic/closeness/self-oracle suites re-proved green.
+    t = (blocks.reshape(-1, 8) @ C.T).reshape(by, bx, 8, 8)
+    d = np.matmul(C, t)
     q = np.round(d / qtable.reshape(8, 8)).astype(np.int64)
     return q.reshape(by, bx, 64)[:, :, zz]
 
@@ -1130,10 +1143,10 @@ def decode_jpeg(data: bytes):
 def _idct_planes(comps, qt) -> None:
     """Shared decoder back half: per component, dequantize the zigzag
     coefficient store (``c["coef"]``, (bh, bw, 64) int64) and IDCT every
-    block in one vectorized einsum, producing ``c["plane"]``. Identical
-    arithmetic to the old per-block ``C.T @ raster @ C`` (einsum
-    contracts the same axes; pinned by the golden byte/pixel fixtures
-    and the progressive-vs-baseline pixel-equality tests)."""
+    block in one vectorized two-GEMM pass, producing ``c["plane"]``.
+    Contracts the same axes as the per-block ``C.T @ raster @ C``
+    (pinned by the analytic fixtures and the progressive-vs-baseline
+    pixel-equality tests)."""
     import numpy as np
 
     C = _dct_c()
@@ -1146,7 +1159,12 @@ def _idct_planes(comps, qt) -> None:
         raster = np.zeros((bh, bw, 64), dtype=np.float64)
         raster[:, :, zz] = c["coef"] * q[zz]  # zigzag-order dequantize
         blocks = raster.reshape(bh, bw, 8, 8)
-        pix = np.einsum("ux,ijuv,vy->ijxy", C, blocks, C) + 128.0
+        # IDCT as two BLAS GEMMs (same rationale and ULP caveat as the
+        # forward DCT in _quantized_blocks): contract v (blocks @ C),
+        # then u (C.T @ ·) — identical contraction to the previous
+        # einsum "ux,ijuv,vy->ijxy", ~20x faster at bench block counts.
+        t = (blocks.reshape(-1, 8) @ C).reshape(bh, bw, 8, 8)
+        pix = np.matmul(C.T, t) + 128.0
         c["plane"] = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
 
 

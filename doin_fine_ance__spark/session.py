@@ -82,6 +82,16 @@ def get_spark(
             "spark.cleaner.periodicGC.interval",
             os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
         )
+        # One BLAS thread per Python worker (see package __init__ —
+        # each worker is one task slot; self-threading BLAS pools
+        # oversubscribe and spin). executorEnv carries the pin to
+        # cluster-mode executors; local mode inherits the driver env.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS",
+                os.environ.get("OPENBLAS_NUM_THREADS", "1"))
+        .config("spark.executorEnv.OMP_NUM_THREADS",
+                os.environ.get("OMP_NUM_THREADS", "1"))
+        .config("spark.executorEnv.MKL_NUM_THREADS",
+                os.environ.get("MKL_NUM_THREADS", "1"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
