@@ -36,6 +36,7 @@ def _edges(spark):
     )
 
 
+@pytest.mark.slow
 def test_cc_local_vs_reliable_identical(spark, reliable_dir):
     expected = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
     for mode in ("local", "reliable"):
@@ -100,6 +101,7 @@ def test_lsh_and_running_sum_both_modes(spark, reliable_dir, tmp_path):
     assert (1, 2) in results["local"][0]
 
 
+@pytest.mark.slow
 def test_incremental_near_dups_reliable(spark, reliable_dir, tmp_path):
     from doin_fine_ance__spark.llm.dedup import incremental_near_dups
 

@@ -3,6 +3,7 @@ quarantine, lossless round-trip against the parquet tables."""
 
 from __future__ import annotations
 
+import pytest
 import glob
 import gzip
 import json
@@ -78,6 +79,7 @@ def test_gzip_jsonl_readable(spark, tmp_path):
     assert [r.doc_id for r in good.collect()] == [7]
 
 
+@pytest.mark.slow
 def test_operators_run_on_jsonl_documents(spark, tmp_path):
     """The JSONL read is schema-identical to the parquet table, so the
     registered operators run unchanged on it."""

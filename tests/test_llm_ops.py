@@ -74,6 +74,7 @@ def test_minhash_no_false_positives_vs_exact(spark):
     assert bad == 0
 
 
+@pytest.mark.slow
 def test_star_edges_components_equal_full_pair_graph(spark):
     """The star-edge output mode's connected components (and min
     labels) must equal clustering the FULL verified pair graph — the
@@ -504,6 +505,7 @@ def test_sample_video_frames_mjpeg_end_to_end(spark):
     assert [int(a[8, 8, 0]) for a in sampled] == [0, 80, 160]
 
 
+@pytest.mark.slow
 def test_dup_cluster_path_skew_safe_on_shared_prefix(spark):
     """1k docs sharing a 16-char prefix must NOT collapse into one
     quadratic block: the clustering edge set comes from MinHash bands
@@ -1074,6 +1076,7 @@ def test_minhash_token_store_does_not_accumulate(spark):
     assert not D._TOKEN_STORES
 
 
+@pytest.mark.slow
 def test_pq_recall_excludes_zero_norm_vectors(spark):
     """ADVICE r6: a zero-norm embedding has no cosine direction —
     normalizing it would push NaN/Inf through pq_train/pq_encode and
@@ -1135,6 +1138,7 @@ def test_lsh_banding_recall_and_s_curve(spark):
             assert abs(b["candidate_rate"] - b["theory_rate"]) <= 0.1, b
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_floor_on_non_degenerate_geometry(spark):
     """Recall floor on the OVERLAPPING-mode fixture (VERDICT r11 #3):
     the driver embeddings are label-clustered so tightly that every
@@ -1158,6 +1162,7 @@ def test_ivfpq_recall_floor_on_non_degenerate_geometry(spark):
     assert by_np[8]["recall_ivf_flat_ceiling"] >= by_np[1]["recall_ivf_flat_ceiling"]
 
 
+@pytest.mark.slow
 def test_ivf_index_build_probe_append_stats(spark, tmp_path):
     """Round-7 IvfIndex lifecycle: (a) probing ALL cells reproduces the
     exact brute-force top-k; (b) the probe scan is partition-PRUNED
@@ -1232,6 +1237,7 @@ def _embeddings_df(spark):
 
 
 @pytest.mark.parametrize("pq", [False, True], ids=["flat", "ivfpq"])
+@pytest.mark.slow
 def test_ivf_append_during_compact_serializes_no_lost_vectors(
     spark, tmp_path, monkeypatch, pq
 ):
@@ -1309,6 +1315,7 @@ def test_ivf_append_during_compact_serializes_no_lost_vectors(
     assert 99_999 in ids and {10_000, 10_001, 10_002} <= ids
 
 
+@pytest.mark.slow
 def test_ivf_default_centroid_sample_unbiased_on_sorted_ids(spark, tmp_path):
     """VERDICT r7 #2: ids correlate with content in real corpora. With
     vectors id-SORTED by cluster, a head-of-table sample would put
@@ -1393,6 +1400,7 @@ def test_ivf_topk_excludes_zero_norm_vectors(spark, tmp_path):
     assert all(not math.isnan(r["cosine"]) for r in got2)
 
 
+@pytest.mark.slow
 def test_lsh_end_to_end_recall_on_realistic_vocabulary(spark):
     """VERDICT r7 #5: the sf0.01/sf0.1 token-measure recall (~0.025)
     measures the small-vocab synthetic corpus, not the banding. On a
@@ -1480,6 +1488,7 @@ def _clustered_unit_rows(n=400, dim=64, n_clusters=5, seed=99):
     return rows, query
 
 
+@pytest.mark.slow
 def test_ivfpq_index_build_search_rerank(spark, tmp_path):
     """VERDICT r8 #1 — the IVF-PQ composite (FAISS IVFPQ shape):
     (a) cells store m PQ codes, NOT float vectors; (b) the probe scan
@@ -1660,6 +1669,7 @@ def test_ivfpq_one_shot_matches_exact_within_probes(spark):
     assert pruned[0] == 200  # planted twin survives pruning
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_floor_on_real_embeddings(spark):
     """VERDICT r8 #1 evidence seam (tools/pq_recall.py → the committed
     PQ_RECALL_r09.json measures sf0.1): on the driver embeddings,
@@ -1752,6 +1762,7 @@ def test_ivf_compact_is_reader_safe(spark, tmp_path, monkeypatch):
     assert idx.stats(spark)["total"] == total
 
 
+@pytest.mark.slow
 def test_semantic_dedup_hot_cell_cap_bounds_group_size(spark):
     """VERDICT r8 #5 / r9 #1: a skewed embedding distribution can land
     one giant cell whose quadratic Gram would OOM a task. At the

@@ -39,6 +39,7 @@ def _payload(start, end):
     }
 
 
+@pytest.mark.slow
 def test_pipeline_run_end_to_end(spark, tmp_path):
     root = str(tmp_path)
     FX.write_warehouse_inputs(spark, root)
@@ -125,6 +126,7 @@ def test_mapping_fanout_absorbed_by_disambiguation(spark, tmp_path):
     assert counts["stg_historic_trxns"] > 0  # unique test passed
 
 
+@pytest.mark.slow
 def test_llm_pipeline_dag(spark, tmp_path):
     """documents → pairs → clusters → keeper corpus → stats, end to end.
 
@@ -176,6 +178,7 @@ def test_llm_pipeline_dag(spark, tmp_path):
     assert all(r.quality_prob >= 0.5 for r in rows)
 
 
+@pytest.mark.slow
 def test_llm_pipeline_quality_and_decontamination_gates(spark, tmp_path):
     """Default thresholds DROP degenerate docs; a benchmark batch
     removes contaminated docs from the clean corpus."""
@@ -247,6 +250,7 @@ def test_training_mix_temperature_rebalance(spark, tmp_path):
     assert {r.source for r in tm2} == {"small"}
 
 
+@pytest.mark.slow
 def test_llm_pipeline_segment_scrub_stage(spark, tmp_path):
     """With segment_max_docs set, cross-doc boilerplate segments are cut
     from every clean-corpus doc while unique bodies survive."""
@@ -274,6 +278,7 @@ def test_llm_pipeline_segment_scrub_stage(spark, tmp_path):
         assert text == " ".join(f"body{i}w{j}" for j in range(10))
 
 
+@pytest.mark.slow
 def test_clean_corpus_dup_span_gate_drops_boilerplate_docs(spark, tmp_path):
     """With max_dup_span_ratio set, a doc that is pure cross-doc
     boilerplate is dropped before the quality gate, while docs that

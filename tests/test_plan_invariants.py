@@ -17,6 +17,7 @@ Plans are built lazily at sf0.001 — no query executes.
 
 from __future__ import annotations
 
+import pytest
 from doin_fine_ance__spark.queries import load_registry
 
 SF = "/root/testdata/sf0.001"
@@ -32,6 +33,7 @@ def _plan(spark, fn):
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.mark.slow
 def test_no_cartesian_product_anywhere(spark):
     queries, _ = load_registry()
     offenders = []
@@ -43,6 +45,7 @@ def test_no_cartesian_product_anywhere(spark):
     assert not offenders, f"cross products in: {offenders}"
 
 
+@pytest.mark.slow
 def test_no_row_at_a_time_python_udfs(spark):
     queries, _ = load_registry()
     offenders = []

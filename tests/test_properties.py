@@ -11,6 +11,7 @@ Strategy sizes are small (Spark job per example is expensive);
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -243,6 +244,7 @@ def test_segment_dedup_matches_bruteforce(spark, docs):
 
 @given(docs=st.lists(_doc, min_size=1, max_size=10))
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_duplicate_spans_and_scrub_match_bruteforce(spark, docs):
     """duplicate_spans AND remove_duplicate_spans == driver-side
     brute-force over the same sliding windows: same window hashing,

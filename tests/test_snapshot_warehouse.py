@@ -31,6 +31,7 @@ def _shrink_inputs(spark, root: str) -> None:
     raw.write.mode("overwrite").parquet(f"{root}/public/simplefin")
 
 
+@pytest.mark.slow
 def test_snapshot_build_matches_swap_build(spark, tmp_path, snap_wh):
     """Same model outputs whichever layout materializes them."""
     plain_root = str(tmp_path / "plain")
@@ -76,6 +77,7 @@ def test_serving_read_concurrent_with_full_refresh_is_pinned(spark, snap_wh):
     assert len(after_unc) < len(want_uncategorized)  # ACT-A rows gone
 
 
+@pytest.mark.slow
 def test_reader_thread_never_sees_torn_table_during_rebuilds(spark, snap_wh):
     """A reader loop racing two full-refresh builds must only ever see
     a complete committed version (one of the two row multisets)."""
@@ -181,6 +183,7 @@ def test_register_sql_catalog_on_snapshot_warehouse(spark, snap_wh):
     assert n_cat == snap_wh.read("analytics", "fct_trxns_categorized").count()
 
 
+@pytest.mark.slow
 def test_warehouse_vacuum_drops_old_versions_keeps_current(spark, snap_wh):
     """Retention through the warehouse: after two rebuilds, vacuum
     keeps the newest version readable and removes older commit dirs;
@@ -240,6 +243,7 @@ def test_catalog_view_over_append_manifest_unions_by_name(spark, tmp_path):
     assert got == {(1, "a"), (2, "b"), (3, "c")}
 
 
+@pytest.mark.slow
 def test_vacuum_reregisters_catalog_entry_after_rebuild(spark, snap_wh):
     """ADVICE r6: a catalog entry binds to the commit dirs current at
     registration; rebuild + vacuum deletes those dirs. Warehouse.vacuum
@@ -255,6 +259,7 @@ def test_vacuum_reregisters_catalog_entry_after_rebuild(spark, snap_wh):
     assert n_sql == snap_wh.read("analytics", "fct_validated_trxns").count()
 
 
+@pytest.mark.slow
 def test_rebuild_repoints_registered_catalog_entry_without_vacuum(spark, snap_wh):
     """VERDICT r7 #8 contract: a REGISTERED snapshot table always
     serves the latest published version — the rebuild commit itself

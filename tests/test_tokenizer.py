@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from collections import Counter
 
 
@@ -53,6 +54,7 @@ def test_bpe_train_matches_reference(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_bpe_batched_equals_sequential_and_saves_jobs(spark):
     """VERDICT r5 #4: batched merge selection must leave the merge
     sequence bit-identical to one-merge-per-job training while cutting
@@ -88,6 +90,7 @@ def test_bpe_batched_equals_sequential_and_saves_jobs(spark):
     assert st2["pair_count_jobs"] <= st2["merges"], st2
 
 
+@pytest.mark.slow
 def test_bpe_batched_job_savings_on_diverse_vocabulary(spark):
     """The scheduling win needs a wide pair distribution — a Zipf
     corpus over ~2.5k distinct pseudo-words (the natural-text shape;
@@ -187,6 +190,7 @@ def test_bpe_batch_selection_survives_adversarial_tiebreaks(spark):
         assert bpe_train(df, 12) == want, rows
 
 
+@pytest.mark.slow
 def test_bpe_batched_equivalence_fuzz(spark):
     """Random small corpora: batched training must match the textbook
     reference on every seed (ties and collisions arise naturally in a
