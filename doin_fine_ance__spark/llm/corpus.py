@@ -337,16 +337,23 @@ def duplicate_spans(
     by cross-document boilerplate, the per-doc signal a pipeline
     thresholds on before paying for span surgery.
 
-    Scale shape: windowing is map-only (~len(tokens) rows per doc,
-    k-fold smaller than exploding every window's tokens because only
-    the hash leaves the executor); window frequencies are ONE
-    partial-agg shuffle on the window hash; the mark join reuses that
-    key; the per-doc rollup is a second narrow shuffle on the doc id.
-    Identical discipline to segment_dedup — nothing quadratic, no
-    driver state. The window key is xxhash64 of the window text (an
-    8-byte shuffle key; the key is a pure intermediate — every output
-    is a count or ratio, invariant under injective re-keying, so a
-    SQL oracle hashing windows with md5 still matches).
+    Scale shape (restructured in r13 — guide §2.3 "shuffle keys and
+    metadata instead of payloads"): windowing is map-only
+    (~len(tokens) rows per doc, k-fold smaller than exploding every
+    window's tokens because only the hash leaves the executor); window
+    frequencies are ONE partial-agg shuffle on the window hash; the
+    mark join reuses that exchange (identical subtree — ReuseExchange,
+    so the tokenize+hash pass runs once with NO eager checkpoint); and
+    the per-doc rollup shuffles ONLY the duplicated-window rows —
+    ``n_windows`` is ``len(tokens) - k + 1`` by construction, so the
+    clean windows (the overwhelming majority of a real corpus) never
+    re-shuffle to the doc side. Previously every window row crossed
+    the doc-id exchange a second time. Nothing quadratic, no driver
+    state. The window key is xxhash64 of the window text (an 8-byte
+    shuffle key; the key is a pure intermediate — every output is a
+    count or ratio, invariant under injective re-keying, so a SQL
+    oracle hashing windows with md5 still matches; collision exposure
+    documented at ``dedup.XXHASH64_EXACT_SAFE_DISTINCT``).
     """
     from .dedup import _fan_out
 
@@ -368,23 +375,33 @@ def duplicate_spans(
             )
         ).alias("wkey"),
     )
-    # wins feeds both the frequency build and the mark join; materialize
-    # so the tokenize+hash pass runs once (exchange reuse does not cover
-    # two distinct subplans).
-    try:
-        wins = materialize(wins)
-    except Exception:
-        pass  # Spark Connect without checkpoint support: correct, just slower
-    freq = wins.groupBy("wkey").agg(F.count_distinct(col(id_col)).alias("n_docs"))
-    marked = wins.join(freq, "wkey")
-    n_dup = F.sum(F.when(col("n_docs") >= min_docs, 1).otherwise(0)).cast("bigint")
-    return marked.groupBy(id_col).agg(
-        F.count("*").cast("bigint").alias("n_windows"),
-        n_dup.alias("n_dup_windows"),
-        (
-            F.sum(F.when(col("n_docs") >= min_docs, 1).otherwise(0)).cast("double")
-            / F.count("*")
-        ).alias("dup_ratio"),
+    # Duplicated keys only: the join against wins reuses the freq
+    # build's exchange (identical wkey exchange subtree on both sides),
+    # and everything downstream carries only the dup rows.
+    dup_keys = (
+        wins.groupBy("wkey")
+        .agg(F.count_distinct(col(id_col)).alias("n_docs"))
+        .filter(col("n_docs") >= min_docs)
+        .select("wkey")
+    )
+    dup_counts = (
+        wins.join(dup_keys, "wkey")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("_n_dup"))
+    )
+    n_windows = (F.size("ts") - (k - 1)).cast("bigint")
+    return (
+        base.select(col(id_col), n_windows.alias("n_windows"))
+        .join(dup_counts, id_col, "left")
+        .select(
+            col(id_col),
+            col("n_windows"),
+            F.coalesce(col("_n_dup"), lit(0).cast("bigint")).alias("n_dup_windows"),
+            (
+                F.coalesce(col("_n_dup"), lit(0)).cast("double")
+                / col("n_windows").cast("double")
+            ).alias("dup_ratio"),
+        )
     )
 
 
@@ -413,12 +430,29 @@ def remove_duplicate_spans(
     lowercased/whitespace-normalized by the tokenization, same
     convention as :func:`segment_dedup`.
 
-    Scale shape: window hashing is map-only; window frequencies are
-    ONE partial-agg shuffle on the hash; covered positions explode
-    only DUPLICATED windows (≤ k rows each, bounded by k × dup
-    windows, nowhere near the token stream for a mostly-clean
-    corpus); the rebuild aggregates each document's own tokens. No
-    global sort, no driver state.
+    Scale shape (restructured in r13 — guide §2.3 "shuffle keys and
+    metadata instead of payloads" / §8's transferable rule): window
+    hashing is map-only; window frequencies are ONE partial-agg
+    shuffle on the hash, whose exchange the duplicated-key mark join
+    REUSES (identical subtree); only DUPLICATED windows' (doc, pos)
+    rows — a handful of bytes each, nowhere near the token stream for
+    a mostly-clean corpus — shuffle to the doc side, where the span
+    surgery runs as pure JVM array math against the document's own
+    token array: covered = union of [pos, pos+k) (array_distinct ∘
+    flatten ∘ sequence), kept positions = array_except(0..n-1,
+    covered) (hash-based, order-preserving), rebuilt text =
+    element_at-gather + array_join. The token stream itself never
+    crosses an exchange — previously every token position was
+    posexploded, anti-joined against covered positions, and
+    collect_list-reassembled through a full doc-id shuffle, plus two
+    eager localCheckpoints; all of that is gone. The tokenize runs
+    once per consumer branch (window build; rebuild) — deliberately
+    NOT persisted: re-tokenizing is a map-only pass, while caching the
+    tokenized corpus is memory linear in corpus size (measured at
+    sf0.1: the columnar cache build of array<string> costs more than
+    the second tokenize). No global sort, no driver state. Window keys
+    are xxhash64 longs (pure intermediates — collision exposure
+    documented at ``dedup.XXHASH64_EXACT_SAFE_DISTINCT``).
     """
     from .dedup import _fan_out
 
@@ -429,10 +463,6 @@ def remove_duplicate_spans(
     base = _fan_out(docs).select(col(id_col), toks.alias("ts")).filter(
         F.size("ts") > 0
     )
-    try:
-        base = materialize(base)
-    except Exception:
-        pass  # Spark Connect without checkpoint support: correct, just slower
     # xxhash64 window keys (8-byte shuffle key, pure intermediate —
     # same argument as duplicate_spans; the OUTPUT md5 fingerprint of
     # the rebuilt text below is untouched)
@@ -445,47 +475,48 @@ def remove_duplicate_spans(
             )
         ).alias("pos", "wkey"),
     )
-    try:
-        wins = materialize(wins)
-    except Exception:
-        pass
-    freq = wins.groupBy("wkey").agg(F.count_distinct(col(id_col)).alias("n_docs"))
-    covered = (
-        wins.join(freq.filter(col("n_docs") >= min_docs), "wkey")
-        .select(
-            col(id_col),
-            F.explode(F.sequence(col("pos"), col("pos") + (k - 1))).alias("tokpos"),
+    dup_keys = (
+        wins.groupBy("wkey")
+        .agg(F.count_distinct(col(id_col)).alias("n_docs"))
+        .filter(col("n_docs") >= min_docs)
+        .select("wkey")
+    )
+    # per-doc list of duplicated window start positions — the ONLY
+    # rows that cross the doc-id exchange
+    dup_pos = (
+        wins.join(dup_keys, "wkey")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_dps"))
+    )
+    # covered token positions = union of [p, p+k) over duplicated
+    # windows; kept = ordered complement (array_except preserves the
+    # ascending order of its first argument); rebuild gathers the
+    # surviving tokens from the doc's own array — empty array (fully
+    # duplicated doc) rebuilds to '' exactly like the old LEFT-join
+    # path.
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(col("_dps"), lambda p: F.sequence(p, p + (k - 1)))
         )
-        .distinct()
     )
-    tokens = base.select(
-        col(id_col), F.posexplode("ts").alias("tokpos", "tok")
+    all_pos = F.sequence(lit(0), F.size("ts") - 1)
+    kept_pos = F.when(col("_dps").isNull(), all_pos).otherwise(
+        F.array_except(all_pos, covered)
     )
-    kept = tokens.join(covered, [id_col, "tokpos"], "left_anti")
-    kept_agg = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tokpos", "tok"))),
-                lambda x: x["tok"],
-            ),
-            " ",
-        ).alias("_rebuilt"),
-        F.count("*").cast("bigint").alias("_n_kept"),
+    rebuilt = F.array_join(
+        F.transform(kept_pos, lambda p: F.element_at("ts", p + 1)), " "
     )
     out_col = (
-        F.coalesce(col("_rebuilt"), lit("")).alias("cleaned_text")
+        rebuilt.alias("cleaned_text")
         if emit_text
-        else F.md5(F.coalesce(col("_rebuilt"), lit(""))).alias("cleaned_md5")
+        else F.md5(rebuilt).alias("cleaned_md5")
     )
-    # LEFT join: a fully-duplicated doc has no kept tokens (no kept_agg
-    # row) but must still report, with the empty fingerprint.
     return (
-        base.select(col(id_col), F.size("ts").cast("bigint").alias("n_tokens"))
-        .join(kept_agg, id_col, "left")
+        base.join(dup_pos, id_col, "left")
         .select(
             col(id_col),
-            col("n_tokens"),
-            (col("n_tokens") - F.coalesce(col("_n_kept"), lit(0))).cast("bigint").alias("n_removed"),
+            F.size("ts").cast("bigint").alias("n_tokens"),
+            (F.size("ts") - F.size(kept_pos)).cast("bigint").alias("n_removed"),
             out_col,
         )
     )
