@@ -126,53 +126,118 @@ def minhash_signatures(
     coeffs = PERM_COEFFS[:k]
     A = np.array([a for a, _ in coeffs], dtype=np.uint64).reshape(-1, 1)
     B = np.array([b for _, b in coeffs], dtype=np.uint64).reshape(-1, 1)
-    P = np.uint64(_P)
 
     @pandas_udf("array<string>")
     def _sig_udf(texts: pd.Series) -> pd.Series:
-        import hashlib
-        import re
-
-        ws = re.compile(r"\s+")
-        # Shingles repeat heavily across documents (boilerplate, shared
-        # vocabulary — and at rehearsal scale, replica cliques), so the
-        # batch runs in two passes: pass 1 interns each DISTINCT
-        # shingle to a dense index and records per-doc index arrays;
-        # pass 2 md5-hashes and permutes each unique shingle ONCE into
-        # a (k × n_unique) matrix, and every doc's signature is a
-        # column-gather + min over it. Same output as permuting per
-        # doc, ~1.7× faster measured on sf1 text (the A·x+B work now
-        # scales with unique shingles, not doc·shingle occurrences).
-        index: dict[str, int] = {}
-        shingle_list: list[str] = []
-        doc_idx: list[np.ndarray] = []
-        for t in texts:
-            norm = ws.sub(" ", (t or "").lower())
-            if len(norm) < n:
-                shingles = {norm}
-            else:
-                shingles = {norm[i : i + n] for i in range(len(norm) - n + 1)}
-            idx = np.empty(len(shingles), dtype=np.int64)
-            for j, s in enumerate(shingles):
-                v = index.get(s)
-                if v is None:
-                    v = len(shingle_list)
-                    index[s] = v
-                    shingle_list.append(s)
-                idx[j] = v
-            doc_idx.append(idx)
-        H = np.fromiter(
-            (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in shingle_list),
-            dtype=np.uint64,
-            count=len(shingle_list),
-        ).reshape(1, -1)
-        M = (A * H + B) % P  # k × n_unique
         out = [
-            [str(int(v)) for v in M[:, idx].min(axis=1)] for idx in doc_idx
+            [str(int(v)) for v in sig]
+            for sig in _batch_signatures(texts, A, B, n)
         ]
         return pd.Series(out)
 
     return _fan_out(docs).select(col(id_col), _sig_udf(col(text_col)).alias("signature"))
+
+
+def _batch_signatures(texts, A, B, n: int) -> list:
+    """Shared MinHash batch core: texts → list of k-wide uint64
+    signature arrays (one per text, order preserved).
+
+    Shingles repeat heavily across documents (boilerplate, shared
+    vocabulary — and at rehearsal scale, replica cliques), so the
+    batch runs in two passes: pass 1 interns each DISTINCT shingle to
+    a dense index and records per-doc index arrays; pass 2 md5-hashes
+    and permutes each unique shingle ONCE into a (k × n_unique)
+    matrix, and every doc's signature is a column-gather + min over
+    it. Same output as permuting per doc, ~1.7× faster measured on
+    sf1 text (the A·x+B work scales with unique shingles, not
+    doc·shingle occurrences).
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+
+    ws = re.compile(r"\s+")
+    index: dict[str, int] = {}
+    shingle_list: list[str] = []
+    doc_idx: list = []
+    for t in texts:
+        norm = ws.sub(" ", (t or "").lower())
+        if len(norm) < n:
+            shingles = {norm}
+        else:
+            shingles = {norm[i : i + n] for i in range(len(norm) - n + 1)}
+        idx = np.empty(len(shingles), dtype=np.int64)
+        for j, s in enumerate(shingles):
+            v = index.get(s)
+            if v is None:
+                v = len(shingle_list)
+                index[s] = v
+                shingle_list.append(s)
+            idx[j] = v
+        doc_idx.append(idx)
+    H = np.fromiter(
+        (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in shingle_list),
+        dtype=np.uint64,
+        count=len(shingle_list),
+    ).reshape(1, -1)
+    M = (A * H + B) % np.uint64(_P)  # k × n_unique
+    return [M[:, idx].min(axis=1) for idx in doc_idx]
+
+
+def minhash_band_keys(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 16,
+    n: int = 5,
+) -> DataFrame:
+    """Fused signature+banding: docs → (id, band, band_hash) in ONE
+    Python stage (r13, VERDICT r12 next-round #7 — measured, then
+    adopted).
+
+    Emits exactly ``band_keys(minhash_signatures(docs))`` — band_hash
+    = md5 of the ``|``-joined r = k/bands signature slots, identical
+    bytes (Python md5 over the same UTF-8 string the JVM expression
+    hashed; probe-verified set-equal at sf0.1) — but the signature
+    array<string> never crosses the Arrow boundary and the 16-way
+    JVM md5/concat/element_at expression chain over exploded rows is
+    gone. Measured at sf0.1: banded frame 1.31 s → 0.58 s (min-of-3,
+    noop). Use for in-line band building; callers that band STORED
+    signature tables (incremental dedup) keep :func:`band_keys`.
+    """
+    import numpy as np
+
+    coeffs = PERM_COEFFS[:k]
+    A = np.array([a for a, _ in coeffs], dtype=np.uint64).reshape(-1, 1)
+    B = np.array([b for _, b in coeffs], dtype=np.uint64).reshape(-1, 1)
+    r = k // bands
+    id_ddl = docs.schema[id_col].dataType.simpleString()
+
+    def _kernel(batches):
+        import hashlib
+
+        for pdf in batches:
+            sigs = _batch_signatures(pdf[text_col], A, B, n)
+            ids_out, band_out, hash_out = [], [], []
+            for did, sig in zip(pdf[id_col], sigs):
+                svals = [str(int(v)) for v in sig]
+                for bi in range(bands):
+                    ids_out.append(did)
+                    band_out.append(bi)
+                    hash_out.append(
+                        hashlib.md5(
+                            "|".join(svals[bi * r : (bi + 1) * r]).encode("utf-8")
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {id_col: ids_out, "band": band_out, "band_hash": hash_out}
+            )
+
+    return _fan_out(docs.select(id_col, text_col)).mapInPandas(
+        _kernel, f"{id_col} {id_ddl}, band int, band_hash string"
+    )
 
 
 def band_keys(
@@ -223,12 +288,22 @@ def lsh_candidate_pairs(
     splits pathological buckets.
     """
     banded = band_keys(signatures, id_col, bands, k)
-    # Materialize the band keys ONCE before the self-join: the two join
-    # branches are otherwise separate copies of the whole upstream plan
-    # (signature UDF included), and Spark only reuses exchanges, not
-    # arbitrary subplans — without this the signatures compute twice.
-    # At corpus scale this materialization is the signature/band store
-    # you would persist anyway (incremental dedup reads exactly it).
+    return _pairs_from_banded(banded, id_col, checkpoint_mode)
+
+
+def _pairs_from_banded(
+    banded: DataFrame, id_col: str, checkpoint_mode: str | None = None
+) -> DataFrame:
+    """Within-bucket candidate self-join over a (id, band, band_hash)
+    frame: distinct (id_a, id_b) with id_a < id_b.
+
+    Materializes the band keys ONCE before the self-join: the two join
+    branches are otherwise separate copies of the whole upstream plan
+    (signature stage included), and Spark only reuses exchanges, not
+    arbitrary subplans — without this the signatures compute twice.
+    At corpus scale this materialization is the signature/band store
+    you would persist anyway (incremental dedup reads exactly it).
+    """
     banded = materialize(banded, checkpoint_mode)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -445,11 +520,11 @@ def verified_forest_edges(
         while _TOKEN_STORES:
             _TOKEN_STORES.pop().unpersist()
 
-    sigs = minhash_signatures(docs, id_col, text_col, k)
-    banded = band_keys(sigs, id_col, bands, k=k)
-    # two consumers below (bucket counts + semi join): materialize once
-    # so the signature UDF doesn't run twice (same idiom and rationale
-    # as lsh_candidate_pairs)
+    # Fused signature+banding (r13, see minhash_band_keys). Two
+    # consumers below (bucket counts + semi join): materialize once so
+    # the signature stage doesn't run twice (same idiom and rationale
+    # as _pairs_from_banded).
+    banded = minhash_band_keys(docs, id_col, text_col, k, bands)
     banded = materialize(banded, checkpoint_mode)
     multi_keys = (
         banded.groupBy("band", "band_hash")
@@ -772,8 +847,12 @@ def _verified_pairs(
     bands: int,
     measure: str,
 ) -> DataFrame:
-    sigs = minhash_signatures(docs, id_col, text_col, k)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, k=k)
+    # Fused signature+banding in ONE Python stage (r13): same bytes as
+    # band_keys(minhash_signatures(...)) — see minhash_band_keys — the
+    # wide signature array never crosses Arrow and the 16-way JVM md5
+    # expression chain is gone.
+    banded = minhash_band_keys(docs, id_col, text_col, k, bands)
+    cands = _pairs_from_banded(banded, id_col)
     # Pin verify parallelism: the candidate list is BYTE-small but each
     # row costs an array intersection, and AQE coalesces post-shuffle
     # partitions by bytes — without an explicit width the whole verify
